@@ -1,0 +1,61 @@
+"""Scalar-function surface (SURVEY.md §2.4) plus engine additions.
+
+The reference's entire scalar surface is calendar derivation F1-F5
+(``transformation.py:70-74``), a dict lookup F6 (``extraction.py:85-94``,
+handled as a broadcast join in ``operators.joins``), synthetic ids F7
+(``transformation.py:92``) and date literals F8. Everything here is a
+built-in-``F`` composition — JVM-side, whole-stage-codegen'd, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def weekday_name(col: Column | str) -> Column:
+    """F5: full weekday name, ``date_format(c, 'EEEE')``
+    (``transformation.py:74``). Locale-stable under the engine's UTC
+    session; DuckDB oracle equivalent is ``dayname()`` / ``strftime('%A')``."""
+    return F.date_format(col, "EEEE")
+
+
+def stable_id(*key_cols: Column | str, sep: str = "\x1f") -> Column:
+    """F7 replacement: deterministic 64-bit id from the natural key.
+
+    The reference keys the warehouse on ``monotonically_increasing_id()``
+    (``transformation.py:92``), which is partition-layout-dependent and
+    unstable across runs — it breaks the NOT-EXISTS dedup it feeds
+    (SURVEY.md §4.2.6). ``xxhash64`` over the natural key is stable
+    under any partitioning, shuffle, or rerun, which is what a 100 TB
+    incremental merge needs.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(sep))
+        parts.append(c.cast("string"))
+    return F.xxhash64(F.concat_ws("", *parts))
+
+
+def portable_id(*key_cols: Column | str, sep: str = "\x1f") -> Column:
+    """Like :func:`stable_id` but md5-based, so an ANSI-SQL oracle
+    (DuckDB ``md5``) can reproduce it bit-for-bit for correctness
+    checks. Hex string, 128-bit."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return F.md5(F.concat_ws(sep, *[c.cast("string") for c in cols]))
+
+
+def calendar_columns(date_col: Column | str) -> dict[str, Column]:
+    """F1-F5 as one column map (``transformation.py:70-74``): pass to
+    ``df.withColumns`` for a single projection instead of the
+    reference's chained ``withColumn`` loop (SURVEY.md §4.1)."""
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    return {
+        "Year": F.year(c),
+        "Month": F.month(c),
+        "Day": F.dayofmonth(c),
+        "Quarter": F.quarter(c),
+        "Weekday": weekday_name(c),
+    }

@@ -1,0 +1,376 @@
+"""Deduplication operators (SURVEY.md §2.7 D1, §7.5 extensions).
+
+Reference surface: keyed keep-latest dedup
+(``drop_duplicates(subset=['Date','Ticker'], keep='last')``,
+``extraction.py:105``). ``keep='last'`` means "newest batch wins", which
+Spark's ``dropDuplicates`` cannot express (it keeps an *arbitrary* row)
+— the engine makes the ordering explicit with a ``row_number`` window
+(SURVEY.md §7.4).
+
+Extension surface (BASELINE.json north star — LLM training-data
+pipeline dedup at 100 TB):
+
+- exact dedup by content hash (one shuffle on a 128-bit key);
+- MinHash + LSH near-dup (shingle → minhash signature → banded
+  bucket-join), all built-in higher-order functions — zero Python UDFs,
+  the signature computation is row-local (no shuffle), only the
+  band-bucket join shuffles, and it shuffles 16-byte keys rather than
+  documents;
+- SimHash near-dup (row-local 64-bit signature via
+  ``aggregate``/``zip_with``, banded candidate join, ``bit_count``
+  Hamming verify);
+- n-gram Jaccard verification used by both candidate generators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Keyed dedup (reference core)
+# ---------------------------------------------------------------------------
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    descending: bool = True,
+) -> DataFrame:
+    """D1: one row per ``keys``, the row that sorts first by ``order_by``
+    (descending by default = newest wins, the semantics of
+    ``extraction.py:105``'s ``keep='last'`` after appending the new
+    batch below the old).
+
+    One shuffle on ``keys``; at scale the window runs partition-local
+    after the exchange, and AQE handles skewed keys.
+    """
+    ordering = [
+        F.col(c).desc() if descending else F.col(c).asc() for c in order_by
+    ]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact content dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the lowest-``id_col`` row per content hash.
+
+    Hashes the (optionally whitespace/case-normalized) content columns to
+    a 128-bit md5 and keeps one representative per hash — the min-id
+    window avoids ``dropDuplicates``'s arbitrary-row semantics and keeps
+    the output deterministic. Shuffles only on the 16-byte digest.
+    """
+    cols = []
+    for c in content_cols:
+        col = F.col(c).cast("string")
+        if normalize:
+            col = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+        cols.append(col)
+    hashed = df.withColumn("__h", F.md5(F.concat_ws("\x1f", *cols)))
+    return keep_latest(hashed, ["__h"], [id_col], descending=False).drop("__h")
+
+
+# ---------------------------------------------------------------------------
+# Shingling / tokenization shared helpers (row-local, no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _tokens(col):
+    """Lowercased word tokens of a text column."""
+    return F.split(F.trim(F.lower(F.regexp_replace(col, r"[^\w\s]", " "))), r"\s+")
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word ``n``-gram shingles of ``text_col`` — the unit set
+    for MinHash / Jaccard. Row-local higher-order functions only."""
+    toks = _tokens(F.col(text_col))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return df.withColumn(out_col, shingles)
+
+
+def jaccard(set_a, set_b):
+    """Column expr: Jaccard similarity of two array columns."""
+    inter = F.size(F.array_intersect(set_a, set_b))
+    union = F.size(F.array_union(set_a, set_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature: for permutation ``i``, ``min(xxhash64(i,
+    shingle))`` over the shingle set. Entirely row-local (``transform`` +
+    ``array_min``), so the 100 TB cost is one scan — no shuffle, no UDF,
+    whole-stage codegen."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(shingle_col), lambda s, i=i: F.xxhash64(F.lit(i), s)
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape (the scale story): signature computation is a narrow map;
+    band hashes explode to ``bands`` rows per doc (16-byte keys); the
+    self-join shuffles only ``(band, band_hash, id)`` triples; candidate
+    pairs are deduped across bands *before* the verify join rehydrates
+    shingle sets. Returns ``(a, b, jaccard_sim)`` with ``a < b``.
+    """
+    rows_per_band = num_hashes // bands
+    base = with_minhash_signature(
+        with_shingles(df.select(id_col, text_col), text_col, n=shingle_n),
+        num_hashes=num_hashes,
+    )
+    banded = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("minhash")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
+        .distinct()
+    )
+    sets = base.select(F.col(id_col).alias("__sid"), "shingles")
+    verified = (
+        candidates.join(sets.alias("sa"), F.col("a") == F.col("sa.__sid"))
+        .join(sets.alias("sb"), F.col("b") == F.col("sb.__sid"))
+        .select(
+            "a",
+            "b",
+            jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias(
+                "jaccard_sim"
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= min_jaccard)
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """Near-dedup: drop every doc that is a near-duplicate of a
+    lower-id doc (greedy keep-first by id — at scale this is the
+    standard one-pass LSH dedup; full transitive clustering would need
+    connected components, out of scope for a dedup sweep)."""
+    dupes = (
+        minhash_lsh_pairs(
+            df, id_col, text_col, min_jaccard=min_jaccard, **kwargs
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dupes, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash, computed row-locally with ``aggregate`` /
+    ``zip_with`` over the token array (no shuffle, no UDF): each token
+    votes ±1 per bit position from its xxhash64; the signature takes the
+    sign of each bit's vote sum."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        toks,
+        F.transform(bit_idx, lambda b: F.lit(0).cast("long")),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda b: F.when(
+                    F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.withColumn(out_col, sig)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into ``bands``
+    16-bit chunks (pigeonhole: any pair within Hamming distance
+    ``bands-1`` shares an exact chunk), bucket-join on chunks, verify
+    with ``bit_count(a XOR b) <= max_hamming``. Returns
+    ``(a, b, hamming)`` with ``a < b``."""
+    width = 64 // bands
+    base = with_simhash(df.select(id_col, text_col), text_col)
+    banded = base.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("a"),
+            F.col("r.__id").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, SQL-expressible — the oracle-checkable dedup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
+    shingle: explode distinct shingles, self-join on shingle (inverted
+    index — the join shuffles (shingle, id) pairs, not documents), count
+    intersections, derive the union from per-doc set sizes. Exact and
+    ANSI-SQL-expressible, so it doubles as the DuckDB oracle for the
+    approximate paths. Returns ``(a, b, jaccard_sim)``, ``a < b``."""
+    sets = with_shingles(df.select(id_col, text_col), text_col, n=n).select(
+        F.col(id_col).alias("__id"),
+        F.col("shingles"),
+        F.size("shingles").alias("set_size"),
+    )
+    inverted = sets.select("__id", "set_size", F.explode("shingles").alias("sh"))
+    a = inverted.alias("a")
+    b = inverted.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("a"),
+            F.col("b.__id").alias("b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return inter.select(
+        "a",
+        "b",
+        (
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        ).alias("jaccard_sim"),
+    ).filter(F.col("jaccard_sim") >= min_jaccard)

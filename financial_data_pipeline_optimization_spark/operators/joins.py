@@ -1,0 +1,179 @@
+"""Join operators (SURVEY.md §2.6) plus the join suite the reference lacks.
+
+Reference surface: J1, the anti-join upsert — the only join in the
+system, and it runs *inside PostgreSQL* as ``NOT EXISTS``
+(``loading.py:159-169``); and J2, the ticker→company dict lookup
+(``extraction.py:85-94``), which is a broadcast join against a bounded
+dim. The engine internalizes J1 (Spark left-anti, Catalyst picks
+broadcast/SMJ) and generalizes J2.
+
+Engine additions (SURVEY.md §7.3): as-of join and range join — Spark has
+no native primitives for either, so they are expressed as compositions
+(union + window for as-of; bucketized equi-join for range) that keep the
+work distributed and bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anti_join_upsert(
+    target: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """J1: append-only upsert — rows of ``new`` whose key is absent from
+    ``target``, unioned onto ``target`` (the reference's staging-table
+    ``NOT EXISTS`` insert, ``loading.py:159-178``, without the staging
+    table or the second DB round-trip).
+
+    Catalyst plans the anti join as broadcast when ``new``'s key set is
+    small; at warehouse scale this is the MERGE-on-key pattern and the
+    target side only needs its key columns scanned (column pruning).
+    """
+    fresh = new.join(target.select(*keys), on=list(keys), how="left_anti")
+    return target.unionByName(fresh)
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """J2/F6: enrich a fact table from a bounded dimension via an
+    explicit broadcast join (the reference's in-driver dict ``.map``;
+    null for unmatched keys reproduces its NaN semantics)."""
+    on_expr = list(on) if isinstance(on, Sequence) and not isinstance(on, str) else on
+    return fact.join(F.broadcast(dim), on=on_expr, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward'
+    = least ``right_ts`` >= ``left_ts``) within the same ``on`` keys.
+
+    Implementation is the union-tag-window composition (no per-group
+    pandas, no cross product): tag both sides, union by key, sort within
+    key by time, carry the last-seen right row forward with
+    ``last(ignorenulls)`` over an unbounded-preceding window, keep left
+    rows. One shuffle on ``on`` — the same exchange a plain equi-join
+    would need, so it scales like a sort-merge join.
+
+    Right columns (except keys/ts) are struct-packed and re-expanded;
+    name collisions with left are suffixed ``_right``.
+    """
+    keys = list(on)
+    rcols = [c for c in right.columns if c not in keys and c != right_ts]
+    packed = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.struct(
+            F.col(right_ts).alias(right_ts),
+            *[F.col(c) for c in rcols],
+        ).alias("__r"),
+    ).withColumn("__side", F.lit(1))
+    lhs = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__side", F.lit(0)
+    ).withColumn("__r", F.lit(None).cast(packed.schema["__r"].dataType))
+    unioned = lhs.select(
+        *left.columns, "__t", "__side", "__r"
+    ).unionByName(
+        packed.select(
+            *keys,
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+              for c in left.columns if c not in keys],
+            "__t",
+            "__side",
+            "__r",
+        )
+    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = F.last("__r", ignorenulls=True).over(w)
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = F.last("__r", ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"unknown direction: {direction!r}")
+    out = (
+        unioned.withColumn("__m", carried)
+        .filter(F.col("__side") == 0)
+        .select(
+            *left.columns,
+            F.col("__m")[right_ts].alias(
+                right_ts if right_ts not in left.columns else f"{right_ts}_right"
+            ),
+            *[
+                F.col("__m")[c].alias(
+                    c if c not in left.columns else f"{c}_right"
+                )
+                for c in rcols
+            ],
+        )
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    range_start: str,
+    range_end: str,
+    on: Sequence[str] | None = None,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Range (interval) join: pair left rows whose ``left_ts`` falls in
+    ``[range_start, range_end]`` of right rows, optionally also matching
+    equi-keys ``on``.
+
+    A naive theta-join is a broadcast-nested-loop (O(n·m) — dead at
+    scale). The engine bucketizes time into ``bucket``-wide cells,
+    explodes each right interval to the cells it covers, and equi-joins
+    on (keys, cell) before the exact range filter — shuffle cost is
+    O(rows × cells/interval), and Catalyst keeps the post-join filter.
+    Intervals much longer than ``bucket`` multiply the explode factor;
+    pick ``bucket`` ≈ median interval length.
+    """
+    keys = list(on or [])
+    cell = lambda c: F.window(F.col(c), bucket).getField("start")  # noqa: E731
+    lhs = left.withColumn("__cell", cell(left_ts))
+    rhs = right.withColumn(
+        "__cells",
+        F.sequence(
+            cell(range_start),
+            cell(range_end),
+            F.expr(f"interval {bucket}"),
+        ),
+    ).withColumn("__cell", F.explode("__cells")).drop("__cells")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
+        F.col("l.__cell") == F.col("r.__cell"),
+        F.col(f"l.{left_ts}") >= F.col(f"r.{range_start}"),
+        F.col(f"l.{left_ts}") <= F.col(f"r.{range_end}"),
+    ]
+    joined = lhs.alias("l").join(rhs.alias("r"), cond, "inner")
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rcols = [
+        F.col(f"r.{c}").alias(c if c not in left.columns else f"{c}_right")
+        for c in right.columns
+        if c not in keys
+    ]
+    return joined.select(*lcols, *rcols)
