@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the engine's headline queries on local[$SPARK_GRAFT_CPUS] and
+prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Methodology: one warm SparkSession (JVM startup excluded — it is
+constant overhead, not query cost); per-query wall time measured around
+a full action. Queries that return small results use ``collect``;
+large-result queries use a count-ish action so the driver isn't the
+bottleneck being measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from financial_data_pipeline_optimization_spark import get_spark
+from financial_data_pipeline_optimization_spark import queries as q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries: the flagship plus the heaviest representatives of
+#: each operator family (join+agg+window, full-scan agg, window, dedup,
+#: star join, set op). Names must exist in the registry.
+HEADLINE = [
+    "flagship_monthly_segment_revenue",
+    "group_agg_pricing_summary",
+    "star_join_revenue_by_region",
+    "dedup_keep_latest",
+    "window_moving_avg",
+    "upsert_merge",
+    "cube_status_priority",
+]
+
+
+def _sf_label(path: str) -> float:
+    name = Path(path).name
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="fdpo-bench")
+    specs = {s.name: s for s in q.registry()}
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + file listing once so the first measured query
+    # doesn't pay one-time costs.
+    specs[HEADLINE[0]].spark(spark, SF_DIR).limit(1).collect()
+
+    for name in HEADLINE:
+        spec = specs[name]
+        start = time.perf_counter()
+        df = spec.spark(spark, SF_DIR)
+        # Force full execution without driver-side materialization cost:
+        # write nothing, but evaluate every row.
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -247,34 +247,35 @@ def with_simhash(
     votes ±1 per bit position from its xxhash64; the signature takes the
     sign of each bit's vote sum."""
     toks = F.array_distinct(_tokens(F.col(text_col)))
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    # Bit positions are Python-side literals because shiftleft/shiftright
+    # take an int, not a Column; the 64-wide expressions stay JVM-side.
     votes = F.aggregate(
         toks,
-        F.transform(bit_idx, lambda b: F.lit(0).cast("long")),
+        F.array(*[F.lit(0).cast("long") for _ in range(64)]),
         lambda acc, tok: F.zip_with(
             acc,
-            F.transform(
-                bit_idx,
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for b in range(64)
+                ]
             ),
             lambda a, v: a + v,
         ),
     )
-    sig = F.aggregate(
-        F.zip_with(
-            votes,
-            bit_idx,
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return df.withColumn(out_col, sig)
+    sig = F.lit(0).cast("long")
+    packed = df.withColumn("__votes", votes)
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col("__votes")[b] > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return packed.withColumn(out_col, sig).drop("__votes")
 
 
 def simhash_pairs(

@@ -132,6 +132,24 @@ def asof_join(
     return out
 
 
+_INTERVAL_UNITS_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def _interval_micros(spec: str) -> int:
+    """Parse ``'N unit'`` (e.g. ``'1 hour'``) to microseconds."""
+    n, unit = spec.strip().split()
+    return int(n) * _INTERVAL_UNITS_US[unit.lower()]
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -154,15 +172,20 @@ def range_join(
     pick ``bucket`` ≈ median interval length.
     """
     keys = list(on or [])
-    cell = lambda c: F.window(F.col(c), bucket).getField("start")  # noqa: E731
+    bucket_us = _interval_micros(bucket)
+
+    def cell(c: str):
+        # Arithmetic bucketing (epoch-µs floor division) rather than
+        # F.window(): Spark allows only one window expression per
+        # projection, and this needs two (range start + end).
+        return F.unix_micros(F.col(c)) - (
+            F.unix_micros(F.col(c)) % F.lit(bucket_us)
+        )
+
     lhs = left.withColumn("__cell", cell(left_ts))
     rhs = right.withColumn(
         "__cells",
-        F.sequence(
-            cell(range_start),
-            cell(range_end),
-            F.expr(f"interval {bucket}"),
-        ),
+        F.sequence(cell(range_start), cell(range_end), F.lit(bucket_us)),
     ).withColumn("__cell", F.explode("__cells")).drop("__cells")
     cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
         F.col("l.__cell") == F.col("r.__cell"),

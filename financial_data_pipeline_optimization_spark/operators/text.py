@@ -1,0 +1,131 @@
+"""Text-analysis operators (BASELINE.json north star: LLM-pipeline text ops).
+
+All built-in JVM expressions (regexp, higher-order array functions) —
+no Python in the hot path, every operator is a narrow per-row map that
+scales linearly with input and never shuffles. Tokenization is shared
+with ``operators.dedup`` so dedup and analysis agree on token
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Per-language marker stopwords for the n-gram/stopword language-ID
+#: heuristic. Deliberately tiny and deterministic — a real deployment
+#: would swap in fastText/CLD3 via a Pandas UDF (same plumbing).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "las", "es", "y", "en"),
+    "fr": ("le", "la", "les", "et", "est", "dans"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word tokens: strip non-word chars, split on whitespace.
+    Mirrors ``operators.dedup._tokens`` and the DuckDB oracle's
+    ``string_split_regex(trim(regexp_replace(lower(x), '[^a-z0-9\\s]',
+    ' ', 'g')), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Quality-scoring statistics: char/token counts, type-token ratio,
+    punctuation density, mean token length — the standard cheap quality
+    signals for corpus filtering."""
+    toks = tokens(text_col)
+    c = F.col(text_col)
+    n_tokens = F.size(toks)
+    return df.withColumns(
+        {
+            "n_chars_text": F.length(c),
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+            "n_punct": F.regexp_count(c, F.lit(r"[^\w\s]")),
+            "mean_token_len": F.floor(
+                (F.length(F.concat_ws("", toks)) / n_tokens) * 10000
+                + F.lit(0.5000005)
+            )
+            / 10000,
+        }
+    )
+
+
+def with_token_count(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "n_bpe_ish_tokens",
+    pattern: str = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]",
+) -> DataFrame:
+    """BPE-ish token counting: letter runs, single digits, and isolated
+    punctuation each count as one token — a cheap JVM-side proxy for a
+    real tokenizer's token count (the standard budget estimator)."""
+    return df.withColumn(
+        out_col, F.regexp_count(F.col(text_col), F.lit(pattern))
+    )
+
+
+def with_lang_id(
+    df: DataFrame, text_col: str, out_col: str = "lang_pred"
+) -> DataFrame:
+    """Stopword-overlap language ID: score each language by how many of
+    its marker stopwords occur in the distinct-token set; argmax wins,
+    ties and zero-score fall back to 'und'. Deterministic and
+    SQL-expressible (the oracle mirrors it with ``list_intersect``)."""
+    tok_set = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(tok_set, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    # Deterministic argmax: iterate languages in sorted order; strictly
+    # greater wins, so earlier (alphabetical) languages win ties.
+    langs = sorted(scores)
+    best_score = scores[langs[0]]
+    best = F.lit(langs[0])
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.withColumn(
+        out_col, F.when(best_score > 0, best).otherwise(F.lit("und"))
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "fingerprint"
+) -> DataFrame:
+    """Document fingerprint: md5 of the canonicalized text (lowercase,
+    punctuation stripped, whitespace collapsed) — the exact-dedup key
+    that survives formatting differences. md5 keeps it oracle-portable;
+    xxhash64 would be the cheaper production choice."""
+    canon = F.concat_ws(" ", tokens(text_col))
+    return df.withColumn(out_col, F.md5(canon))
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.3,
+    min_ttr: float = 0.1,
+) -> DataFrame:
+    """Composite corpus-quality filter over the text-stats signals;
+    narrow (filter pushes into the scan where possible)."""
+    stats = with_text_stats(df, text_col)
+    return (
+        stats.filter(F.col("n_tokens") >= min_tokens)
+        .filter(F.col("n_punct") / F.col("n_chars_text") <= max_punct_ratio)
+        .filter(
+            F.col("n_distinct_tokens") / F.col("n_tokens") >= min_ttr
+        )
+        .select(*df.columns)
+    )

@@ -1,0 +1,305 @@
+"""Vector similarity-search operators (BASELINE.json north star).
+
+Embeddings are ``array<float>`` columns. Distance math uses Spark's
+higher-order functions (``zip_with`` + ``aggregate``) — JVM-side, no
+Python, computed in double precision so the DuckDB oracle
+(``list_cosine_similarity`` over ``DOUBLE[]``) reproduces results
+bit-for-bit.
+
+Scale design:
+
+- ``brute_force_topk``: exact k-NN — broadcast the (small) query set
+  against the full corpus; one scan, no shuffle of the corpus, per-row
+  work O(q·d). The correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH — signature computation is a
+  narrow map; candidate generation is an equi-join on bucket ids
+  (shuffles 8-byte keys, not vectors); exact re-rank only within
+  buckets. The 100 TB path: cost ~ O(rows·planes·d) map + a
+  key-balanced shuffle.
+- ``ivf_topk``: inverted-file ANN — deterministic centroids, cells
+  assigned per-row, probes the ``nprobe`` nearest cells only.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric array columns (double accumulation,
+    sequential order — matches DuckDB's loop for oracle parity)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast ``queries`` (must be small — a
+    bounded query batch), score every corpus row, keep k per query by
+    ``row_number`` (ties broken by corpus id → deterministic output).
+
+    Returns ``(query_id, neighbor_id, rank, cosine_sim)``.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_similarity(F.col(vec_col), F.col("__qv")).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic unit-ish random hyperplanes (driver-side constants;
+    num_planes × dim floats — a few KB broadcast into the plan)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(num_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id: sign bit per plane packed into a
+    long. Narrow map, no shuffle; cosine-similar vectors collide with
+    probability (1 - θ/π)^planes."""
+    planes = _hyperplanes(num_planes, dim, seed)
+    v = _to_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket both sides with the same
+    hyperplanes, equi-join on bucket, exact re-rank within buckets.
+
+    Multi-probe (``multiprobe_bits=1``): each query also probes every
+    bucket at Hamming distance 1 from its own — the standard recall
+    boost that costs ``num_planes`` extra probe keys per query (cheap:
+    the probe list is query-side, the corpus is never duplicated).
+    Shuffles only (bucket, id, vector) for matching buckets — at 100 TB
+    the join key balance is the thing to watch (AQE skew-join handles
+    hot buckets); ``num_planes`` should grow with log2(corpus/target
+    bucket size)."""
+    bc = with_lsh_bucket(corpus, vec_col, num_planes, dim, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "lsh_bucket",
+    )
+    bq0 = with_lsh_bucket(queries, vec_col, num_planes, dim, seed).select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        "lsh_bucket",
+    )
+    if multiprobe_bits >= 1:
+        probes = [F.col("lsh_bucket")] + [
+            F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(num_planes)
+        ]
+        bq = bq0.withColumn(
+            "lsh_bucket", F.explode(F.array(*probes))
+        )
+    else:
+        bq = bq0
+    scored = (
+        bc.join(F.broadcast(bq), "lsh_bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias(
+                "cosine_sim"
+            ),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: centroids are the ``num_centroids`` lowest-id
+    corpus vectors (deterministic; production would run k-means — the
+    assignment plumbing is identical). Every corpus row is assigned to
+    its nearest centroid (narrow map over a broadcast centroid array);
+    each query probes its ``nprobe`` nearest cells and re-ranks exactly
+    within them. Corpus-side cost is one scan + a bucket-keyed join."""
+    centroids = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("__centroid")
+        )
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .crossJoin(centroids)
+        .withColumn(
+            "__sim", cosine_similarity(F.col(vec_col), F.col("__centroid"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__sim").desc(), F.col("cell")
+    )
+    cells = (
+        assigned.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", F.col(vec_col).alias("__cv"), "cell")
+    )
+    q_probe = (
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+        )
+        .crossJoin(centroids)
+        .withColumn(
+            "__sim", cosine_similarity(F.col("__qv"), F.col("__centroid"))
+        )
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("cell")
+    )
+    probes = (
+        q_probe.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qv", "cell")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus,
+    compare only within buckets (plus the all-pairs fallback is what
+    this avoids), keep pairs above ``threshold``. Returns
+    ``(a, b, cosine_sim)`` with a < b."""
+    b = with_lsh_bucket(df, vec_col, num_planes, dim, seed).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "lsh_bucket"
+    )
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.lsh_bucket") == F.col("y.lsh_bucket"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("a"),
+            F.col("y.__id").alias("b"),
+            cosine_similarity(F.col("x.__v"), F.col("y.__v")).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return pairs

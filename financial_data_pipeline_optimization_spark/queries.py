@@ -669,3 +669,545 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ===========================================================================
+# Events: JSON, temporal windows, as-of / range joins, sessionization
+# (SURVEY.md §7.3 scalar extensions + §7.5 streaming batch-twins)
+# ===========================================================================
+
+
+@_register(
+    "json_extract_agg",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           floor(SUM(value)*100 + 0.50005)/100 AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON prop extraction (from_json / get_json_object on "
+    "events.props) + aggregation.",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k_bucket",
+            (F.get_json_object("props", "$.k").cast("int") % 10),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            _r2(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "tumbling_window_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           floor(SUM(value)*100 + 0.50005)/100 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregate over events.ts — the batch "
+    "twin of the streaming groupBy(window(...)) (SURVEY §7.4).",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _r2(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "sliding_window_agg",
+    """
+    WITH assigned AS (
+      SELECT e.value,
+             unnest([time_bucket(INTERVAL '30 minutes', e.ts),
+                     time_bucket(INTERVAL '30 minutes', e.ts)
+                       - INTERVAL '30 minutes']) AS window_start
+      FROM events e
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           floor(SUM(value)*100 + 0.50005)/100 AS total_value
+    FROM assigned
+    GROUP BY 1
+    """,
+    doc="Sliding window (1 h length, 30 min slide): each event lands in "
+    "2 windows; oracle assigns the two covering starts explicitly.",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes")
+            .getField("start")
+            .alias("window_start")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _r2(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "session_window_agg",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30-min inactivity gap) via lag + cumulative "
+    "sum — the batch twin of session_window(ts, '30 minutes').",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    lag_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        lag_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id", "session_id", "session_start", "session_end", "n_events"
+        )
+    )
+
+
+@_register(
+    "asof_join_last_view",
+    """
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         views AS (
+           SELECT user_id, ts, value FROM events
+           WHERE event_type = 'view'
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) = 1
+         )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS ts_right, r.value AS value_right
+    FROM clicks l ASOF LEFT JOIN views r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join (operators.joins.asof_join: union+window, one "
+    "shuffle): each click matched to the user's latest view at-or-before "
+    "it; DuckDB's native ASOF JOIN is the oracle.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = dedup.keep_latest(
+        events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+    ).drop("event_id")
+    return joins.asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts"
+    ).withColumnRenamed("value", "value_right")
+
+
+@_register(
+    "range_join_followers",
+    """
+    SELECT a.event_id, CAST(COUNT(*) AS BIGINT) AS n_follow
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '1 hour'
+    GROUP BY a.event_id
+    """,
+    doc="Range join (operators.joins.range_join: bucketized equi-join, "
+    "no nested loop): events of the same user within the hour after "
+    "each event.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts")
+    right = (
+        events.select("event_id", "user_id", "ts")
+        .withColumn("range_start", F.col("ts"))
+        .withColumn("range_end", F.col("ts") + F.expr("interval 1 hour"))
+    )
+    paired = joins.range_join(
+        left,
+        right,
+        left_ts="ts",
+        range_start="range_start",
+        range_end="range_end",
+        on=["user_id"],
+        bucket="1 hour",
+    )
+    return (
+        paired.filter(F.col("ts") > F.col("ts_right"))
+        .groupBy(F.col("event_id_right").alias("event_id"))
+        .agg(F.count("*").alias("n_follow"))
+    )
+
+
+# ===========================================================================
+# Text analysis (extension surface; operators.text)
+# ===========================================================================
+
+_ORACLE_TOKENS = (
+    "string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9\\s]', ' ', 'g')), '\\s+')"
+)
+
+
+@_register(
+    "text_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_ORACLE_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_text,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+           floor(length(array_to_string(t, ''))/len(t)*10000
+                 + 0.5000005)/10000 AS mean_token_len
+    FROM toks
+    """,
+    doc="Text quality statistics (operators.text.with_text_stats).",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_text_stats(docs, "text").select(
+        "doc_id",
+        "n_chars_text",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_punct",
+        "mean_token_len",
+    )
+
+
+@_register(
+    "token_count_bpe_ish",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT)
+             AS n_bpe_ish_tokens
+    FROM documents
+    """,
+    doc="BPE-ish regex token counting (operators.text.with_token_count).",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_token_count(docs, "text").select(
+        "doc_id", "n_bpe_ish_tokens"
+    )
+
+
+@_register(
+    "lang_id_heuristic",
+    None,  # set below after LANG_MARKERS import to build the SQL
+    doc="Stopword-overlap language ID (operators.text.with_lang_id).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def _lang_id_oracle() -> str:
+    from financial_data_pipeline_optimization_spark.operators.text import LANG_MARKERS
+
+    unions = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        unions.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_intersect(ts, [{markers}])) AS sc FROM toks"
+        )
+    union_sql = "\n      UNION ALL ".join(unions)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_ORACLE_TOKENS}) AS ts FROM documents
+    ),
+    scores AS (
+      {union_sql}
+    ),
+    best AS (
+      SELECT doc_id, lang, sc,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY sc DESC, lang) AS rn
+      FROM scores
+    )
+    SELECT doc_id,
+           CASE WHEN sc > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM best WHERE rn = 1
+    """
+
+
+# patch the registered spec with the generated oracle
+for _i, _s in enumerate(_REGISTRY):
+    if _s.name == "lang_id_heuristic":
+        _REGISTRY[_i] = QuerySpec(_s.name, _s.spark, _lang_id_oracle(), _s.doc)
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string({_ORACLE_TOKENS}, ' ')) AS fingerprint
+    FROM documents
+    """,
+    doc="Canonicalizing document fingerprint (operators.text.with_fingerprint).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.with_fingerprint(docs, "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@_register(
+    "quality_filter",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             length(text) AS nc,
+             len({_ORACLE_TOKENS}) AS nt,
+             len(list_distinct({_ORACLE_TOKENS})) AS nd,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS np
+      FROM documents
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM stats
+    WHERE nt >= 20 AND CAST(np AS DOUBLE)/nc <= 0.3
+      AND CAST(nd AS DOUBLE)/nt >= 0.1
+    """,
+    doc="Composite corpus-quality filter (operators.text.quality_filter).",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.quality_filter(docs, "text")
+
+
+# ===========================================================================
+# Deduplication extensions (operators.dedup) on documents
+# ===========================================================================
+
+
+@_register(
+    "exact_dedup_docs",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Exact content dedup by normalized md5 (operators.dedup.exact_dedup).",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "n_chars"
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) AS jaccard_sim
+    FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8
+    """,
+    doc="Exact bigram-Jaccard near-dup pairs via inverted index "
+    "(operators.dedup.ngram_jaccard_pairs) — the exact oracle for the "
+    "MinHash/SimHash approximate paths.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8
+    )
+
+
+@_register(
+    "minhash_lsh_pairs",
+    None,  # xxhash64 has no DuckDB twin; pytest checks recall vs ngram oracle
+    doc="MinHash+LSH near-dup candidate pairs, Jaccard-verified "
+    "(operators.dedup.minhash_lsh_pairs). Rows-only driver check; exact "
+    "recall invariant tested in tests/test_dedup.py.",
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8
+    )
+
+
+@_register(
+    "simhash_pairs",
+    None,
+    doc="SimHash banded near-dup pairs (operators.dedup.simhash_pairs). "
+    "Rows-only driver check; Hamming invariant tested in pytest.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ===========================================================================
+# Similarity search (operators.vector) on embeddings
+# ===========================================================================
+
+
+@_register(
+    "knn_brute_force",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  list_cosine_similarity(ce, qe) AS sim
+           FROM c, q WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS knn_rank,
+           floor(sim*10000 + 0.5000005)/10000 AS cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Exact cosine top-k over embeddings (operators.vector."
+    "brute_force_topk): broadcast query batch, one corpus scan.",
+)
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    out = vector.brute_force_topk(emb, queries_df, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("knn_rank"),
+        _r4(F.col("cosine_sim")).alias("cosine_sim"),
+    )
+
+
+@_register(
+    "knn_lsh",
+    None,  # approximate: recall-vs-brute-force tested in pytest
+    doc="LSH-bucketed approximate top-k (operators.vector.lsh_topk). "
+    "Rows-only driver check; recall invariant in tests/test_vector.py.",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return vector.lsh_topk(emb, queries_df, k=5, num_planes=4)
+
+
+@_register(
+    "knn_ivf",
+    None,
+    doc="IVF-style approximate top-k (operators.vector.ivf_topk). "
+    "Rows-only driver check; recall invariant in tests/test_vector.py.",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return vector.ivf_topk(emb, queries_df, k=5)
+
+
+@_register(
+    "embedding_near_dup",
+    None,
+    doc="Embedding-cosine near-duplicate pairs via LSH blocking "
+    "(operators.vector.embedding_near_dup_pairs). Rows-only check.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector.embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+@_register(
+    "approx_aggregates",
+    None,  # approximate by definition; driver rows-only check
+    doc="approx_count_distinct + percentile_approx (sketch aggregates; "
+    "exactness bounds tested in pytest).",
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+    )

@@ -84,7 +84,24 @@ def load_table(
     name: str,
     columns: Iterable[str] | None = None,
 ) -> DataFrame:
-    """Load one driver test table, broadcast-hinted if it is a bounded dim."""
+    """Load one driver test table, broadcast-hinted if it is a bounded dim.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects outright; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it reads as nanosecond longs, which we floor-convert to microsecond
+    timestamps (exactly what DuckDB/pandas report back to the comparator,
+    since Python datetimes are µs-precision).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if columns is not None:
+            df = df.select(*columns)
+        return df
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet", columns)
     if name in schemas.BROADCASTABLE_DIMS:
         df = F.broadcast(df)

