@@ -1211,3 +1211,24 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
     )
+
+
+# ===========================================================================
+# Multimodal plumbing (operators.multimodal) — binary columns + features
+# ===========================================================================
+
+
+@_register(
+    "multimodal_features",
+    None,  # binary/mapInPandas path has no SQL twin; invariants in pytest
+    doc="Binary-asset decode + featurize via mapInPandas with the "
+    "deterministic fake codec (operators.multimodal.extract_features). "
+    "Rows-only driver check; byte-level invariants in "
+    "tests/test_multimodal.py.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_assets(docs, "doc_id", "text")
+    return multimodal.extract_features(assets)

@@ -1,0 +1,28 @@
+"""Structured Streaming surface (SURVEY.md §2.10, §7.5).
+
+The reference simulates incrementality with batch re-runs, flag files
+and a staging-table merge (``extraction.py:11,40-49``;
+``loading.py:127-169``). This package is the streaming-native
+re-expression: watermarked windows, streaming dedup by key, and an
+idempotent ``foreachBatch`` merge sink. Every aggregation op has a
+batch twin in ``queries.py`` so the DuckDB oracle can validate the
+semantics (SURVEY.md §7.4).
+"""
+
+from financial_data_pipeline_optimization_spark.streaming.ops import (
+    foreach_batch_upsert,
+    read_stream_parquet,
+    sessionized_counts,
+    sliding_counts,
+    stream_dedup_by_key,
+    tumbling_counts,
+)
+
+__all__ = [
+    "foreach_batch_upsert",
+    "read_stream_parquet",
+    "sessionized_counts",
+    "sliding_counts",
+    "stream_dedup_by_key",
+    "tumbling_counts",
+]

@@ -1,0 +1,152 @@
+"""Streaming operators: watermarked windows, keyed dedup, merge sink.
+
+Design (SURVEY.md §2.10): the reference's whole incremental story —
+first-run flag (I1), at-least-once ingestion with key dedup (I2), cron
+re-runs (I3) — maps onto Structured Streaming as:
+
+- backfill = ``Trigger.AvailableNow`` over the landed files;
+- keyed dedup = ``withWatermark`` + ``dropDuplicates`` (bounded state);
+- the staging-table NOT-EXISTS merge = idempotent ``foreachBatch``
+  anti-join append (exactly-once-ish per epoch).
+
+State size is the 100 TB concern: every stateful op here declares a
+watermark so Spark can evict state; an unwatermarked streaming dedup
+or window agg grows without bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the streaming analog
+    of the reference's poll-for-new-CSV loop, ``extraction.py:46-49``).
+    Explicit schema is mandatory for streaming reads."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — batch twin:
+    ``queries.q_tumbling_window``. Late rows beyond ``watermark`` are
+    dropped and window state is evicted past it."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *group_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.col("window").getField("start").alias("window_start"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked sliding-window aggregate — batch twin:
+    ``queries.q_sliding_window``."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.col("window").getField("start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows with a ``gap`` inactivity timeout
+    (``F.session_window``) — batch twin: ``queries.q_session_window``
+    (lag + cumulative-sum formulation of the same semantics)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window").getField("start").alias("session_start"),
+            F.col("session_window").getField("end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_by_key(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming keyed dedup — the reference's
+    ``drop_duplicates(subset=['Date','Ticker'])`` (``extraction.py:105``)
+    with bounded state: duplicates arriving within ``watermark`` of each
+    other are dropped; state for older keys is evicted."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [*keys, ts_col]
+    )
+
+
+def foreach_batch_upsert(
+    target_path: str,
+    keys: Sequence[str],
+):
+    """Returns a ``foreachBatch`` function implementing the reference's
+    staging→main NOT-EXISTS merge (``loading.py:159-178``) as an
+    idempotent parquet append: per epoch, anti-join the micro-batch
+    against the target's keys and append only unseen rows. Replayed
+    epochs insert 0 rows — the same rerun-safety the reference gets
+    from its SQL merge (``README.md:79``)."""
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(target_path).select(*keys)
+            fresh = batch_df.join(existing, on=list(keys), how="left_anti")
+        except Exception:
+            # first epoch: target does not exist yet
+            fresh = batch_df
+        fresh.write.mode("append").parquet(target_path)
+
+    return _upsert

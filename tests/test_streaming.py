@@ -1,0 +1,123 @@
+"""Structured Streaming tests: drive each streaming op over the events
+parquet with AvailableNow/memory sinks and check against the batch twin
+computed on the same data (SURVEY.md §7.4's streaming-checkability rule).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_optimization_spark import schemas, streaming
+from financial_data_pipeline_optimization_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_stream_dir(spark):
+    """Copy of events at sf0.001 re-written as µs timestamps so the
+    streaming file source can read it with an explicit schema."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_counts_matches_batch(spark, events_stream_dir):
+    stream = streaming.read_stream_parquet(
+        spark, events_stream_dir, schemas.TESTDATA["events"]
+    )
+    q = _run_to_memory(streaming.tumbling_counts(stream), "tumbling_out")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_counts_stream_runs(spark, events_stream_dir):
+    stream = streaming.read_stream_parquet(
+        spark, events_stream_dir, schemas.TESTDATA["events"]
+    )
+    _run_to_memory(
+        streaming.sessionized_counts(stream), "session_out"
+    )
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert rows
+    assert all(r.session_start <= r.session_end for r in rows)
+    # session count per user must match the batch lag/cumsum twin
+    n_sessions_stream = len(rows)
+    from financial_data_pipeline_optimization_spark import queries as q
+
+    n_sessions_batch = q.q_session_window(spark, SF_SMOKE).count()
+    assert n_sessions_stream == n_sessions_batch
+
+
+def test_stream_dedup_and_upsert_idempotent(spark, events_stream_dir):
+    import os
+
+    target = tempfile.mkdtemp(prefix="upsert_target_")
+    shutil.rmtree(target)  # foreachBatch creates it
+    try:
+        stream = streaming.read_stream_parquet(
+            spark, events_stream_dir, schemas.TESTDATA["events"]
+        )
+        deduped = streaming.stream_dedup_by_key(stream, ["event_id"])
+        sink = streaming.foreach_batch_upsert(target, ["event_id"])
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_events = load_table(spark, SF_SMOKE, "events").count()
+        assert spark.read.parquet(target).count() == n_events
+
+        # replay the same data through a fresh stream -> 0 new rows
+        q2 = (
+            streaming.read_stream_parquet(
+                spark, events_stream_dir, schemas.TESTDATA["events"]
+            )
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ckpt2_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(target).count() == n_events
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+        assert os.path.exists(events_stream_dir)
