@@ -33,10 +33,15 @@ HEADLINE = [
     "flagship_monthly_segment_revenue",
     "group_agg_pricing_summary",
     "star_join_revenue_by_region",
+    "tpch_q3_shipping_priority",
     "dedup_keep_latest",
     "window_moving_avg",
     "upsert_merge",
     "cube_status_priority",
+    "session_window_agg",
+    "range_join_followers",
+    "minhash_lsh_pairs",
+    "knn_brute_force",
 ]
 
 

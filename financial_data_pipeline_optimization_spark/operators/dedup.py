@@ -97,6 +97,16 @@ def _tokens(col):
     return F.split(F.trim(F.lower(F.regexp_replace(col, r"[^\w\s]", " "))), r"\s+")
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to full parallelism before CPU-heavy per-row
+    work. A small parquet file arrives as ONE partition, serializing
+    the signature computation onto a single core; at cluster scale the
+    same call balances skewed file layouts. Keyed by ``key`` so the
+    exchange is deterministic."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key)
+
+
 def with_shingles(
     df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
@@ -132,17 +142,32 @@ def with_minhash_signature(
 ) -> DataFrame:
     """MinHash signature: for permutation ``i``, ``min(xxhash64(i,
     shingle))`` over the shingle set. Entirely row-local (``transform`` +
-    ``array_min``), so the 100 TB cost is one scan — no shuffle, no UDF,
-    whole-stage codegen."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col(shingle_col), lambda s, i=i: F.xxhash64(F.lit(i), s)
-                )
-            )
-            for i in range(num_hashes)
-        ]
+    ``array_min``), so the 100 TB cost is one scan — no shuffle, no UDF.
+
+    Cost shape: each shingle string is xxhash64'd ONCE; the
+    ``num_hashes`` permutations are XORs with fixed random constants
+    (XOR with a constant is a bijection on 64-bit space — a valid
+    permutation family), folded with one ``aggregate`` pass keeping a
+    ``num_hashes``-wide running minimum. The obvious alternatives are
+    slow: per-permutation string re-hashing multiplies the dominant
+    cost 64×, ``num_hashes`` sibling ``array_min(transform(...))``
+    expressions re-traverse the array per permutation, and nesting a
+    lambda inside another lambda's variable forces interpreted
+    evaluation."""
+    import random
+
+    rng = random.Random(0x5EED ^ num_hashes)
+    consts = [rng.getrandbits(63) for _ in range(num_hashes)]
+    max_long = (1 << 63) - 1
+    hashed = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    sig = F.aggregate(
+        hashed,
+        F.array(*[F.lit(max_long).cast("long")] * num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[h.bitwiseXOR(F.lit(c)) for c in consts]),
+            lambda a, x: F.least(a, x),
+        ),
     )
     return df.withColumn(out_col, sig)
 
@@ -166,7 +191,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     base = with_minhash_signature(
-        with_shingles(df.select(id_col, text_col), text_col, n=shingle_n),
+        with_shingles(_spread(df.select(id_col, text_col), id_col), text_col,
+                      n=shingle_n),
         num_hashes=num_hashes,
     )
     banded = base.select(
@@ -240,26 +266,32 @@ def minhash_dedup(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str, out_col: str = "simhash"
+    df: DataFrame, text_col: str, out_col: str = "simhash", shingle_n: int = 2
 ) -> DataFrame:
     """64-bit SimHash, computed row-locally with ``aggregate`` /
-    ``zip_with`` over the token array (no shuffle, no UDF): each token
-    votes ±1 per bit position from its xxhash64; the signature takes the
-    sign of each bit's vote sum."""
-    toks = F.array_distinct(_tokens(F.col(text_col)))
-    # Bit positions are Python-side literals because shiftleft/shiftright
-    # take an int, not a Column; the 64-wide expressions stay JVM-side.
+    ``zip_with`` over the shingle array (no shuffle, no UDF): each
+    ``shingle_n``-gram votes ±1 per bit position from its xxhash64; the
+    signature takes the sign of each bit's vote sum. Shingles rather
+    than unigram tokens: on small-vocabulary corpora unigram token sets
+    are near-identical across documents, which collapses every SimHash
+    into the same bucket and explodes the candidate join."""
+    shingled = with_shingles(
+        df.select("*"), text_col, n=shingle_n, out_col="__sh"
+    )
+    # Each shingle is hashed once (transform), then its 64 vote bits are
+    # bit-shifts of that long. Bit positions are Python-side literals
+    # because shiftleft/shiftright take an int, not a Column; the
+    # 64-wide expressions stay JVM-side.
+    hashed = F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
     votes = F.aggregate(
-        toks,
+        hashed,
         F.array(*[F.lit(0).cast("long") for _ in range(64)]),
-        lambda acc, tok: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1))
-                        == 1,
-                        F.lit(1),
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                     ).otherwise(F.lit(-1))
                     for b in range(64)
                 ]
@@ -268,14 +300,14 @@ def with_simhash(
         ),
     )
     sig = F.lit(0).cast("long")
-    packed = df.withColumn("__votes", votes)
+    packed = shingled.withColumn("__votes", votes)
     for b in range(64):
         sig = sig.bitwiseOR(
             F.when(
                 F.col("__votes")[b] > 0, F.shiftleft(F.lit(1).cast("long"), b)
             ).otherwise(F.lit(0).cast("long"))
         )
-    return packed.withColumn(out_col, sig).drop("__votes")
+    return packed.withColumn(out_col, sig).drop("__votes", "__sh")
 
 
 def simhash_pairs(
@@ -291,7 +323,7 @@ def simhash_pairs(
     with ``bit_count(a XOR b) <= max_hamming``. Returns
     ``(a, b, hamming)`` with ``a < b``."""
     width = 64 // bands
-    base = with_simhash(df.select(id_col, text_col), text_col)
+    base = with_simhash(_spread(df.select(id_col, text_col), id_col), text_col)
     banded = base.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -345,7 +377,9 @@ def ngram_jaccard_pairs(
     intersections, derive the union from per-doc set sizes. Exact and
     ANSI-SQL-expressible, so it doubles as the DuckDB oracle for the
     approximate paths. Returns ``(a, b, jaccard_sim)``, ``a < b``."""
-    sets = with_shingles(df.select(id_col, text_col), text_col, n=n).select(
+    sets = with_shingles(
+        _spread(df.select(id_col, text_col), id_col), text_col, n=n
+    ).select(
         F.col(id_col).alias("__id"),
         F.col("shingles"),
         F.size("shingles").alias("set_size"),
