@@ -108,17 +108,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 
 def with_shingles(
-    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    out_col: str = "shingles",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word ``n``-gram shingles of ``text_col`` — the unit set
-    for MinHash / Jaccard. Row-local higher-order functions only."""
+    """Word ``n``-gram shingles of ``text_col`` — the unit set for
+    MinHash / Jaccard (``distinct=True``, the default) or the raw
+    multiset for frequency statistics (``distinct=False``). Row-local
+    higher-order functions only."""
     toks = _tokens(F.col(text_col))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    if distinct:
+        shingles = F.array_distinct(shingles)
     return df.withColumn(out_col, shingles)
 
 

@@ -200,3 +200,35 @@ def range_join(
         if c not in keys
     ]
     return joined.select(*lcols, *rcols)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: split each hot key of the ``skewed``
+    side across ``salt_factor`` sub-keys and replicate the ``other``
+    side once per sub-key, so one giant key no longer lands on one
+    reducer.
+
+    Salt assignment hashes the skewed row's full tuple (deterministic,
+    no ``rand()`` — replays and retries stay stable). This is the
+    manual fallback for when AQE's runtime skew-join (enabled by the
+    session factory) can't help — e.g. a skewed aggregation feeding a
+    join, or a non-AQE environment. Cost: ``other`` × ``salt_factor``
+    shuffle volume; use only on genuinely skewed keys.
+    """
+    keys = list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor)
+    ).cast("int")
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])),
+    )
+    out = left.join(right, on=[*keys, "__salt"], how=how)
+    return out.drop("__salt")

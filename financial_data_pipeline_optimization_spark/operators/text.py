@@ -129,3 +129,34 @@ def quality_filter(
         )
         .select(*df.columns)
     )
+
+
+def with_winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every ``k``-gram (character shingle), then keep the minimum
+    hash of each sliding ``window`` of consecutive k-gram hashes. The
+    selected set is position-robust: any sufficiently long shared
+    substring between two documents yields a shared fingerprint.
+    Row-local higher-order functions only — one scan, no shuffle."""
+    c = F.col(text_col)
+    n_grams = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.substring(c, i, k)),
+    )
+    windows = F.sequence(
+        F.lit(0), F.greatest(n_grams - window, F.lit(0))
+    )
+    fingerprints = F.array_distinct(
+        F.transform(
+            windows,
+            lambda i: F.array_min(F.slice(gram_hashes, i + 1, window)),
+        )
+    )
+    return df.withColumn(out_col, fingerprints)

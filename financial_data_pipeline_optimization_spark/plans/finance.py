@@ -215,6 +215,14 @@ def load_warehouse(
         )
 
 
+class EmptyBatchError(ValueError):
+    """Raised when a pipeline run receives no input rows — the engine's
+    equivalent of the reference's fail-on-empty guards
+    (``transformation.py:52-54``, ``loading.py:111-113``), using
+    ``isEmpty()`` instead of a full count / RDD round-trip
+    (SURVEY.md §4.2.1-2)."""
+
+
 def run_pipeline(
     new_batch: DataFrame,
     warehouse_path: str,
@@ -226,6 +234,8 @@ def run_pipeline(
     DAG ``dag_script.py:51`` collapsed into a function; any orchestrator
     — or ``Trigger.AvailableNow`` — can drive it). Returns the curated
     DataFrame (lazy; the load is the only action)."""
+    if new_batch.isEmpty():
+        raise EmptyBatchError("pipeline received an empty batch (W1-W3 guard)")
     raw = extract_prices(new_batch, history=history, companies=companies)
     curated = transform_prices(raw)
     load_warehouse(curated, warehouse_path, mode=mode)

@@ -1681,3 +1681,292 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+# ===========================================================================
+# Window-function completeness, HAVING, scalar subqueries, exact
+# percentiles, corpus-level text statistics
+# ===========================================================================
+
+
+@_register(
+    "window_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey) OVER w AS latest_so_far,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic window family: lead, first/last/nth_value (default "
+    "running frame, deterministic unique ordering).",
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("latest_so_far"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+    )
+
+
+@_register(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NTILE(4) OVER w AS INT) AS price_quartile,
+           floor(PERCENT_RANK() OVER w * 10000 + 0.5000005)/10000
+             AS price_pct_rank,
+           floor(CUME_DIST() OVER w * 10000 + 0.5000005)/10000
+             AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution windows: ntile / percent_rank / cume_dist.",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        _r4(F.percent_rank().over(w)).alias("price_pct_rank"),
+        _r4(F.cume_dist().over(w)).alias("price_cume_dist"),
+    )
+
+
+@_register(
+    "window_range_frame",
+    """
+    WITH t AS (SELECT o_custkey, o_orderkey,  o_totalprice,
+                      CAST(date_diff('day', DATE '1995-01-01',
+                                     CAST(o_orderdate AS DATE)) AS INT) AS d
+               FROM orders)
+    SELECT o_custkey, o_orderkey,
+           floor(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)*100 + 0.50005)/100
+             AS spend_30d
+    FROM t
+    """,
+    doc="RANGE-frame window: trailing-30-day spend per customer (value-"
+    "based frame over a day offset, not a row count).",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    return t.select(
+        "o_custkey",
+        "o_orderkey",
+        _r2(F.sum("o_totalprice").over(w)).alias("spend_30d"),
+    )
+
+
+@_register(
+    "having_filter",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           floor(SUM(o_totalprice)*100 + 0.50005)/100 AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8 AND SUM(o_totalprice) > 500000
+    """,
+    doc="Aggregate + HAVING (post-aggregation filter).",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("__spend"),
+        )
+        .filter((F.col("n_orders") >= 8) & (F.col("__spend") > 500000))
+        .select("o_custkey", "n_orders", _r2(F.col("__spend")).alias("total_spend"))
+    )
+
+
+@_register(
+    "scalar_subquery_ratio",
+    """
+    SELECT o_orderkey,
+           floor(o_totalprice / (SELECT AVG(o_totalprice) FROM orders)
+                 *10000 + 0.5000005)/10000 AS price_vs_avg
+    FROM orders
+    """,
+    doc="Scalar subquery: each order's price relative to the global "
+    "average (one extra scan, broadcast scalar).",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               floor(o_totalprice / (SELECT AVG(o_totalprice) FROM v_orders)
+                     *10000 + 0.5000005)/10000 AS price_vs_avg
+        FROM v_orders
+        """
+    )
+
+
+@_register(
+    "exact_percentiles",
+    """
+    SELECT o_orderstatus,
+           floor(quantile_cont(o_totalprice, 0.5)*100 + 0.50005)/100
+             AS median_price,
+           floor(quantile_cont(o_totalprice, 0.9)*100 + 0.50005)/100
+             AS p90_price,
+           floor(MIN(o_totalprice)*100 + 0.50005)/100 AS min_price,
+           floor(MAX(o_totalprice)*100 + 0.50005)/100 AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact percentiles (linear interpolation — Spark percentile() "
+    "and DuckDB quantile_cont agree).",
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            _r2(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+            _r2(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+            _r2(F.min("o_totalprice")).alias("min_price"),
+            _r2(F.max("o_totalprice")).alias("max_price"),
+        )
+    )
+
+
+@_register(
+    "conditional_aggregates",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Conditional aggregates: count_if / bool_and / bool_or / "
+    "distinct count.",
+)
+def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+_ORACLE_TOKENS_D = _ORACLE_TOKENS  # alias for readability below
+
+
+@_register(
+    "corpus_top_bigrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_ORACLE_TOKENS_D} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bigram
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM sh GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus-level n-gram frequency: explode bigrams, count global "
+    "occurrences + document frequency, top-20.",
+)
+def q_corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.with_shingles(
+        docs.select("doc_id", "text"), "text", n=2, out_col="sh",
+        distinct=False,
+    ).select("doc_id", F.explode(F.col("sh")).alias("bigram"))
+    return (
+        sh.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_ORACLE_TOKENS_D}) AS token
+                  FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token,
+           CAST(rn AS INT) AS term_rank,
+           floor(score*10000 + 0.5000005)/10000 AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: term frequencies, document "
+    "frequencies, corpus size as a broadcast scalar — all shuffles on "
+    "(token) / (doc_id, token) keys, never on documents.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "term_rank", _r4(F.col("score")).alias("tfidf"))
+    )

@@ -12,6 +12,7 @@ semantics (SURVEY.md §7.4).
 from financial_data_pipeline_optimization_spark.streaming.ops import (
     foreach_batch_upsert,
     read_stream_parquet,
+    running_counts_stateful,
     sessionized_counts,
     sliding_counts,
     stream_dedup_by_key,
@@ -21,6 +22,7 @@ from financial_data_pipeline_optimization_spark.streaming.ops import (
 __all__ = [
     "foreach_batch_upsert",
     "read_stream_parquet",
+    "running_counts_stateful",
     "sessionized_counts",
     "sliding_counts",
     "stream_dedup_by_key",

@@ -150,3 +150,59 @@ def foreach_batch_upsert(
         fresh.write.mode("append").parquet(target_path)
 
     return _upsert
+
+
+def running_counts_stateful(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running count + sum maintained across micro-batches (the
+    arbitrary-state API — what you reach for when watermarked built-ins
+    can't express the semantics, e.g. custom session logic or online
+    accumulators).
+
+    Emits one row per key per micro-batch with the updated totals.
+    State is a single (count, total) pair per key — O(keys) memory,
+    which is the boundedness argument at scale (keys must be bounded or
+    timeouts must evict; here event_type is a small enum).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def _update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,110 @@
+"""Invariants for winnowing fingerprints, salted joins, and the
+stateful streaming operator."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_optimization_spark import schemas, streaming
+from financial_data_pipeline_optimization_spark.operators import joins, text
+from financial_data_pipeline_optimization_spark.sources import load_table
+
+from .conftest import SF_CORRECTNESS, SF_SMOKE
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a long substring share at
+    least one fingerprint; disjoint documents share none (here: vs a
+    text over a disjoint alphabet)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "SOMETHING the quick brown fox jumps over the lazy dog UNRELATED"),
+        (3, "zzzzzzzz yyyyyyyy xxxxxxxx wwwwwwww vvvvvvvv uuuuuuuu"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in text.with_winnowing_fingerprints(df, "text").collect()
+    }
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3]), "disjoint texts should not collide"
+
+
+def test_winnowing_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {
+        r.doc_id: tuple(r.fingerprints)
+        for r in text.with_winnowing_fingerprints(docs, "text").collect()
+    }
+    b = {
+        r.doc_id: tuple(r.fingerprints)
+        for r in text.with_winnowing_fingerprints(
+            docs.repartition(5), "text"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_CORRECTNESS, "orders")
+    customer = load_table(spark, SF_CORRECTNESS, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = (
+        orders.join(customer, "o_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    salted = (
+        joins.salted_join(orders, customer, ["o_custkey"])
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain} == {
+        (r.c_mktsegment, r["count"]) for r in salted
+    }
+
+
+def test_stateful_running_counts(spark):
+    """applyInPandasWithState accumulates across micro-batches: drive
+    the events through 1-file-per-trigger batches and check the final
+    per-key totals equal the batch aggregate."""
+    d = tempfile.mkdtemp(prefix="stateful_")
+    try:
+        events = load_table(spark, SF_SMOKE, "events")
+        # several files -> several micro-batches
+        events.repartition(4).write.mode("overwrite").parquet(d)
+        stream = streaming.read_stream_parquet(
+            spark, d, schemas.TESTDATA["events"], max_files_per_trigger=1
+        )
+        q = (
+            streaming.running_counts_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("stateful_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # last update per key = running total after all batches
+        final = {
+            r.event_type: r.n_events
+            for r in spark.sql(
+                """SELECT event_type, n_events FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY n_events DESC) rn
+                     FROM stateful_out) WHERE rn = 1"""
+            ).collect()
+        }
+        want = {
+            r.event_type: r["count"]
+            for r in events.groupBy("event_type").count().collect()
+        }
+        assert final == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
