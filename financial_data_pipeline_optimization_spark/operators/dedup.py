@@ -159,21 +159,22 @@ def with_minhash_signature(
     cost 64×, ``num_hashes`` sibling ``array_min(transform(...))``
     expressions re-traverse the array per permutation, and nesting a
     lambda inside another lambda's variable forces interpreted
-    evaluation."""
+    evaluation.
+
+    The wide expression is generated as ONE SQL string (a single
+    ``expr`` / py4j round-trip): building the same tree Column-by-Column
+    costs hundreds of driver→JVM calls ≈ seconds of plan-build latency
+    before any task runs."""
     import random
 
     rng = random.Random(0x5EED ^ num_hashes)
     consts = [rng.getrandbits(63) for _ in range(num_hashes)]
     max_long = (1 << 63) - 1
-    hashed = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
-    sig = F.aggregate(
-        hashed,
-        F.array(*[F.lit(max_long).cast("long")] * num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[h.bitwiseXOR(F.lit(c)) for c in consts]),
-            lambda a, x: F.least(a, x),
-        ),
+    xors = ", ".join(f"(h ^ {c}L)" for c in consts)
+    sig = F.expr(
+        f"aggregate(transform(`{shingle_col}`, s -> xxhash64(s)), "
+        f"array_repeat({max_long}L, {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, array({xors}), (a, x) -> least(a, x)))"
     )
     return df.withColumn(out_col, sig)
 
@@ -285,35 +286,26 @@ def with_simhash(
         df.select("*"), text_col, n=shingle_n, out_col="__sh"
     )
     # Each shingle is hashed once (transform), then its 64 vote bits are
-    # bit-shifts of that long. Bit positions are Python-side literals
-    # because shiftleft/shiftright take an int, not a Column; the
-    # 64-wide expressions stay JVM-side.
-    hashed = F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
-    votes = F.aggregate(
-        hashed,
-        F.array(*[F.lit(0).cast("long") for _ in range(64)]),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    for b in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    # bit-shifts of that long. The whole signature is ONE 4-arg
+    # aggregate: votes accumulate in the merge lambda and the sign bits
+    # pack in the finish lambda. Packing must NOT live in a separate
+    # expression that references the votes 64 times — higher-order
+    # functions are interpreted (no codegen, no common-subexpression
+    # elimination), so Catalyst inlines the vote aggregate per
+    # reference and the row cost multiplies 64×. The wide expression is
+    # generated as one SQL string — a single py4j round-trip (see
+    # with_minhash_signature).
+    bits = ", ".join(
+        f"IF((shiftright(h, {b}) & 1) = 1, 1L, -1L)" for b in range(64)
     )
-    sig = F.lit(0).cast("long")
-    packed = shingled.withColumn("__votes", votes)
-    for b in range(64):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col("__votes")[b] > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return packed.withColumn(out_col, sig).drop("__votes", "__sh")
+    sig = F.expr(
+        "aggregate(transform(__sh, s -> xxhash64(s)), "
+        "array_repeat(0L, 64), "
+        f"(acc, h) -> zip_with(acc, array({bits}), (a, v) -> a + v), "
+        "votes -> aggregate(sequence(0, 63), 0L, (acc, b) -> "
+        "acc | IF(element_at(votes, b + 1) > 0, shiftleft(1L, b), 0L)))"
+    )
+    return shingled.withColumn(out_col, sig).drop("__sh")
 
 
 def simhash_pairs(

@@ -64,21 +64,33 @@ def brute_force_topk(
     bounded query batch), score every corpus row, keep k per query by
     ``row_number`` (ties broken by corpus id → deterministic output).
 
+    Norms are precomputed per ROW on each side of the join, so the
+    per-PAIR work is one dot product — ``cosine_similarity`` inline
+    would re-derive both norms (and the double-cast) for every pair,
+    tripling the O(corpus × queries) inner-loop cost. Projections below
+    the join are not inlined across it, so the norm really is computed
+    once per row.
+
     Returns ``(query_id, neighbor_id, rank, cosine_sim)``.
     """
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        F.col(id_col).alias(query_id_col),
+        _to_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            cosine_similarity(F.col(vec_col), F.col("__qv")).alias(
-                "cosine_sim"
-            ),
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn") * F.col("__qn"))
+            ).alias("cosine_sim"),
         )
     )
     from pyspark.sql import Window
@@ -114,17 +126,26 @@ def with_lsh_bucket(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id: sign bit per plane packed into a
     long. Narrow map, no shuffle; cosine-similar vectors collide with
-    probability (1 - θ/π)^planes."""
+    probability (1 - θ/π)^planes.
+
+    The planes×dim literal tree is generated as one SQL string (single
+    ``expr`` round-trip) — building it Column-by-Column costs ~1 py4j
+    call per literal, which at 12×64 literals is ~1 s of driver latency
+    before the job starts."""
     planes = _hyperplanes(num_planes, dim, seed)
-    v = _to_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
+    terms = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(v, p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        arr = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane)
+        dot_sql = (
+            f"aggregate(zip_with(__v, array({arr}), (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
         )
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return df.withColumn(out_col, bucket)
+        terms.append(f"IF({dot_sql} > 0D, shiftleft(1L, {i}), 0L)")
+    return (
+        df.withColumn("__v", _to_double(F.col(vec_col)))
+        .withColumn(out_col, F.expr(" | ".join(terms)))
+        .drop("__v")
+    )
 
 
 def lsh_topk(
@@ -150,15 +171,23 @@ def lsh_topk(
     the join key balance is the thing to watch (AQE skew-join handles
     hot buckets); ``num_planes`` should grow with log2(corpus/target
     bucket size)."""
-    bc = with_lsh_bucket(corpus, vec_col, num_planes, dim, seed).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        "lsh_bucket",
+    bc = (
+        with_lsh_bucket(corpus, vec_col, num_planes, dim, seed)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _to_double(F.col(vec_col)).alias("__cv"),
+            "lsh_bucket",
+        )
+        .withColumn("__cn", l2_norm(F.col("__cv")))
     )
-    bq0 = with_lsh_bucket(queries, vec_col, num_planes, dim, seed).select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qv"),
-        "lsh_bucket",
+    bq0 = (
+        with_lsh_bucket(queries, vec_col, num_planes, dim, seed)
+        .select(
+            F.col(id_col).alias(query_id_col),
+            _to_double(F.col(vec_col)).alias("__qv"),
+            "lsh_bucket",
+        )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
     )
     if multiprobe_bits >= 1:
         probes = [F.col("lsh_bucket")] + [
@@ -176,9 +205,10 @@ def lsh_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            cosine_similarity(F.col("__cv"), F.col("__qv")).alias(
-                "cosine_sim"
-            ),
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn") * F.col("__qn"))
+            ).alias("cosine_sim"),
         )
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
@@ -213,15 +243,19 @@ def ivf_topk(
         corpus.orderBy(id_col)
         .limit(num_centroids)
         .select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("__centroid")
+            F.col(id_col).alias("cell"),
+            _to_double(F.col(vec_col)).alias("__centroid"),
         )
+        .withColumn("__cen_n", l2_norm(F.col("__centroid")))
     )
-    assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
-        .crossJoin(centroids)
-        .withColumn(
-            "__sim", cosine_similarity(F.col(vec_col), F.col("__centroid"))
-        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    assigned = c.crossJoin(centroids).withColumn(
+        "__sim",
+        dot(F.col("__cv"), F.col("__centroid"))
+        / (F.col("__cn") * F.col("__cen_n")),
     )
     from pyspark.sql import Window
 
@@ -231,16 +265,16 @@ def ivf_topk(
     cells = (
         assigned.withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
-        .select("neighbor_id", F.col(vec_col).alias("__cv"), "cell")
+        .select("neighbor_id", "__cv", "__cn", "cell")
     )
-    q_probe = (
-        queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
-        )
-        .crossJoin(centroids)
-        .withColumn(
-            "__sim", cosine_similarity(F.col("__qv"), F.col("__centroid"))
-        )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        _to_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    q_probe = q.crossJoin(centroids).withColumn(
+        "__sim",
+        dot(F.col("__qv"), F.col("__centroid"))
+        / (F.col("__qn") * F.col("__cen_n")),
     )
     w_probe = Window.partitionBy(query_id_col).orderBy(
         F.col("__sim").desc(), F.col("cell")
@@ -248,7 +282,7 @@ def ivf_topk(
     probes = (
         q_probe.withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= nprobe)
-        .select(query_id_col, "__qv", "cell")
+        .select(query_id_col, "__qv", "__qn", "cell")
     )
     scored = (
         cells.join(F.broadcast(probes), "cell")
@@ -256,9 +290,10 @@ def ivf_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            cosine_similarity(F.col("__cv"), F.col("__qv")).alias(
-                "cosine_sim"
-            ),
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn") * F.col("__qn"))
+            ).alias("cosine_sim"),
         )
     )
     w_rank = Window.partitionBy(query_id_col).orderBy(
@@ -283,8 +318,14 @@ def embedding_near_dup_pairs(
     compare only within buckets (plus the all-pairs fallback is what
     this avoids), keep pairs above ``threshold``. Returns
     ``(a, b, cosine_sim)`` with a < b."""
-    b = with_lsh_bucket(df, vec_col, num_planes, dim, seed).select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "lsh_bucket"
+    b = (
+        with_lsh_bucket(df, vec_col, num_planes, dim, seed)
+        .select(
+            F.col(id_col).alias("__id"),
+            _to_double(F.col(vec_col)).alias("__dv"),
+            "lsh_bucket",
+        )
+        .withColumn("__n", l2_norm(F.col("__dv")))
     )
     pairs = (
         b.alias("x")
@@ -296,9 +337,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("x.__id").alias("a"),
             F.col("y.__id").alias("b"),
-            cosine_similarity(F.col("x.__v"), F.col("y.__v")).alias(
-                "cosine_sim"
-            ),
+            (
+                dot(F.col("x.__dv"), F.col("y.__dv"))
+                / (F.col("x.__n") * F.col("y.__n"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
