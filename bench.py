@@ -42,6 +42,8 @@ HEADLINE = [
     "range_join_followers",
     "minhash_lsh_pairs",
     "knn_brute_force",
+    "finance_ohlc_bars",
+    "finance_ema",
 ]
 
 
@@ -61,8 +63,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Warm the JVM + file listing once so the first measured query
-    # doesn't pay one-time costs.
+    # doesn't pay one-time costs, and spin up the Python worker pool
+    # (pandas-UDF queries would otherwise pay ~6 s of one-time worker
+    # forking — startup overhead, not query cost, like JVM launch).
     specs[HEADLINE[0]].spark(spark, SF_DIR).limit(1).collect()
+    spark.range(1024).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     for name in HEADLINE:
         spec = specs[name]
