@@ -1,0 +1,130 @@
+"""Physical-plan quality gates (SURVEY.md §4.4, BASELINE.json north star).
+
+Correctness tests prove the operators right at small SF; these prove
+the PLANS are the ones that survive 100 TB: filters reach the parquet
+scan, scans read only the projected columns, small dims broadcast,
+keyed dedup costs exactly one exchange, hot paths stay inside
+whole-stage codegen, and nothing in the registry degenerates into a
+cartesian product. A regression here is a 100× cost bug that no
+row-count comparison would ever catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_optimization_spark import queries as q
+from financial_data_pipeline_optimization_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+SPECS = {s.name: s for s in q.registry()}
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_reaches_parquet_scan(spark):
+    df = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_scan_prunes_to_projected_columns(spark):
+    df = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = _plan(df)
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    # the scan must NOT read the unused wide columns
+    assert "o_orderpriority" not in read_schema
+    assert "o_orderstatus" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = SPECS["star_join_revenue_by_region"].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    # nation and region are bounded dims → broadcast, never shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 2
+
+
+def test_lookup_join_is_broadcast(spark):
+    df = SPECS["lookup_join_dim"].spark(spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in _plan(df, "simple")
+
+
+def test_keep_latest_dedup_costs_one_exchange(spark):
+    df = SPECS["dedup_keep_latest"].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange" in line
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning" in exchanges[0]
+
+
+def test_flagship_stays_in_codegen(spark):
+    df = SPECS["flagship_monthly_segment_revenue"].spark(spark, SF_SMOKE)
+    # AQE hides WholeStageCodegen spans until the final plan; the
+    # codegen explain mode reports the compiled subtrees up front.
+    plan = _plan(df, "codegen")
+    assert "WholeStageCodegen" in plan
+    # a row-at-a-time Python UDF in the hot path would show up as
+    # BatchEvalPython — the engine policy forbids it (SURVEY.md §2.11)
+    assert "BatchEvalPython" not in plan
+
+
+def test_group_agg_does_partial_aggregation(spark):
+    df = SPECS["group_agg_pricing_summary"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    # map-side combine: partial aggregate functions before the exchange
+    assert "partial_" in plan
+
+
+def test_topk_plans_as_take_ordered(spark):
+    df = SPECS["topk_orders"].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    # orderBy().limit() must not globally sort: Catalyst's
+    # TakeOrderedAndProject keeps per-partition heaps
+    assert "TakeOrderedAndProject" in plan
+
+
+#: Queries whose semantics genuinely require a cross product (bounded
+#: sides, documented in their registrations).
+_CROSS_OK = {"cross_join_dims"}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(SPECS), ids=sorted(SPECS)
+)
+def test_no_accidental_cartesian_product(spark, name):
+    df = SPECS[name].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    if name in _CROSS_OK:
+        pytest.skip("intentional bounded cross join")
+    assert "CartesianProduct" not in plan, name
+
+
+def test_no_row_python_udfs_anywhere(spark):
+    """Arrow-batched pandas ops are allowed (ArrowEvalPython /
+    FlatMapGroupsInPandas); row-at-a-time Python UDFs are not."""
+    offenders = []
+    for name, spec in SPECS.items():
+        plan = _plan(spec.spark(spark, SF_SMOKE), "simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
