@@ -1,25 +1,35 @@
 """Sources and sinks: schema-checked readers and partition-aware writers."""
 
+from financial_data_pipeline_optimization_spark.sources.bucketing import (
+    bucketed_join,
+    write_bucketed_table,
+)
 from financial_data_pipeline_optimization_spark.sources.readers import (
     load_table,
     load_tables,
     read_csv,
     read_jdbc,
+    read_json,
     read_parquet,
 )
 from financial_data_pipeline_optimization_spark.sources.sinks import (
     write_csv,
     write_jdbc,
+    write_json,
     write_parquet,
 )
 
 __all__ = [
+    "bucketed_join",
     "load_table",
     "load_tables",
     "read_csv",
     "read_jdbc",
+    "read_json",
     "read_parquet",
+    "write_bucketed_table",
     "write_csv",
     "write_jdbc",
+    "write_json",
     "write_parquet",
 ]

@@ -1,0 +1,71 @@
+"""Bucketed tables: co-located joins and aggregations without a shuffle.
+
+The reference's only physical-layout decision is ``repartition(4)``
+before its JDBC write (``loading.py:116``). At 100 TB the analogous —
+and far more consequential — decision is *bucketing* the curated
+tables on their join/aggregation keys: ``df.write.bucketBy(N, key)``
+hash-partitions data into a fixed number of files per partition, and
+Spark records the layout in the catalog. Any later equi-join or
+group-by on the bucket key between tables with the same bucket count
+reads both sides pre-partitioned: the Exchange disappears from the
+plan entirely. For a fact-to-fact join (orders ⋈ lineitem on orderkey)
+that is the difference between re-shuffling 100 TB per query and
+reading co-located files.
+
+Guidance encoded here:
+
+- bucket count is fixed at write time — size it so one bucket of the
+  LARGEST table fits an executor task (~128-256 MB compressed);
+- both join sides must share bucket count and key for full exchange
+  elimination (Spark can also avoid one side when counts are integer
+  multiples);
+- ``sortBy`` within buckets additionally removes the Sort under a
+  sort-merge join;
+- bucket pruning applies equality filters on the bucket key to skip
+  whole files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally in-bucket sorted)
+    catalog table. ``path`` makes it an external table (parquet files
+    at ``path``, metadata in the session catalog)."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two catalog tables. If both are bucketed on the join key
+    with matching bucket counts, the plan contains no Exchange — that
+    property is asserted by tests/test_bucketing.py, which is the
+    contract this helper exists to document."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return spark.table(left_table).join(
+        spark.table(right_table), on=keys, how=how
+    )

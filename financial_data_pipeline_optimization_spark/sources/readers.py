@@ -115,3 +115,19 @@ def load_tables(
     if names is None:
         names = schemas.TESTDATA.keys()
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """JSON-lines scan. Explicit schema by default (inference over JSON
+    costs a full extra pass and types drift run-to-run); for JSON
+    *columns* inside another source (``events.props``) use
+    ``F.from_json`` with a declared schema instead of a second reader.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

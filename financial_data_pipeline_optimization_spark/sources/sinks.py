@@ -71,3 +71,17 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Iterable[str] | None = None,
+) -> None:
+    """JSON-lines export sink. Interchange-only (row-oriented text,
+    ~5-10x parquet's footprint): never the canonical storage format."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
