@@ -160,3 +160,46 @@ def with_winnowing_fingerprints(
         )
     )
     return df.withColumn(out_col, fingerprints)
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, most-specific first (URLs before emails so the
+#: userinfo part of a URL isn't half-eaten by the email rule). Kept to
+#: the regex subset Java and RE2 interpret identically, so the DuckDB
+#: oracle can replay them verbatim.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def clean_text(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Normalize raw text for a training corpus: strip HTML-ish tags,
+    drop control characters, collapse runs of whitespace, trim. One
+    narrow per-row map (chained ``regexp_replace``), no shuffle."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col or text_col, c)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Replace URLs, email addresses and phone-number-shaped digit runs
+    with typed placeholder tokens (``<URL>``/``<EMAIL>``/``<PHONE>``).
+    Pattern-based scrubbing — the deterministic first pass a corpus
+    pipeline runs before any model-based PII pass; patterns are
+    intentionally conservative (match obviously-structured identifiers,
+    never free text). Narrow map, no shuffle."""
+    c = F.col(text_col)
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return df.withColumn(out_col or text_col, c)

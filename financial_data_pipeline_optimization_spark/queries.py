@@ -2735,3 +2735,51 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ===========================================================================
+# Text cleaning / PII redaction (operators/text.py hygiene pass)
+# ===========================================================================
+
+
+def _clean_redact_sql() -> str:
+    """Build the oracle's nested regexp_replace from the SAME pattern
+    constants the Spark operator uses — one source of truth."""
+    from financial_data_pipeline_optimization_spark.operators.text import PII_PATTERNS
+
+    expr = "text"
+    for pattern, repl in (
+        (r"<[^>]+>", " "),
+        (r"[\x00-\x1f\x7f]", " "),
+    ):
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    for pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    return f"""
+    SELECT doc_id, {expr} AS clean_text,
+           CAST(length({expr}) AS INT) AS clean_len
+    FROM documents
+    """
+
+
+@_register(
+    "text_clean_redact",
+    _clean_redact_sql(),
+    doc="Corpus hygiene pass: strip HTML-ish tags and control chars, "
+    "collapse whitespace, then redact URLs/emails/phone shapes to "
+    "typed tokens. Pure chained regexp_replace — narrow map, no "
+    "shuffle; the oracle replays the identical patterns.",
+)
+def q_text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.redact_pii(
+        text_ops.clean_text(docs, "text", "clean_text"), "clean_text"
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.length("clean_text").alias("clean_len"),
+    )

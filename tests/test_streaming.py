@@ -121,3 +121,32 @@ def test_stream_dedup_and_upsert_idempotent(spark, events_stream_dir):
     finally:
         shutil.rmtree(target, ignore_errors=True)
         assert os.path.exists(events_stream_dir)
+
+
+def test_running_counts_stateful_matches_batch(spark, events_stream_dir):
+    stream = streaming.read_stream_parquet(
+        spark, events_stream_dir, schemas.TESTDATA["events"]
+    )
+    q = (
+        streaming.running_counts_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per micro-batch; the LAST row
+    # per key carries the final running totals
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    got = {}
+    for r in rows:  # memory sink appends in batch order
+        got[r.event_type] = (r.n_events, round(r.total_value, 2))
+    batch = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r.event_type: (r.n_events, round(r.total_value, 2))
+        for r in batch.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want

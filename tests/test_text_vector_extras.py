@@ -108,3 +108,29 @@ def test_stateful_running_counts(spark):
         assert final == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_clean_text_and_redact_pii(spark):
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    rows = [
+        (1, "Hello <b>world</b>,\x07   visit https://example.com/x?q=1 now"),
+        (2, "mail me at jane.doe+spam@mail.example.org or +1 (555) 123-4567"),
+        (3, "call 555-123-4567\tplease"),
+        (4, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: r.text
+        for r in text_ops.redact_pii(
+            text_ops.clean_text(df, "text"), "text"
+        ).collect()
+    }
+    # tag removal inserts a space where </b> was → "world ,"
+    assert out[1] == "Hello world , visit <URL> now"
+    assert "<EMAIL>" in out[2] and "jane" not in out[2]
+    # phone with spaces is split by whitespace collapse; the digit-run
+    # core must still be caught
+    assert "<PHONE>" in out[2]
+    assert out[3] == "call <PHONE> please"
+    assert out[4] == "no pii here"
