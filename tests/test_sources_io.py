@@ -28,3 +28,71 @@ def test_json_round_trip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     # explicit schema means no inference pass and stable types
     assert back.schema == schema
+
+
+def test_csv_round_trip_explicit_schema(spark, tmp_path):
+    from financial_data_pipeline_optimization_spark.sources import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", 0.5)], "id long, name string, v double"
+    )
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert back.schema == schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_parquet_write_prunes_partitions(spark, tmp_path):
+    from financial_data_pipeline_optimization_spark.sources import (
+        load_table,
+        write_parquet,
+    )
+
+    from .conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["order_year"])
+    back = spark.read.parquet(path).filter("order_year = 1996")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the year predicate must prune directories, not filter rows
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    assert back.count() == orders.filter("order_year = 1996").count()
+
+
+def test_empty_batch_guard_and_tag_lit(spark, tmp_path):
+    import pytest as _pytest
+
+    from financial_data_pipeline_optimization_spark.operators.clean import tag_lit
+    from financial_data_pipeline_optimization_spark.plans.finance import (
+        EmptyBatchError,
+        run_pipeline,
+    )
+
+    tagged = tag_lit(
+        spark.createDataFrame([(1,)], "id long"), "Ticker", "TST"
+    )
+    assert tagged.first().Ticker == "TST"
+
+    empty = spark.createDataFrame(
+        [], "Date date, Open double, High double, Low double, Close double,"
+        " Volume long, Dividends double, stock_splits double, Ticker string"
+    )
+    with _pytest.raises(EmptyBatchError):
+        run_pipeline(empty, str(tmp_path / "wh"))
