@@ -187,6 +187,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     min_jaccard: float = 0.8,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -195,6 +196,17 @@ def minhash_lsh_pairs(
     self-join shuffles only ``(band, band_hash, id)`` triples; candidate
     pairs are deduped across bands *before* the verify join rehydrates
     shingle sets. Returns ``(a, b, jaccard_sim)`` with ``a < b``.
+
+    ``materialize_signatures``: the banded self-join references the
+    signature subtree on BOTH sides, and (broadcast vs shuffle)
+    exchanges are never reused across join sides — so the signatures
+    would be computed twice. A lazy ``localCheckpoint`` of just
+    ``(id, minhash)`` (``num_hashes``×8 bytes per doc — the standard
+    "materialize the signature table" step of a production LSH
+    pipeline) computes them once. Shingle SETS are deliberately NOT
+    materialized: they are corpus-sized, and recomputing them for the
+    verify join is a narrow map. Disable to keep the plan fully lazy
+    (e.g. under a streaming source).
     """
     rows_per_band = num_hashes // bands
     base = with_minhash_signature(
@@ -202,8 +214,11 @@ def minhash_lsh_pairs(
                       n=shingle_n),
         num_hashes=num_hashes,
     )
-    banded = base.select(
-        F.col(id_col).alias("__id"),
+    sig = base.select(F.col(id_col).alias("__id"), "minhash")
+    if materialize_signatures:
+        sig = sig.localCheckpoint(eager=False)
+    banded = sig.select(
+        "__id",
         F.posexplode(
             F.array(
                 *[
