@@ -1,0 +1,153 @@
+"""Property-based invariants (hypothesis) for the core operators.
+
+Oracle parity pins behavior on the driver's fixed tables; these pin the
+algebraic contracts on adversarial small inputs: dedup semantics match a
+reference pandas implementation, upsert is key-idempotent, stable ids
+don't depend on partitioning, fingerprints/signatures are pure functions
+of content. Examples are kept small (each runs Spark jobs) but the
+generators explore duplicates, empty strings, and key collisions that
+fixed fixtures never hit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_optimization_spark.functions import stable_id
+from financial_data_pipeline_optimization_spark.operators import dedup, joins
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+
+#: (key, version, payload) rows — small domains force collisions.
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 4),
+        st.integers(0, 6),
+        st.integers(-100, 100),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _spark(spark):
+    # bind the session fixture once; hypothesis re-runs the test body,
+    # not the fixture, so examples share one SparkSession
+    global SPARK
+    SPARK = spark
+    yield
+
+
+@given(rows=ROWS)
+@SET
+def test_keep_latest_matches_pandas(rows):
+    df = SPARK.createDataFrame(rows, "k long, v long, payload long")
+    got = sorted(
+        map(
+            tuple,
+            dedup.keep_latest(df, ["k"], ["v", "payload"]).collect(),
+        )
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "v", "payload"])
+    want = sorted(
+        pdf.sort_values(["k", "v", "payload"], ascending=[True, False, False])
+        .drop_duplicates(subset=["k"], keep="first")
+        .itertuples(index=False, name=None)
+    )
+    assert got == want
+
+
+@given(rows=ROWS)
+@SET
+def test_upsert_key_set_and_precedence(rows):
+    mid = len(rows) // 2 or 1
+    target = SPARK.createDataFrame(rows[:mid], "k long, v long, payload long")
+    batch = SPARK.createDataFrame(
+        rows[mid:] or rows[:1], "k long, v long, payload long"
+    )
+    merged = joins.anti_join_upsert(target, batch, ["k"])
+    got_keys = {r.k for r in merged.select("k").distinct().collect()}
+    want_keys = {r[0] for r in rows[:mid]} | {
+        r[0] for r in (rows[mid:] or rows[:1])
+    }
+    assert got_keys == want_keys
+    # existing keys win: anti-join upsert never overwrites the target
+    target_rows = {tuple(r) for r in target.collect()}
+    merged_rows = {tuple(r) for r in merged.collect()}
+    assert target_rows <= merged_rows
+
+
+@given(rows=ROWS)
+@SET
+def test_stable_id_invariant_under_partitioning(rows):
+    df = SPARK.createDataFrame(rows, "k long, v long, payload long")
+    a = (
+        df.withColumn("id", stable_id("k", "v"))
+        .select("k", "v", "id")
+        .collect()
+    )
+    b = (
+        df.repartition(7, "payload")
+        .withColumn("id", stable_id("k", "v"))
+        .select("k", "v", "id")
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_key = {}
+    for r in a:
+        by_key.setdefault((r.k, r.v), set()).add(r.id)
+    assert all(len(ids) == 1 for ids in by_key.values())
+
+
+TEXTS = st.lists(
+    st.text(
+        alphabet="ab c.d!",
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS)
+@SET
+def test_exact_dedup_keeps_one_per_content(texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = SPARK.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_dedup(df, ["text"], "doc_id").collect()
+    # one representative per normalized content, always the lowest id
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    groups = {}
+    for i, t in rows:
+        groups.setdefault(norm(t), []).append(i)
+    want = sorted(min(ids) for ids in groups.values())
+    assert sorted(r.doc_id for r in out) == want
+
+
+@given(texts=TEXTS)
+@SET
+def test_minhash_signature_is_content_function(texts):
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (i + 1000, t) for i, t in enumerate(texts)
+    ]
+    df = SPARK.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.with_minhash_signature(
+        dedup.with_shingles(df, "text"), num_hashes=16
+    ).collect()
+    by_id = {r.doc_id: tuple(r.minhash) for r in sig}
+    for i, _ in enumerate(texts):
+        assert by_id[i] == by_id[i + 1000]
+        assert len(by_id[i]) == 16
