@@ -1,0 +1,137 @@
+"""Deterministic sampling / splitting (training-data pipeline ops).
+
+``df.sample()`` is seed-dependent on partition layout, so two runs (or
+the same run after a repartition) disagree — useless for reproducible
+corpus construction. These operators derive membership from a HASH OF
+THE ROW KEY: stable under any partitioning, any cluster size, any
+rerun, and the split of a given key never changes when the corpus
+grows (the property that keeps train/test contamination impossible
+across dataset versions).
+
+Two hash paths:
+
+- ``xxhash64`` — JVM-codegen'd, the fast path for production;
+- ``md5`` hex-prefix — bit-identical in every engine (the DuckDB
+  oracle replays it verbatim), used by the registered queries. A
+  fraction f maps to a hex-string threshold: md5 hex chars are
+  uniform, so ``substr(md5(key), 1, 8) < hex(f·16^8)`` keeps an
+  f-fraction with 1/16^8 granularity; lexicographic compare on
+  lowercase hex is identical in Java and RE2 collations (plain ASCII).
+
+All are narrow per-row filters — no shuffle, no sort, no sample()
+nondeterminism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8
+
+
+def hex_threshold(fraction: float, digits: int = _HEX_DIGITS) -> str:
+    """Lowercase hex string t such that a uniform ``digits``-char hex
+    prefix is < t with probability ``fraction``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(int(round(fraction * 16**digits)), f"0{digits}x")
+
+
+def _key_hash_hex(key_cols: Sequence[str], seed: str = "") -> Column:
+    parts = [F.col(c).cast("string") for c in key_cols]
+    if seed:
+        parts = [F.lit(seed), *parts]
+    return F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, _HEX_DIGITS)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction: float,
+    seed: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, selected by key hash.
+
+    ``seed`` namespaces the hash so independent samples of the same
+    corpus don't select the same keys. ``method='xxhash64'`` is the
+    faster JVM path; ``'md5'`` is engine-portable (oracle-checkable).
+    """
+    if fraction >= 1.0:
+        # boundary: hex_threshold(1.0) is 16^digits, which renders one
+        # hex digit WIDER and lexicographically below most prefixes —
+        # short-circuit instead of comparing
+        return df
+    if fraction <= 0.0:
+        return df.filter(F.lit(False))
+    if method == "md5":
+        return df.filter(
+            _key_hash_hex(key_cols, seed) < hex_threshold(fraction)
+        )
+    if method == "xxhash64":
+        mod = 1 << 30
+        cols = [F.col(c) for c in key_cols]
+        if seed:
+            cols = [F.lit(seed), *cols]
+        bucket = F.pmod(F.xxhash64(*cols), F.lit(mod))
+        return df.filter(bucket < int(round(fraction * mod)))
+    raise ValueError(f"unknown hash_sample method: {method!r}")
+
+
+def with_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weights: Mapping[str, float],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (e.g. train/val/test) by key
+    hash. Weights must sum to 1; boundaries are cumulative hex
+    thresholds, so a key's split never changes as the corpus grows."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = _key_hash_hex(key_cols, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < hex_threshold(cum)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_topn(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    order_cols: Sequence[str],
+    n: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum, chosen by a deterministic
+    ordering (ties must be broken by a unique column in
+    ``order_cols``). One shuffle on the strata key — the exact-quota
+    alternative to ``sampleBy``'s probabilistic strata."""
+    ordering = [
+        F.col(c).desc() if descending else F.col(c).asc()
+        for c in order_cols
+    ]
+    w = Window.partitionBy(*strata_cols).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -2783,3 +2783,102 @@ def q_text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_text",
         F.length("clean_text").alias("clean_len"),
     )
+
+
+# ===========================================================================
+# Deterministic sampling / splitting (operators/sampling.py)
+# ===========================================================================
+
+
+def _sample_sql() -> str:
+    from financial_data_pipeline_optimization_spark.operators.sampling import hex_threshold
+
+    t = hex_threshold(0.1)
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'
+    """
+
+
+@_register(
+    "deterministic_sample",
+    _sample_sql(),
+    doc="Reproducible 10% corpus sample by key hash (md5 hex-prefix "
+    "threshold): stable under repartitioning, reruns, and corpus "
+    "growth — unlike df.sample(), whose output depends on partition "
+    "layout. Narrow filter, no shuffle.",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.hash_sample(docs, ["doc_id"], 0.1, method="md5")
+
+
+def _split_sql() -> str:
+    from financial_data_pipeline_optimization_spark.operators.sampling import hex_threshold
+
+    t_train = hex_threshold(0.8)
+    t_val = hex_threshold(0.9)
+    return f"""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE
+               WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                    < '{t_train}' THEN 'train'
+               WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                    < '{t_val}' THEN 'val'
+               ELSE 'test' END AS split
+      FROM embeddings)
+    GROUP BY split
+    """
+
+
+@_register(
+    "train_test_split",
+    _split_sql(),
+    doc="Deterministic 80/10/10 train/val/test assignment by key hash; "
+    "a key's split never changes when the corpus grows (no "
+    "cross-version contamination). Counts per split.",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    out = sampling.with_split(
+        emb, ["vec_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "stratified_topn_orders",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC)
+               AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Exact-quota stratified selection: top-3 orders per priority "
+    "class by deterministic ordering — the reproducible alternative "
+    "to sampleBy's probabilistic strata. One shuffle on the stratum "
+    "key.",
+)
+def q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return sampling.stratified_topn(
+        orders,
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        n=3,
+        descending=True,
+    )

@@ -151,3 +151,44 @@ def test_minhash_signature_is_content_function(texts):
     for i, _ in enumerate(texts):
         assert by_id[i] == by_id[i + 1000]
         assert len(by_id[i]) == 16
+
+
+@given(rows=ROWS)
+@SET
+def test_hash_sample_is_layout_invariant_and_consistent(rows):
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    df = SPARK.createDataFrame(rows, "k long, v long, payload long")
+    a = {tuple(r) for r in sampling.hash_sample(df, ["k", "v"], 0.5).collect()}
+    b = {
+        tuple(r)
+        for r in sampling.hash_sample(
+            df.repartition(5, "payload"), ["k", "v"], 0.5
+        ).collect()
+    }
+    assert a == b
+    # fraction=1 keeps everything, fraction=0 keeps nothing
+    assert sampling.hash_sample(df, ["k"], 1.0).count() == df.count()
+    assert sampling.hash_sample(df, ["k"], 0.0).count() == 0
+    # the two hash paths select by the same contract (not necessarily
+    # the same rows): both are deterministic supersets/subsets by key
+    x1 = {tuple(r) for r in sampling.hash_sample(df, ["k"], 0.5, method="xxhash64").collect()}
+    x2 = {tuple(r) for r in sampling.hash_sample(df, ["k"], 0.5, method="xxhash64").collect()}
+    assert x1 == x2
+
+
+@given(rows=ROWS)
+@SET
+def test_split_is_total_and_disjoint(rows):
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    df = SPARK.createDataFrame(rows, "k long, v long, payload long").distinct()
+    out = sampling.with_split(
+        df, ["k", "v"], {"train": 0.7, "test": 0.3}
+    ).collect()
+    assert len(out) == df.count()  # total: every row assigned
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r.k, r.v), set()).add(r.split)
+    # same key → same split, always
+    assert all(len(s) == 1 for s in by_key.values())
