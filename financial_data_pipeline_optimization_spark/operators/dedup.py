@@ -422,3 +422,38 @@ def ngram_jaccard_pairs(
             / (F.col("size_a") + F.col("size_b") - F.col("inter"))
         ).alias("jaccard_sim"),
     ).filter(F.col("jaccard_sim") >= min_jaccard)
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive near-duplicate clusters: exact n-gram Jaccard pairs →
+    connected components → every document labeled with its cluster's
+    minimum id (singletons label themselves). This is the full-corpus
+    dedup contract: keep ``cluster_id == id`` rows, drop the rest, and
+    chains A~B~C collapse to one survivor even when A~C was never
+    emitted as a pair.
+
+    Not fully lazy: the component loop is iterative (one bounded action
+    per round, lineage truncated per round — see ``operators.graph``).
+    """
+    from financial_data_pipeline_optimization_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, min_jaccard=min_jaccard
+    )
+    comp = connected_components(
+        pairs.select("a", "b"), "a", "b", max_iter=max_iter
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(comp, ids[id_col] == comp["node"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )

@@ -2882,3 +2882,56 @@ def q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         descending=True,
     )
+
+
+# ===========================================================================
+# Transitive dedup clusters (operators/graph.py connected components)
+# ===========================================================================
+
+
+@_register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+    ),
+    sym AS (SELECT a AS s, b AS d FROM pairs
+            UNION SELECT b AS s, a AS d FROM pairs),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(l.component, doc.doc_id) AS BIGINT) AS cluster_id
+    FROM documents doc
+    LEFT JOIN (SELECT s AS node, least(s, min(d)) AS component
+               FROM reach GROUP BY s) l
+      ON doc.doc_id = l.node
+    """,
+    doc="Transitive near-dup clusters: exact bigram-Jaccard pairs → "
+    "connected components (iterative min-label propagation, lineage "
+    "truncated per round) → every doc labeled with its cluster's min "
+    "id. Oracle computes the same closure with a recursive CTE.",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8
+    )

@@ -1,0 +1,61 @@
+"""Connected components: known graph shapes + cluster-dedup contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from financial_data_pipeline_optimization_spark.operators import dedup
+from financial_data_pipeline_optimization_spark.operators.graph import (
+    connected_components,
+)
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r.node: r.component
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: transitivity must reach the far end
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components_stay_disjoint(spark):
+    got = _components(spark, [(1, 2), (10, 11), (11, 12), (20, 21)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cycle_and_duplicate_edges(spark):
+    got = _components(spark, [(3, 7), (7, 9), (9, 3), (3, 7)])
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_non_convergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_near_dup_clusters_transitive(spark):
+    # B shares enough bigrams with A and C that A~B and B~C pass the
+    # threshold while A~C alone would not — the cluster must still
+    # merge all three; D is a singleton.
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "alpha beta gamma delta epsilon eta"
+    c = "beta gamma delta epsilon eta theta"
+    d = "completely different words entirely here"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            df, "doc_id", "text", n=2, min_jaccard=0.5
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4
