@@ -96,3 +96,31 @@ def test_empty_batch_guard_and_tag_lit(spark, tmp_path):
     )
     with _pytest.raises(EmptyBatchError):
         run_pipeline(empty, str(tmp_path / "wh"))
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from financial_data_pipeline_optimization_spark.sources import load_table
+    from financial_data_pipeline_optimization_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_file_count,
+    )
+
+    from .conftest import SF_SMOKE
+
+    src = str(tmp_path / "fragmented")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.repartition(40).write.parquet(src)  # simulate drip appends
+    assert parquet_file_count(spark, src) == 40
+    n_rows = orders.count()
+
+    # in-place swap
+    n_parts = compact_parquet(spark, src, target_partition_bytes=1 << 30)
+    assert n_parts == 1
+    assert parquet_file_count(spark, src) == 1
+    assert spark.read.parquet(src).count() == n_rows
+
+    # safe-flip variant leaves the source alone
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, src, target_partition_bytes=1 << 30, out_path=out)
+    assert parquet_file_count(spark, src) == 1
+    assert spark.read.parquet(out).count() == n_rows
