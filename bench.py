@@ -71,15 +71,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Median of N runs per query: the first run carries one-time
+    # codegen/JIT for that query's operators and the host is shared, so
+    # a single sample conflates compilation + noise with steady-state
+    # cost. The median keeps one-time effects out without cherry-picking
+    # the best case.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name in HEADLINE:
         spec = specs[name]
-        start = time.perf_counter()
-        df = spec.spark(spark, SF_DIR)
-        # Force full execution without driver-side materialization cost:
-        # write nothing, but evaluate every row.
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
-        assert n >= 0
+        samples = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            df = spec.spark(spark, SF_DIR)
+            # Force full execution without driver-side materialization
+            # cost: write nothing, but evaluate every row.
+            n = df.count()
+            samples.append(time.perf_counter() - start)
+            assert n >= 0
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
