@@ -16,6 +16,7 @@ from financial_data_pipeline_optimization_spark.streaming.ops import (
     sessionized_counts,
     sliding_counts,
     stream_dedup_by_key,
+    stream_stream_join,
     tumbling_counts,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "sessionized_counts",
     "sliding_counts",
     "stream_dedup_by_key",
+    "stream_stream_join",
     "tumbling_counts",
 ]

@@ -206,3 +206,48 @@ def running_counts_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Watermarked stream-stream inner join: match rows sharing
+    ``key_col`` whose event times are within ``max_delay`` of each
+    other (right-side event at or after the left's).
+
+    The time-bound predicate is what makes this viable at scale: it
+    lets Spark EVICT buffered state — each side holds only rows newer
+    than (watermark + delay), so state is bounded by arrival rate ×
+    window, not by stream length. An unbounded-state stream join (no
+    watermark, no time bound) is refused by Spark for exactly that
+    reason.
+
+    Returns (key, left_ts, right_ts, left_value, right_value) pairs.
+    """
+    lw = left.withWatermark(left_ts, watermark).select(
+        F.col(key_col).alias("k"),
+        F.col(left_ts).alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    rw = right.withWatermark(right_ts, watermark).select(
+        F.col(key_col).alias("rk"),
+        F.col(right_ts).alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lw.join(rw, cond).select(
+        F.col("k").alias(key_col), "l_ts", "r_ts", "l_value", "r_value"
+    )

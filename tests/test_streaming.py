@@ -150,3 +150,35 @@ def test_running_counts_stateful_matches_batch(spark, events_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream_dir):
+    left = streaming.read_stream_parquet(
+        spark, events_stream_dir, schemas.TESTDATA["events"]
+    )
+    right = streaming.read_stream_parquet(
+        spark, events_stream_dir, schemas.TESTDATA["events"]
+    )
+    q = (
+        streaming.stream_stream_join(left, right, max_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT COUNT(*) AS n FROM ssj_out").first().n
+
+    batch = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "value"
+    )
+    l = batch.alias("l")
+    r = batch.alias("r")
+    want = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+    ).count()
+    assert got == want
