@@ -146,8 +146,9 @@ def with_minhash_signature(
     num_hashes: int = 64,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """MinHash signature: for permutation ``i``, ``min(xxhash64(i,
-    shingle))`` over the shingle set. Entirely row-local (``transform`` +
+    """MinHash signature (Broder, "On the resemblance and containment
+    of documents", SEQUENCES 1997): for permutation ``i``,
+    ``min(xxhash64(i, shingle))`` over the shingle set. Entirely row-local (``transform`` +
     ``array_min``), so the 100 TB cost is one scan — no shuffle, no UDF.
 
     Cost shape: each shingle string is xxhash64'd ONCE; the
@@ -189,7 +190,9 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.8,
     materialize_signatures: bool = True,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
+    (banding scheme per Gionis/Indyk/Motwani, "Similarity search in
+    high dimensions via hashing", VLDB 1999).
 
     Plan shape (the scale story): signature computation is a narrow map;
     band hashes explode to ``bands`` rows per doc (16-byte keys); the
@@ -290,8 +293,9 @@ def minhash_dedup(
 def with_simhash(
     df: DataFrame, text_col: str, out_col: str = "simhash", shingle_n: int = 2
 ) -> DataFrame:
-    """64-bit SimHash, computed row-locally with ``aggregate`` /
-    ``zip_with`` over the shingle array (no shuffle, no UDF): each
+    """64-bit SimHash (Charikar, "Similarity estimation techniques
+    from rounding algorithms", STOC 2002), computed row-locally with
+    ``aggregate`` / ``zip_with`` over the shingle array (no shuffle, no UDF): each
     ``shingle_n``-gram votes ±1 per bit position from its xxhash64; the
     signature takes the sign of each bit's vote sum. Shingles rather
     than unigram tokens: on small-vocabulary corpora unigram token sets

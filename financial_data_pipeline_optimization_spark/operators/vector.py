@@ -16,7 +16,9 @@ Scale design:
   (shuffles 8-byte keys, not vectors); exact re-rank only within
   buckets. The 100 TB path: cost ~ O(rows·planes·d) map + a
   key-balanced shuffle.
-- ``ivf_topk``: inverted-file ANN — deterministic centroids, cells
+- ``ivf_topk``: inverted-file ANN (the IVF scheme of Jégou/Douze/
+  Schmid, "Product quantization for nearest neighbor search", TPAMI
+  2011, without the PQ compression) — deterministic centroids, cells
   assigned per-row, probes the ``nprobe`` nearest cells only.
 """
 
@@ -124,8 +126,8 @@ def with_lsh_bucket(
     seed: int = 42,
     out_col: str = "lsh_bucket",
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id: sign bit per plane packed into a
-    long. Narrow map, no shuffle; cosine-similar vectors collide with
+    """Random-hyperplane LSH bucket id (Charikar, STOC 2002): sign bit
+    per plane packed into a long. Narrow map, no shuffle; cosine-similar vectors collide with
     probability (1 - θ/π)^planes.
 
     The planes×dim literal tree is generated as one SQL string (single
