@@ -6,13 +6,13 @@ survive for {A, B, C} even when A~C was never emitted. That is
 connected components over the similarity graph.
 
 Implementation: iterative min-label propagation expressed as DataFrame
-joins (the dataflow-native baseline that large-star/small-star methods
-— Kiveris et al., "Connected components in MapReduce and beyond", SoCC
-2014 — optimize; near-dup graphs have tiny diameters, so the baseline's
-O(diameter) rounds is already 2-4 rounds). Every node starts labeled with itself; each round, a node
-adopts the minimum label among itself and its neighbors; convergence
-in O(graph diameter) rounds. Near-dup graphs have tiny diameters
-(clusters are quasi-cliques), so a handful of rounds suffices.
+joins — the dataflow-native baseline that large-star/small-star methods
+(Kiveris et al., "Connected components in MapReduce and beyond", SoCC
+2014) optimize. Every node starts labeled with itself; each round, a
+node adopts the minimum label among itself and its neighbors;
+convergence in O(graph diameter) rounds. Near-dup graphs have tiny
+diameters (clusters are quasi-cliques), so a handful of rounds
+suffices.
 
 Scale mechanics this encodes:
 

@@ -127,8 +127,8 @@ def with_lsh_bucket(
     out_col: str = "lsh_bucket",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (Charikar, STOC 2002): sign bit
-    per plane packed into a long. Narrow map, no shuffle; cosine-similar vectors collide with
-    probability (1 - θ/π)^planes.
+    per plane packed into a long. Narrow map, no shuffle; cosine-similar
+    vectors collide with probability (1 - θ/π)^planes.
 
     The planes×dim literal tree is generated as one SQL string (single
     ``expr`` round-trip) — building it Column-by-Column costs ~1 py4j
