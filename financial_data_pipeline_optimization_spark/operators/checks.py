@@ -1,0 +1,80 @@
+"""Data-quality checks (the engine-side replacement for the reference's
+guard-and-fail sites).
+
+The reference's only correctness mechanism is 14 runtime
+``raise AirflowFailException`` guards (SURVEY.md §5.1) — fetch failed,
+file missing, input empty. A warehouse at scale needs *data*-level
+checks too: key uniqueness, referential integrity, null/distinct
+profiles. All are single-pass aggregations or anti joins; run them as
+assertions between pipeline stages or as monitoring queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-column profile in one scan: row count, null count, exact
+    distinct count. Returns long-format
+    ``(column_name, n_rows, n_nulls, n_distinct)`` — one row per
+    column, computed in a single aggregate (multiple DISTINCT
+    aggregates expand the plan; for profiling-only use at extreme
+    widths, swap ``approx_count_distinct``)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+        ]
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+        )
+        for c in columns
+    ]
+    return row.select(F.inline(F.array(*entries)))
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key tuples violating uniqueness, with their multiplicities.
+    Empty result = the key is unique. One shuffle on the key."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: Sequence[str] | str,
+    pk: Sequence[str] | str,
+) -> DataFrame:
+    """Child rows whose foreign key has no parent — a left-anti join
+    (the same plan shape as the reference's NOT-EXISTS merge,
+    ``loading.py:166-168``, pointed at integrity instead of dedup)."""
+    fks = [fk] if isinstance(fk, str) else list(fk)
+    pks = [pk] if isinstance(pk, str) else list(pk)
+    cond = [
+        child[f].eqNullSafe(parent[p]) for f, p in zip(fks, pks, strict=True)
+    ]
+    return child.join(parent, cond, "left_anti")
+
+
+def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
+    """Raise if ``keys`` is not a unique key (fail-fast pipeline guard)."""
+    dupes = duplicate_keys(df, keys).limit(5).collect()
+    if dupes:
+        raise ValueError(
+            f"uniqueness violated for key {list(keys)}; "
+            f"first offenders: {[tuple(r)[:-1] for r in dupes]}"
+        )

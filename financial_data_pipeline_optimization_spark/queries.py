@@ -2935,3 +2935,112 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(
         docs, "doc_id", "text", n=2, min_jaccard=0.8
     )
+
+
+@_register(
+    "tpch_q19_disjunctive",
+    """
+    SELECT floor(SUM(l.l_extendedprice * (1 - l.l_discount))*100 + 0.50005)
+             /100 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 5 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 15 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 25 AND 40)
+    """,
+    doc="TPC-H Q19 (shipmode/container predicates dropped — columns "
+    "absent): disjunction of brand×size×quantity conjunctions across "
+    "both join sides — the classic test that per-side filters still "
+    "push down (Catalyst extracts p_brand IN (...) and quantity "
+    "bounds below the join) while the cross-side residual stays on "
+    "the join.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(15, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(25, 40)
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+# ===========================================================================
+# Data-quality checks (operators/checks.py)
+# ===========================================================================
+
+
+@_register(
+    "data_quality_profile",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_custkey) AS nn1, COUNT(DISTINCT o_custkey) AS nd1,
+             COUNT(o_orderstatus) AS nn2,
+             COUNT(DISTINCT o_orderstatus) AS nd2,
+             COUNT(o_totalprice) AS nn3,
+             COUNT(DISTINCT o_totalprice) AS nd3
+      FROM orders)
+    SELECT 'o_custkey' AS column_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(n - nn1 AS BIGINT) AS n_nulls,
+           CAST(nd1 AS BIGINT) AS n_distinct FROM m
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
+           CAST(nd2 AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
+           CAST(nd3 AS BIGINT) FROM m
+    """,
+    doc="Single-scan column profile (rows / nulls / exact distinct per "
+    "column, long format) — the data-level health check the "
+    "reference's guard-and-fail sites never compute.",
+)
+def q_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import checks
+
+    return checks.column_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
+@_register(
+    "referential_orphans",
+    """
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    doc="Referential-integrity check: lineitem rows with no parent "
+    "order (left-anti join — the reference's NOT-EXISTS plan shape "
+    "pointed at integrity; empty on consistent data).",
+)
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import checks
+
+    return checks.referential_orphans(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber"),
+        _t(spark, sf_dir, "orders").select("o_orderkey"),
+        "l_orderkey",
+        "o_orderkey",
+    )
