@@ -1,0 +1,110 @@
+"""End-to-end training-corpus curation plan (BASELINE.json north star).
+
+The finance plan (``plans/finance.py``) is the reference pipeline
+re-expressed; this is its LLM-data twin: the standard curation funnel
+composed entirely from this engine's operators, in the order a
+production corpus build runs them —
+
+1. **hygiene** — tag-strip / control-char / whitespace normalize, PII
+   redaction (``operators.text.clean_text`` / ``redact_pii``);
+2. **language filter** — n-gram marker heuristic
+   (``operators.text.with_lang_id``);
+3. **quality filter** — token-count / punctuation / type-token gates
+   (``operators.text.quality_filter``);
+4. **exact dedup** — normalized-content hash, keep lowest id
+   (``operators.dedup.exact_dedup``);
+5. **near-dedup** — n-gram-Jaccard pairs → connected components →
+   keep each cluster's minimum id (``operators.dedup.near_dup_clusters``);
+6. **annotate** — token counts for budget accounting
+   (``operators.text.with_token_count``);
+7. **split** — deterministic train/val/test by key hash
+   (``operators.sampling.with_split``).
+
+Stage order is load-bearing at 100 TB: the narrow row-local stages
+(1-3) run first and shrink the corpus before anything that shuffles
+(4) or iterates (5); annotation and splitting are narrow again, so the
+expensive middle sees the smallest possible input. Everything except
+the near-dup component loop is lazy; set ``near_dedup=False`` for a
+fully lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_optimization_spark.operators import (
+    dedup,
+    sampling,
+    text,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_tokens: int = 20,
+    near_dedup: bool = True,
+    near_dup_jaccard: float = 0.8,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """Run the full curation funnel; returns the surviving documents
+    with ``lang_pred``, ``n_bpe_ish_tokens`` and ``split``
+    annotations."""
+    out = text.redact_pii(
+        text.clean_text(docs.select(id_col, text_col), text_col), text_col
+    )
+    out = text.with_lang_id(out, text_col)
+    out = out.filter(F.col("lang_pred").isin(*languages))
+    out = text.quality_filter(
+        out.select(id_col, text_col, "lang_pred"), text_col,
+        min_tokens=min_tokens,
+    )
+    out = dedup.exact_dedup(out, [text_col], id_col)
+    if near_dedup:
+        clusters = dedup.near_dup_clusters(
+            out, id_col, text_col, n=2, min_jaccard=near_dup_jaccard
+        )
+        keep = clusters.filter(
+            F.col(id_col) == F.col("cluster_id")
+        ).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
+    out = text.with_token_count(out, text_col)
+    out = sampling.with_split(
+        out, [id_col], splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out
+
+
+def funnel_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> dict[str, int]:
+    """Per-stage survivor counts (monitoring/reporting; one action per
+    stage — use for audits, not in the hot path)."""
+    counts = {"input": docs.count()}
+    cleaned = text.redact_pii(
+        text.clean_text(docs.select(id_col, text_col), text_col), text_col
+    )
+    lang = text.with_lang_id(cleaned, text_col).filter(
+        F.col("lang_pred").isin(*kwargs.get("languages", ("en",)))
+    )
+    counts["lang_filtered"] = lang.count()
+    quality = text.quality_filter(
+        lang.select(id_col, text_col), text_col,
+        min_tokens=kwargs.get("min_tokens", 20),
+    )
+    counts["quality_filtered"] = quality.count()
+    exact = dedup.exact_dedup(quality, [text_col], id_col)
+    counts["exact_deduped"] = exact.count()
+    clusters = dedup.near_dup_clusters(
+        exact, id_col, text_col, n=2,
+        min_jaccard=kwargs.get("near_dup_jaccard", 0.8),
+    )
+    survivors = clusters.filter(F.col(id_col) == F.col("cluster_id"))
+    counts["near_deduped"] = survivors.count()
+    return counts
