@@ -61,10 +61,30 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    arrow: bool = True,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast ``queries`` (must be small — a
-    bounded query batch), score every corpus row, keep k per query by
-    ``row_number`` (ties broken by corpus id → deterministic output).
+    """Exact cosine top-k of every corpus row against a bounded query
+    batch. Returns ``(query_id, neighbor_id, rank, cosine_sim)``,
+    rank ties broken by ``neighbor_id`` (deterministic output).
+
+    ``arrow=True`` (default): the scale path. The query batch is
+    collected to a q×d float64 matrix (bounded by contract — the same
+    bound the broadcast path needs) and closed over by a ``mapInPandas``
+    stage that scores each Arrow batch of the corpus with ONE BLAS
+    matmul and emits only its LOCAL top-k per query. Per corpus
+    partition only ``k·q`` rows survive to the global ``row_number``
+    merge — the shuffle is O(partitions·k·q), never O(corpus). A
+    partition-local top-k under a total order (sim desc, id asc) is a
+    superset of the global top-k, so the merge is exact. Cosine is
+    computed in float64; callers that need cross-engine value equality
+    round to ≤6 decimals (the registry's knn query rounds to 4), which
+    absorbs summation-order differences vs a sequential loop.
+
+    ``arrow=False``: pure-JVM expression path (``zip_with`` +
+    ``aggregate``) — bit-identical to a sequential-loop oracle, but
+    higher-order-function lambdas evaluate interpreted per element, so
+    the inner loop is ~100× slower than the matmul. Kept for
+    environments without Arrow/pandas and for bit-parity checks.
 
     Norms are precomputed per ROW on each side of the join, so the
     per-PAIR work is one dot product — ``cosine_similarity`` inline
@@ -72,9 +92,20 @@ def brute_force_topk(
     tripling the O(corpus × queries) inner-loop cost. Projections below
     the join are not inlined across it, so the norm really is computed
     once per row.
-
-    Returns ``(query_id, neighbor_id, rank, cosine_sim)``.
     """
+    from pyspark.sql import Window
+
+    if arrow:
+        scored = _arrow_scored_local_topk(
+            corpus, queries, k, id_col, vec_col, query_id_col
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         _to_double(F.col(vec_col)).alias("__qv"),
@@ -104,6 +135,75 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _arrow_scored_local_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Per-Arrow-batch exact cosine scoring with local top-k pruning.
+
+    Emits at most ``k`` rows per (query, corpus batch) — the candidate
+    superset the caller's global ``row_number`` reduces exactly.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    if q_mat.size:
+        q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    else:
+        q_unit = q_mat
+
+    out_schema = StructType(
+        [
+            StructField(
+                query_id_col, queries.schema[id_col].dataType, True
+            ),
+            StructField(
+                "neighbor_id", corpus.schema[id_col].dataType, True
+            ),
+            StructField("cosine_sim", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty or not len(q_ids):
+                continue
+            ids = pdf[id_col].to_numpy()
+            c_mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_unit @ q_unit.T  # (batch, q)
+            take = min(k, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j].copy()
+                col[ids == qid] = -np.inf  # self-match excluded
+                # total order (sim desc, neighbor_id asc): primary key
+                # last in lexsort
+                order = np.lexsort((ids, -col))[:take]
+                order = order[np.isfinite(col[order])]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: out_q,
+                    "neighbor_id": out_n,
+                    "cosine_sim": out_s,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
 def _hyperplanes(num_planes: int, dim: int, seed: int) -> list[list[float]]:
