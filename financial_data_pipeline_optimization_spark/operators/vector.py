@@ -1,16 +1,20 @@
 """Vector similarity-search operators (BASELINE.json north star).
 
-Embeddings are ``array<float>`` columns. Distance math uses Spark's
-higher-order functions (``zip_with`` + ``aggregate``) — JVM-side, no
-Python, computed in double precision so the DuckDB oracle
-(``list_cosine_similarity`` over ``DOUBLE[]``) reproduces results
-bit-for-bit.
+Embeddings are ``array<float>`` columns. Distance math comes in two
+forms: Spark higher-order functions (``zip_with`` + ``aggregate``,
+JVM-side, double precision, bit-identical to the DuckDB oracle's
+``list_cosine_similarity`` loop) for per-pair expressions inside
+joins, and Arrow-batched numpy matmul (``mapInPandas``) where a whole
+corpus-batch × query-batch score matrix is needed — the expression
+form evaluates its lambdas interpreted (no codegen), so the matmul is
+~100× faster on the dense all-pairs shape.
 
 Scale design:
 
-- ``brute_force_topk``: exact k-NN — broadcast the (small) query set
-  against the full corpus; one scan, no shuffle of the corpus, per-row
-  work O(q·d). The correctness baseline.
+- ``brute_force_topk``: exact k-NN — one corpus scan scoring each
+  Arrow batch against the bounded query matrix, partition-local top-k,
+  then a global merge of O(partitions·k·q) rows. No corpus shuffle.
+  The correctness baseline.
 - ``lsh_topk``: random-hyperplane LSH — signature computation is a
   narrow map; candidate generation is an equi-join on bucket ids
   (shuffles 8-byte keys, not vectors); exact re-rank only within

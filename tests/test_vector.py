@@ -31,6 +31,24 @@ def test_brute_force_topk_shape(spark):
     assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
 
 
+def test_brute_force_arrow_matches_jvm_path(spark):
+    """The Arrow matmul path and the pure-JVM expression path are two
+    implementations of the same exact operator: identical neighbors,
+    identical ranks, sims equal to well past the registry's 4-decimal
+    rounding (they differ only in float summation order)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    a = {key(r): r for r in
+         vector.brute_force_topk(emb, queries, k=5, arrow=True).collect()}
+    j = {key(r): r for r in
+         vector.brute_force_topk(emb, queries, k=5, arrow=False).collect()}
+    assert a.keys() == j.keys()
+    for kk in a:
+        assert a[kk].neighbor_id == j[kk].neighbor_id, kk
+        assert abs(a[kk].cosine_sim - j[kk].cosine_sim) < 1e-9, kk
+
+
 def test_lsh_topk_recall(spark):
     """Single-probe sign-LSH: every returned neighbor must be genuinely
     bucket-colliding and scored exactly; require non-trivial overlap
