@@ -165,7 +165,15 @@ def with_minhash_signature(
     The wide expression is generated as ONE SQL string (a single
     ``expr`` / py4j round-trip): building the same tree Column-by-Column
     costs hundreds of driver→JVM calls ≈ seconds of plan-build latency
-    before any task runs."""
+    before any task runs.
+
+    An Arrow-batched numpy alternative (``mapInPandas`` + C-speed
+    string hashing + vectorized XOR-min, analogous to
+    ``vector.brute_force_topk``'s matmul path) was measured ~4× SLOWER
+    at equal parallelism: serializing the corpus-sized shingle arrays
+    out of the JVM costs more than the interpreted lambda evaluation,
+    which is per-shingle-hash-bound, not per-permutation-bound. The
+    HOF form stays."""
     import random
 
     rng = random.Random(0x5EED ^ num_hashes)
