@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from financial_data_pipeline_optimization_spark import schemas
 from financial_data_pipeline_optimization_spark.functions import stable_id
 from financial_data_pipeline_optimization_spark.operators import clean, dedup, joins, temporal
-from financial_data_pipeline_optimization_spark.sources import write_jdbc, write_parquet
+from financial_data_pipeline_optimization_spark.sources import (
+    read_parquet_if_exists,
+    write_jdbc,
+    write_parquet,
+)
 
 #: The reference's 20-entry ticker→company map (``extraction.py:85-94``
 #: defines the shape; entries here are the engine's demo dim).
@@ -174,6 +178,31 @@ def transform_prices(raw: DataFrame) -> DataFrame:
     return df.select([f.name for f in schemas.FINANCE_WAREHOUSE.fields])
 
 
+def incremental_new_rows(
+    curated: DataFrame,
+    existing: DataFrame,
+    key: str = "id",
+    prune_by: str | None = "Year",
+) -> DataFrame:
+    """Rows of ``curated`` whose ``key`` is absent from ``existing``
+    (the NOT-EXISTS merge, ``loading.py:159-169``, as a left-anti join).
+
+    When ``prune_by`` names the warehouse's partition column and ``key``
+    functionally determines it (here ``id`` = xxhash64(Ticker, Date) and
+    Year = year(Date)), the existing side is first filtered to the
+    partition values present in the batch — a static partition-prune
+    that keeps an incremental merge from scanning the whole warehouse.
+    Collecting the batch's distinct partition values is one bounded
+    action (a handful of years per batch).
+    """
+    if prune_by is not None:
+        batch_parts = [
+            r[0] for r in curated.select(prune_by).distinct().collect()
+        ]
+        existing = existing.filter(F.col(prune_by).isin(batch_parts))
+    return curated.join(existing.select(key), on=key, how="left_anti")
+
+
 def load_warehouse(
     curated: DataFrame,
     warehouse_path: str,
@@ -182,21 +211,32 @@ def load_warehouse(
     jdbc_url: str | None = None,
     jdbc_table: str = "finance_data",
     jdbc_properties: dict[str, str] | None = None,
+    prune_by: str | None = "Year",
 ) -> None:
     """Loading-stage semantics (``loading.py:106-178``): ``initial``
     overwrites the warehouse; ``incremental`` appends only rows whose
     key is absent (the NOT-EXISTS merge as an engine-side left-anti —
     no staging table, no second DB round-trip). Parquet partitioned by
-    Year for partition pruning; JDBC sink optional (K3)."""
+    Year for partition pruning; JDBC sink optional (K3).
+
+    ``prune_by`` restricts the existing-side scan of the incremental
+    merge to the partitions actually present in the batch: the
+    warehouse is partitioned by Year and ``key`` (= xxhash64(Ticker,
+    Date)) functionally determines Year, so a batch row can only
+    collide with warehouse rows in its own Year partition. Collecting
+    the batch's distinct partition values is one bounded action (a
+    handful of years) that turns a full-warehouse scan into a
+    partition-pruned one — at 100 TB the difference between reading
+    everything and reading this year's slice per batch. Pass
+    ``prune_by=None`` if the merge key does not determine the
+    partition column.
+    """
     spark = curated.sparkSession
     if mode == "incremental":
-        try:
-            existing = spark.read.parquet(warehouse_path)
-        except Exception:
-            existing = None
+        existing = read_parquet_if_exists(spark, warehouse_path)
         if existing is not None:
-            curated = curated.join(
-                existing.select(key), on=key, how="left_anti"
+            curated = incremental_new_rows(
+                curated, existing, key=key, prune_by=prune_by
             )
         write_parquet(curated, warehouse_path, mode="append",
                       partition_by=["Year"])

@@ -58,8 +58,44 @@ def _register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# Names that already have a green driver-side CORRECTNESS_r01.json row.
+# The round-1 driver checked exactly the first 50 registry entries, so
+# ``registry()`` surfaces the not-yet-driver-checked queries first; the
+# r01-checked set keeps its relative order at the tail. Once every name
+# has a driver row this reordering becomes a no-op in effect.
+_DRIVER_CHECKED_R01 = frozenset(
+    {
+        "flagship_monthly_segment_revenue", "temporal_derive", "cast_project",
+        "fillna_outer_join", "dedup_keep_latest", "anti_join_new_keys",
+        "upsert_merge", "lookup_join_dim", "union_sort", "stable_id",
+        "group_agg_pricing_summary", "topk_orders", "window_rank_in_nation",
+        "window_moving_avg", "window_lag_returns", "rollup_region_nation",
+        "cube_status_priority", "set_intersect", "set_except",
+        "semi_join_big_spenders", "distinct_agg", "pivot_status_by_priority",
+        "star_join_revenue_by_region", "json_extract_agg",
+        "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
+        "asof_join_last_view", "range_join_followers", "text_stats",
+        "token_count_bpe_ish", "lang_id_heuristic", "doc_fingerprint",
+        "quality_filter", "exact_dedup_docs", "ngram_jaccard_pairs",
+        "minhash_lsh_pairs", "simhash_pairs", "knn_brute_force", "knn_lsh",
+        "knn_ivf", "embedding_near_dup", "approx_aggregates",
+        "multimodal_features", "string_functions", "math_functions",
+        "conditional_functions", "array_functions", "full_outer_join",
+        "cross_join_dims",
+    }
+)
+
+
 def registry() -> list[QuerySpec]:
-    return list(_REGISTRY)
+    """All registered queries, never-driver-checked names first.
+
+    Stable within each group (definition order), so the driver's
+    prefix-limited correctness sweep reaches the queries that have no
+    CORRECTNESS row yet before re-verifying the ones that do.
+    """
+    fresh = [s for s in _REGISTRY if s.name not in _DRIVER_CHECKED_R01]
+    checked = [s for s in _REGISTRY if s.name in _DRIVER_CHECKED_R01]
+    return fresh + checked
 
 
 def _r2(c):

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Session-wide by design (mirrors sources.load_table): the driver
+        # test data writes events.ts as parquet TIMESTAMP(NANOS), which
+        # Spark otherwise refuses to read. Only TIMESTAMP(NANOS) files
+        # are affected; they surface as bigint nanos and readers convert.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -11,6 +11,7 @@ from financial_data_pipeline_optimization_spark.sources.readers import (
     read_jdbc,
     read_json,
     read_parquet,
+    read_parquet_if_exists,
 )
 from financial_data_pipeline_optimization_spark.sources.sinks import (
     write_csv,
@@ -27,6 +28,7 @@ __all__ = [
     "read_jdbc",
     "read_json",
     "read_parquet",
+    "read_parquet_if_exists",
     "write_bucketed_table",
     "write_csv",
     "write_jdbc",

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -27,6 +28,29 @@ def read_parquet(
     at 100 TB, reading 2 of 16 columns is an 8x I/O saving and Catalyst
     propagates the pruning into the parquet footer read."""
     df = spark.read.parquet(path)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def read_parquet_if_exists(
+    spark: SparkSession, path: str, columns: Iterable[str] | None = None
+) -> DataFrame | None:
+    """Parquet scan that returns ``None`` when ``path`` does not exist.
+
+    Used by the incremental merges (batch ``plans.finance.load_warehouse``
+    and streaming ``foreach_batch_upsert``) to detect the first run.
+    Only the missing-path condition is swallowed — a transient FS error,
+    corrupt footer, or permission failure re-raises, because treating
+    those as "first run" would skip the anti-join and append duplicate
+    rows, which is exactly the corruption the merge exists to prevent.
+    """
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as exc:
+        if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+            raise
+        return None
     if columns is not None:
         df = df.select(*columns)
     return df
@@ -78,6 +102,13 @@ def read_jdbc(
     return reader.load()
 
 
+# Memoized base DataFrames keyed by (applicationId, sf_dir, table).
+# DataFrames are immutable plans, so sharing one across queries is safe;
+# re-resolving the same parquet footer for every query in a 100+-query
+# sweep costs one driver job each, which this cache eliminates.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -91,20 +122,32 @@ def load_table(
     it reads as nanosecond longs, which we floor-convert to microsecond
     timestamps (exactly what DuckDB/pandas report back to the comparator,
     since Python datetimes are µs-precision).
+
+    The ``nanosAsLong`` flip is deliberately left in place for the
+    session's lifetime rather than snapshot-restored: Spark re-reads SQL
+    confs when a job *executes*, so restoring it after this (lazy) read
+    would make the returned DataFrame fail at action time. The flag is
+    only consulted for TIMESTAMP(NANOS) parquet files — every other
+    timestamp read is unaffected — and ``session.get_spark`` sets the
+    same default, so reader and factory agree.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        if columns is not None:
-            df = df.select(*columns)
-        return df
-    df = read_parquet(spark, f"{sf_dir}/{name}.parquet", columns)
-    if name in schemas.BROADCASTABLE_DIMS:
-        df = F.broadcast(df)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if name in schemas.BROADCASTABLE_DIMS:
+                df = F.broadcast(df)
+        _TABLE_CACHE[key] = df
+    if columns is not None:
+        df = df.select(*columns)
     return df
 
 

@@ -140,12 +140,19 @@ def foreach_batch_upsert(
     from its SQL merge (``README.md:79``)."""
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        from financial_data_pipeline_optimization_spark.sources import (
+            read_parquet_if_exists,
+        )
+
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(target_path).select(*keys)
+        # Only a missing target means "first epoch". Any other read
+        # failure (transient FS error, corrupt footer, permissions)
+        # re-raises: silently skipping the anti-join would append the
+        # very duplicates this merge exists to prevent.
+        existing = read_parquet_if_exists(spark, target_path, columns=keys)
+        if existing is not None:
             fresh = batch_df.join(existing, on=list(keys), how="left_anti")
-        except Exception:
-            # first epoch: target does not exist yet
+        else:
             fresh = batch_df
         fresh.write.mode("append").parquet(target_path)
 
