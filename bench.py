@@ -44,6 +44,12 @@ HEADLINE = [
     "knn_brute_force",
     "finance_ohlc_bars",
     "finance_ema",
+    # r2 additions: the heaviest multi-join TPC-H plans and the
+    # iterative connected-components path, so regressions in those
+    # shapes are visible round-over-round.
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "near_dup_clusters",
 ]
 
 
@@ -83,11 +89,14 @@ def main() -> None:
         for _ in range(reps):
             start = time.perf_counter()
             df = spec.spark(spark, SF_DIR)
-            # Force full execution without driver-side materialization
-            # cost: write nothing, but evaluate every row.
-            n = df.count()
+            # Force full execution of EVERY output column without
+            # driver-side materialization: the noop sink consumes all
+            # rows and columns but writes nothing. A count() here would
+            # let Catalyst prune unreferenced projections — e.g. a
+            # window query whose moving-avg column nothing filters on
+            # would be timed as a zero-column scan.
+            df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
-            assert n >= 0
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
 

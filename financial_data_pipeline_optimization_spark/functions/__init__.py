@@ -20,31 +20,53 @@ def weekday_name(col: Column | str) -> Column:
     return F.date_format(col, "EEEE")
 
 
-def stable_id(*key_cols: Column | str, sep: str = "\x1f") -> Column:
-    """F7 replacement: deterministic 64-bit id from the natural key.
+def null_safe_key(*key_cols: Column | str, sep: str = "\x1f") -> Column:
+    """Injective string encoding of a multi-column natural key.
 
-    The reference keys the warehouse on ``monotonically_increasing_id()``
-    (``transformation.py:92``), which is partition-layout-dependent and
-    unstable across runs — it breaks the NOT-EXISTS dedup it feeds
-    (SURVEY.md §4.2.6). ``xxhash64`` over the natural key is stable
-    under any partitioning, shuffle, or rerun, which is what a 100 TB
-    incremental merge needs.
+    Each part is prefixed with a null-flag byte — ``\\x00`` for NULL,
+    ``\\x01`` followed by the string cast otherwise — then joined with
+    ``sep``. Plain ``concat_ws`` silently SKIPS null parts, so
+    ``('a', NULL)`` and ``('a', '')`` would encode identically and two
+    distinct natural keys would collide (a merge keyed on the hash
+    would then drop a legitimate row). The flag byte keeps NULL,
+    empty-string, and absent distinguishable. ``F.concat`` (not
+    ``concat_ws``) is safe here because the ``when`` makes every part
+    non-null.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     parts: list[Column] = []
     for i, c in enumerate(cols):
         if i:
             parts.append(F.lit(sep))
-        parts.append(c.cast("string"))
-    return F.xxhash64(F.concat_ws("", *parts))
+        s = c.cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("\x01"), s)
+            )
+        )
+    return F.concat(*parts)
+
+
+def stable_id(*key_cols: Column | str, sep: str = "\x1f") -> Column:
+    """F7 replacement: deterministic 64-bit id from the natural key.
+
+    The reference keys the warehouse on ``monotonically_increasing_id()``
+    (``transformation.py:92``), which is partition-layout-dependent and
+    unstable across runs — it breaks the NOT-EXISTS dedup it feeds
+    (SURVEY.md §4.2.6). ``xxhash64`` over the :func:`null_safe_key`
+    encoding is stable under any partitioning, shuffle, or rerun, and
+    distinct natural keys differing only by NULL-vs-empty stay distinct.
+    """
+    return F.xxhash64(null_safe_key(*key_cols, sep=sep))
 
 
 def portable_id(*key_cols: Column | str, sep: str = "\x1f") -> Column:
     """Like :func:`stable_id` but md5-based, so an ANSI-SQL oracle
     (DuckDB ``md5``) can reproduce it bit-for-bit for correctness
-    checks. Hex string, 128-bit."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    return F.md5(F.concat_ws(sep, *[c.cast("string") for c in cols]))
+    checks — the oracle twin of each part is
+    ``CASE WHEN c IS NULL THEN chr(0) ELSE chr(1) || CAST(c AS VARCHAR)
+    END`` joined with ``chr(31)``. Hex string, 128-bit."""
+    return F.md5(null_safe_key(*key_cols, sep=sep))
 
 
 def calendar_columns(date_col: Column | str) -> dict[str, Column]:

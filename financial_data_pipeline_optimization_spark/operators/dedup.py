@@ -77,13 +77,18 @@ def exact_dedup(
     window avoids ``dropDuplicates``'s arbitrary-row semantics and keeps
     the output deterministic. Shuffles only on the 16-byte digest.
     """
+    from financial_data_pipeline_optimization_spark.functions import null_safe_key
+
     cols = []
     for c in content_cols:
         col = F.col(c).cast("string")
         if normalize:
             col = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
         cols.append(col)
-    hashed = df.withColumn("__h", F.md5(F.concat_ws("\x1f", *cols)))
+    # null_safe_key (not concat_ws) so a NULL column and an empty one
+    # hash differently — concat_ws skips nulls, which would merge
+    # distinct contents into one dedup group.
+    hashed = df.withColumn("__h", F.md5(null_safe_key(*cols)))
     return keep_latest(hashed, ["__h"], [id_col], descending=False).drop("__h")
 
 

@@ -220,7 +220,22 @@ def salted_join(
     session factory) can't help — e.g. a skewed aggregation feeding a
     join, or a non-AQE environment. Cost: ``other`` × ``salt_factor``
     shuffle volume; use only on genuinely skewed keys.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` (and cross) are
+    supported: the replicated ``other`` side carries one copy per salt
+    value, so for ``right`` or ``full_outer`` joins every salt value
+    absent from the skewed side would emit a spurious null-padded row —
+    unmatched right rows would be duplicated ``salt_factor`` times.
+    Those shapes raise instead of silently returning wrong rows.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the salted "
+            "replication of the non-skewed side duplicates unmatched "
+            "right-side rows. Salt the other side, or rely on AQE "
+            "skew-join handling for outer shapes."
+        )
     keys = list(on)
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor)

@@ -86,16 +86,37 @@ _DRIVER_CHECKED_R01 = frozenset(
 )
 
 
+# Queries whose implementation or oracle changed after their r01 driver
+# row was recorded — they need a fresh driver check, right after the
+# never-checked group.
+_CHANGED_SINCE_R01 = frozenset(
+    {
+        "stable_id",          # null-safe key encoding (oracle updated)
+        "exact_dedup_docs",   # null-safe content hash
+        "knn_ivf",            # k-means centroids + Arrow assignment
+        "approx_aggregates",  # now oracle-paired tolerance check
+        "embedding_near_dup",  # planted positive pairs
+    }
+)
+
+
 def registry() -> list[QuerySpec]:
-    """All registered queries, never-driver-checked names first.
+    """All registered queries, never-driver-checked names first, then
+    changed-since-r01 names, then the stable already-checked tail.
 
     Stable within each group (definition order), so the driver's
     prefix-limited correctness sweep reaches the queries that have no
-    CORRECTNESS row yet before re-verifying the ones that do.
+    (current) CORRECTNESS row before re-verifying the ones that do.
     """
     fresh = [s for s in _REGISTRY if s.name not in _DRIVER_CHECKED_R01]
-    checked = [s for s in _REGISTRY if s.name in _DRIVER_CHECKED_R01]
-    return fresh + checked
+    changed = [s for s in _REGISTRY if s.name in _CHANGED_SINCE_R01]
+    rest = [
+        s
+        for s in _REGISTRY
+        if s.name in _DRIVER_CHECKED_R01
+        and s.name not in _CHANGED_SINCE_R01
+    ]
+    return fresh + changed + rest
 
 
 def _r2(c):
@@ -374,8 +395,13 @@ def q_union_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stable_id",
     """
     SELECT o_orderkey,
-           md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR),
-                                   CAST(o_custkey AS VARCHAR))) AS row_id
+           md5(concat(
+             CASE WHEN o_orderkey IS NULL THEN chr(0)
+                  ELSE chr(1) || CAST(o_orderkey AS VARCHAR) END,
+             chr(31),
+             CASE WHEN o_custkey IS NULL THEN chr(0)
+                  ELSE chr(1) || CAST(o_custkey AS VARCHAR) END
+           )) AS row_id
     FROM orders
     """,
     doc="F7 replacement (SURVEY §7.4): deterministic content-derived row "
@@ -1227,26 +1253,63 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup",
     None,
     doc="Embedding-cosine near-duplicate pairs via LSH blocking "
-    "(operators.vector.embedding_near_dup_pairs). Rows-only check.",
+    "(operators.vector.embedding_near_dup_pairs). Rows-only check; the "
+    "three planted duplicates guarantee the positive path is exercised "
+    "at every SF (at sf0.001 the raw table has no >=0.9 pair, so a "
+    "0-row result would be indistinguishable from a broken operator).",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import vector
 
     emb = _t(spark, sf_dir, "embeddings")
-    return vector.embedding_near_dup_pairs(emb, threshold=0.9)
+    # Plant 3 exact duplicates (copies of the lowest-id vectors under
+    # shifted ids): cosine 1.0 and identical LSH bucket by construction,
+    # so the pipeline MUST surface at least these pairs.
+    planted = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000).cast("long"))
+    )
+    corpus = emb.unionByName(planted)
+    return vector.embedding_near_dup_pairs(corpus, threshold=0.9)
 
 
 @_register(
     "approx_aggregates",
-    None,  # approximate by definition; driver rows-only check
-    doc="approx_count_distinct + percentile_approx (sketch aggregates; "
-    "exactness bounds tested in pytest).",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_customers_ok,
+           TRUE AS approx_median_ok
+    FROM orders GROUP BY 1
+    """,
+    doc="approx_count_distinct + percentile_approx graded in-plan: the "
+    "sketch estimates are compared against the exact aggregates computed "
+    "in the same query, and only the within-tolerance booleans (plus the "
+    "exact distinct count) are emitted — so the DuckDB oracle can "
+    "hash-check that every sketch stayed inside its error bound.",
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey").alias("__approx_cd"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("__exact_med"),
+        F.percentile_approx("o_totalprice", 0.5).alias("__approx_med"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.col("exact_customers").cast("long").alias("exact_customers"),
+        (
+            F.abs(F.col("__approx_cd") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            < 0.1
+        ).alias("approx_customers_ok"),
+        (
+            F.abs(F.col("__approx_med") - F.col("__exact_med"))
+            / F.col("__exact_med")
+            < 0.1
+        ).alias("approx_median_ok"),
     )
 
 

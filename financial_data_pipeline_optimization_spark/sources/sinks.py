@@ -54,12 +54,15 @@ def write_jdbc(
     when reducing to the connection count."""
     out = df
     if num_partitions is not None:
-        current = df.rdd.getNumPartitions()
-        out = (
-            df.coalesce(num_partitions)
-            if current > num_partitions
-            else df.repartition(num_partitions)
-        )
+        # Unconditional coalesce: it caps the connection count without a
+        # shuffle and is a no-op when the plan already has fewer
+        # partitions (writing with fewer connections than the cap is
+        # fine). Probing df.rdd.getNumPartitions() to decide would
+        # instantiate the RDD lineage just to read a number — the exact
+        # RDD-round-trip style SURVEY.md §4.2.2 flags. Callers that
+        # need to FAN OUT a too-narrow plan should repartition upstream,
+        # where the shuffle cost is an explicit choice.
+        out = df.coalesce(num_partitions)
     writer = (
         out.write.format("jdbc")
         .option("url", url)

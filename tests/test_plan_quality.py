@@ -166,3 +166,22 @@ def test_incremental_merge_prunes_warehouse_partitions(spark, tmp_path):
         scan_lines
     )
     assert not any("2023" in line for line in scan_lines), scan_lines
+
+
+def test_no_rdd_round_trips_in_package():
+    """Policy gate (SURVEY.md §4.2.2): no `.rdd` access anywhere in the
+    engine — instantiating the RDD lineage to read metadata (partition
+    counts, emptiness) silently abandons Catalyst/Tungsten."""
+    import re
+    from pathlib import Path
+
+    import financial_data_pipeline_optimization_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.rdd\b", code):
+                offenders.append(f"{py}:{i}")
+    assert not offenders, offenders

@@ -124,3 +124,31 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     compact_parquet(spark, src, target_partition_bytes=1 << 30, out_path=out)
     assert parquet_file_count(spark, src) == 1
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """End-to-end exercise of the JDBC sink/source (K3/K4 — the
+    reference's load stage writes Postgres via JDBC, loading.py:129-151)
+    against the Derby embedded database bundled with Spark: overwrite
+    creates the table, append adds only the new batch, and the read
+    path returns exactly what was written."""
+    from financial_data_pipeline_optimization_spark.sources import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_wh;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    t0 = spark.createDataFrame(
+        [(1, "AAPL", 190.5), (2, "MSFT", 410.25)],
+        "id long, ticker string, close double",
+    )
+    write_jdbc(t0, url, "prices", mode="overwrite", properties=props,
+               num_partitions=2, batch_size=500)
+    t1 = spark.createDataFrame(
+        [(3, "NVDA", 120.75)], "id long, ticker string, close double"
+    )
+    write_jdbc(t1, url, "prices", mode="append", properties=props)
+    back = read_jdbc(spark, url, "prices", properties=props)
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "AAPL", 190.5),
+        (2, "MSFT", 410.25),
+        (3, "NVDA", 120.75),
+    ]

@@ -64,14 +64,72 @@ def test_lsh_topk_recall(spark):
     assert hits / total >= 0.2, f"LSH recall {hits}/{total} too low"
 
 
+def _recall(exact, approx):
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    return hits / total
+
+
 def test_ivf_topk_recall(spark):
     emb = load_table(spark, SF_CORRECTNESS, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     exact = _topk_sets(vector.brute_force_topk(emb, queries, k=5).collect())
     approx = _topk_sets(vector.ivf_topk(emb, queries, k=5).collect())
-    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
-    total = sum(len(v) for v in exact.values())
-    assert hits / total >= 0.3, f"IVF recall {hits}/{total} too low"
+    assert _recall(exact, approx) >= 0.3, "IVF recall too low"
+
+
+def test_ivf_training_improves_kmeans_objective(spark):
+    """Lloyd rounds must strictly improve the spherical-k-means
+    objective (mean cosine of each vector to its assigned centroid)
+    over the lowest-id seeds — the guaranteed-monotone quantity that
+    makes the 'trained centroids' claim real. Recall@k on a
+    uniform-random fixture can wobble by a neighbor either way, so the
+    recall assertion is only no-big-regression plus a floor."""
+    import numpy as np
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    X = np.asarray(
+        [r[0] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def unit(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def objective(cen):
+        return float((X @ unit(cen).T).max(axis=1).mean())
+
+    obj_seed = objective(vector.train_ivf_centroids(emb, 16, iters=0))
+    obj_trained = objective(vector.train_ivf_centroids(emb, 16, iters=2))
+    assert obj_trained > obj_seed, (obj_trained, obj_seed)
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(vector.brute_force_topk(emb, queries, k=5).collect())
+    seeded = _topk_sets(
+        vector.ivf_topk(emb, queries, k=5, train_iters=0).collect()
+    )
+    trained = _topk_sets(
+        vector.ivf_topk(emb, queries, k=5, train_iters=2).collect()
+    )
+    r_seed, r_train = _recall(exact, seeded), _recall(exact, trained)
+    assert r_train >= r_seed - 0.1, (r_train, r_seed)
+    assert r_train >= 0.3
+
+
+def test_ivf_assignment_has_no_interpreted_crossjoin(spark):
+    """Cell assignment must be the Arrow-matmul scan, not a
+    corpus×centroids crossJoin evaluating interpreted HOF lambdas
+    per pair (r1 verdict perf flag)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    df = vector.ivf_topk(emb, queries, k=5)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_embedding_near_dup_symmetric_threshold(spark):
@@ -107,3 +165,21 @@ def test_approx_aggregates_within_bounds(spark):
         n_exact, med_exact = exact[status]
         assert abs(n_approx - n_exact) / n_exact < 0.1
         assert abs(med_approx - med_exact) / med_exact < 0.1
+
+
+def test_embedding_near_dup_registry_finds_planted_pairs(spark):
+    """The registry entry plants 3 exact duplicates so the driver's
+    rows-only check exercises the positive path at every SF: each
+    planted copy must be reported as a pair with its source at
+    cosine ~1.0."""
+    from financial_data_pipeline_optimization_spark import queries as q
+
+    from .conftest import SF_SMOKE
+
+    spec = {s.name: s for s in q.registry()}["embedding_near_dup"]
+    rows = spec.spark(spark, SF_SMOKE).collect()
+    planted = {
+        (r.a, r.b) for r in rows if r.b >= 10_000_000 and r.cosine_sim > 0.999
+    }
+    assert {(b - 10_000_000, b) for _, b in planted} == planted
+    assert len(planted) >= 3
