@@ -401,37 +401,93 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
-    shingle: explode distinct shingles, self-join on shingle (inverted
-    index — the join shuffles (shingle, id) pairs, not documents), count
-    intersections, derive the union from per-doc set sizes. Exact and
-    ANSI-SQL-expressible, so it doubles as the DuckDB oracle for the
-    approximate paths. Returns ``(a, b, jaccard_sim)``, ``a < b``."""
-    sets = with_shingles(
-        _spread(df.select(id_col, text_col), id_col), text_col, n=n
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.col("shingles"),
-        F.size("shingles").alias("set_size"),
+    """Exact n-gram Jaccard pairs above ``min_jaccard``: prefix-filtered
+    inverted index (explode only each set's smallest-hash prefix,
+    self-join on 8-byte shingle hashes — no false negatives by the
+    prefix-filter theorem) followed by an exact sorted-array intersect
+    verify on the candidates. Same results as the naive full inverted
+    index, at ~t× the index size and a small fraction of the candidate
+    pairs. ANSI-SQL-expressible, so it doubles as the DuckDB oracle for
+    the approximate paths. Returns ``(a, b, jaccard_sim)``, ``a < b``."""
+    sets = (
+        with_shingles(
+            _spread(df.select(id_col, text_col), id_col), text_col, n=n
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            # Hash shingles to 64-bit ints, sorted: the candidate join
+            # shuffles 8-byte keys instead of multi-word strings, and a
+            # sorted-hash universe gives the consistent global order
+            # prefix filtering needs. A 64-bit collision (odds ~1e-8 at
+            # millions of distinct shingles) could merge two shingles;
+            # array_distinct keeps per-set semantics exact under that.
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                )
+            ).alias("__sh"),
+        )
+        .withColumn("set_size", F.size("__sh"))
+        .localCheckpoint(eager=False)  # reused by candidates AND verify
     )
-    inverted = sets.select("__id", "set_size", F.explode("shingles").alias("sh"))
-    a = inverted.alias("a")
-    b = inverted.alias("b")
-    inter = (
-        a.join(
-            b,
+    # Prefix filtering (Bayardo/Ma/Srikant, WWW 2007 "Scaling up all
+    # pairs similarity search"): two sets with Jaccard >= t must share
+    # an element among each side's (|s| - ceil(t*|s|) + 1) smallest
+    # elements under a global total order on the shingle universe
+    # (here: hash order). Exploding only that prefix cuts the inverted
+    # index to ~(1-t) of its size with ZERO false negatives — the
+    # exact verify below keeps the operator oracle-exact. (The
+    # rarest-first df ordering from the paper was measured on this
+    # corpus and cut candidates <6% while adding a join + window pass
+    # — the candidate mass here is genuine near-dup families, which no
+    # candidate order can shrink — so the cheaper hash order stays.)
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(float(min_jaccard)) * F.col("set_size"))
+        + 1
+    ).cast("int")
+    pref = sets.select(
+        "__id",
+        "set_size",
+        F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("sh"),
+    )
+    # Size-ratio filter: Jaccard >= t forces t*|B| <= |A| <= |B|/t,
+    # pruning candidates whose sizes alone rule them out.
+    t = float(min_jaccard)
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("a.set_size") >= t * F.col("b.set_size"))
+            & (F.col("b.set_size") >= t * F.col("a.set_size")),
         )
-        .groupBy(
-            F.col("a.__id").alias("a"),
-            F.col("b.__id").alias("b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
-        )
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.__id").alias("a"), F.col("b.__id").alias("b"))
+        .distinct()
     )
-    return inter.select(
+    verify = (
+        cand.join(
+            sets.select(
+                F.col("__id").alias("a"),
+                F.col("__sh").alias("__sh_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "a",
+        )
+        .join(
+            sets.select(
+                F.col("__id").alias("b"),
+                F.col("__sh").alias("__sh_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("__sh_a", "__sh_b"))
+        )
+    )
+    return verify.select(
         "a",
         "b",
         (

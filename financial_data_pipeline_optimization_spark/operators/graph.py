@@ -68,6 +68,11 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # Change detection rides along in the update join (a label only
+        # ever decreases, so "changed" == "a neighbor label was
+        # smaller") — the old separate new-vs-old self-join cost one
+        # extra shuffle join per round for information the update
+        # already had.
         new_labels = (
             labels.join(nbr_min, labels["n"] == nbr_min["s"], "left")
             .select(
@@ -75,17 +80,17 @@ def connected_components(
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
+                F.coalesce(
+                    F.col("nbr_lbl") < F.col("lbl"), F.lit(False)
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=False)  # truncate per-round lineage
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), F.col("new.n") == F.col("old.n"))
-            .filter(F.col("new.lbl") != F.col("old.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # Existence check, not a count: isEmpty stops at the first
+        # changed row instead of scanning every partition.
+        converged = new_labels.filter(F.col("__chg")).isEmpty()
+        labels = new_labels.drop("__chg")
+        if converged:
             return labels.select(
                 F.col("n").alias(out_node), F.col("lbl").alias(out_label)
             )
