@@ -530,3 +530,50 @@ def near_dup_clusters(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing at
+    least one word ``n``-gram with the benchmark set — the eval-set
+    leakage scrub every LLM pretraining pipeline runs (cf. GPT-3
+    appendix C; Gopher appendix A1.2; both use 8-13-gram overlap at web
+    scale — the default here is lower because the test corpus is short).
+
+    Dataflow: shingle both sides row-locally, hash each shingle to a
+    64-bit int, semi-join corpus shingles against DISTINCT benchmark
+    shingles on the hash, anti-join the hit ids back out. Shuffles only
+    (hash, id) pairs — documents are never moved; the benchmark side is
+    typically tiny and broadcasts. A 64-bit hash collision could drop an
+    innocent document (never leak a contaminated one) at odds ~1e-10
+    per shingle pair — acceptable for a recall-first scrub.
+    """
+    c_sh = (
+        with_shingles(
+            _spread(corpus.select(id_col, text_col), id_col), text_col, n=n
+        )
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.explode("shingles").alias("__s"),
+        )
+        .select("__cid", F.xxhash64("__s").alias("__h"))
+    )
+    b_sh = (
+        with_shingles(benchmark.select(text_col), text_col, n=n)
+        .select(F.explode("shingles").alias("__s"))
+        .select(F.xxhash64("__s").alias("__h"))
+        .distinct()
+    )
+    contaminated = (
+        c_sh.join(b_sh, "__h", "left_semi").select("__cid").distinct()
+    )
+    return corpus.join(
+        contaminated,
+        corpus[id_col] == contaminated["__cid"],
+        "left_anti",
+    )

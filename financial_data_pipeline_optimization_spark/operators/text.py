@@ -203,3 +203,100 @@ def redact_pii(
     for pattern, token in PII_PATTERNS:
         c = F.regexp_replace(c, pattern, token)
     return df.withColumn(out_col or text_col, c)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.1): fraction of
+    tokens that are the single most frequent token, fraction of bigram
+    occurrences that are repeats, and the distinct-token ratio. These
+    are the standard cheap repetition filters an LLM pretraining
+    pipeline applies before any model-based scoring.
+
+    Computed as two explode → two-level aggregations (token level and
+    bigram level) joined on the id — each is one shuffle keyed by
+    (id, gram), which scales linearly and stays skew-free; a per-row
+    higher-order-function mode computation would be O(tokens²)
+    interpreted. Returns ``(id, n_tokens, distinct_token_frac,
+    top_token_frac, dup_bigram_frac)`` with raw double fractions
+    (callers round for cross-engine comparison).
+    """
+    from financial_data_pipeline_optimization_spark.operators.dedup import with_shingles
+
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("__tok"))
+    tok_agg = (
+        tok.groupBy(id_col, "__tok")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count("*").alias("__n_distinct"),
+            F.max("__c").alias("__top"),
+        )
+    )
+    big = with_shingles(
+        df.select(id_col, text_col), text_col, n=2,
+        out_col="__bg", distinct=False,
+    ).select(id_col, F.explode("__bg").alias("__bg"))
+    bg_agg = (
+        big.groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("__n_bg"),
+            F.count("*").alias("__n_distinct_bg"),
+        )
+    )
+    return tok_agg.join(bg_agg, id_col).select(
+        id_col,
+        "n_tokens",
+        (F.col("__n_distinct") / F.col("n_tokens")).alias(
+            "distinct_token_frac"
+        ),
+        (F.col("__top") / F.col("n_tokens")).alias("top_token_frac"),
+        (1 - F.col("__n_distinct_bg") / F.col("__n_bg")).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+def line_dedup(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-wide exact line dedup: every line keeps exactly one
+    occurrence (the lowest ``(id, position)``), documents are
+    reassembled with their surviving lines in original order — the
+    boilerplate-removal pass (nav bars, cookie banners, repeated
+    headers) of web-corpus pipelines.
+
+    Shuffles ``(line, id, pos)`` for the occurrence window and
+    ``(id, pos)`` for the reassembly — never whole documents twice.
+    Documents whose every line was seen earlier disappear from the
+    output (callers left-join if empty docs must survive).
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "__pos", "__line"
+        ),
+    )
+    w = Window.partitionBy("__line").orderBy(id_col, "__pos")
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col)
+    )
+    return reassembled

@@ -1125,6 +1125,101 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gopher_repetition_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    per_tok AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    tagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    count(*) AS nd, max(c) AS top FROM per_tok GROUP BY 1),
+    bg AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS b
+           FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)),
+    per_bg AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    bagg AS (SELECT doc_id, sum(c) AS nbg, count(*) AS ndbg
+             FROM per_bg GROUP BY 1)
+    SELECT t.doc_id, t.n_tokens,
+           floor(nd / CAST(t.n_tokens AS DOUBLE) * 10000
+                 + 0.5000005) / 10000 AS distinct_token_frac,
+           floor(top / CAST(t.n_tokens AS DOUBLE) * 10000
+                 + 0.5000005) / 10000 AS top_token_frac,
+           floor((1 - ndbg / CAST(nbg AS DOUBLE)) * 10000
+                 + 0.5000005) / 10000 AS dup_bigram_frac,
+           (top / CAST(t.n_tokens AS DOUBLE) <= 0.12
+            AND (1 - ndbg / CAST(nbg AS DOUBLE)) <= 0.05) AS keep
+    FROM tagg t JOIN bagg USING (doc_id)
+    """,
+    doc="Gopher-style repetition filter (operators.text.repetition_stats): "
+    "top-token fraction, duplicate-bigram fraction, distinct-token ratio "
+    "per document plus the keep verdict at the 0.12/0.05 thresholds.",
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = text.repetition_stats(docs, "doc_id", "text")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        _r4(F.col("distinct_token_frac")).alias("distinct_token_frac"),
+        _r4(F.col("top_token_frac")).alias("top_token_frac"),
+        _r4(F.col("dup_bigram_frac")).alias("dup_bigram_frac"),
+        (
+            (F.col("top_token_frac") <= 0.12)
+            & (F.col("dup_bigram_frac") <= 0.05)
+        ).alias("keep"),
+    )
+
+
+@_register(
+    "decontaminate_vs_benchmark",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_ORACLE_TOKENS} AS t
+                  FROM documents),
+    sh AS (SELECT doc_id, source, array_to_string(t[i+1:i+5], ' ') AS s
+           FROM toks, UNNEST(range(greatest(len(t)-4, 1))) AS u(i)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    contam AS (SELECT DISTINCT doc_id FROM sh
+               WHERE source <> 'src0' AND s IN (SELECT s FROM bench))
+    SELECT doc_id, source, lang, n_chars FROM documents
+    WHERE source <> 'src0'
+      AND doc_id NOT IN (SELECT doc_id FROM contam)
+    """,
+    doc="Benchmark decontamination (operators.dedup.decontaminate): drop "
+    "corpus documents sharing any 5-gram with the src0 'benchmark' slice "
+    "— the eval-leakage scrub of LLM pretraining pipelines.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return dedup.decontaminate(corpus, bench, "doc_id", "text", n=5).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+@_register(
+    "line_dedup_docs",
+    """
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Corpus-wide line dedup (operators.text.line_dedup): keep each "
+    "line's first (doc_id, position) occurrence, reassemble documents. "
+    "The driver fixture has single-line documents, so here it reduces to "
+    "whole-text dedup (the oracle above); the multiline reassembly path "
+    "is exercised in tests/test_text_vector_extras.py.",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text
+
+    docs = _t(spark, sf_dir, "documents")
+    return text.line_dedup(docs, "doc_id", "text")
+
+
+@_register(
     "ngram_jaccard_pairs",
     f"""
     WITH toks AS (

@@ -134,3 +134,67 @@ def test_clean_text_and_redact_pii(spark):
     assert "<PHONE>" in out[2]
     assert out[3] == "call <PHONE> please"
     assert out[4] == "no pii here"
+
+
+def test_repetition_stats_known_values(spark):
+    from financial_data_pipeline_optimization_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "id long, txt string"
+    )
+    got = {
+        r.id: r for r in text.repetition_stats(df, "id", "txt").collect()
+    }
+    # doc 1: 4 tokens, 1 distinct, top=4/4, bigrams ["a a"]x3 -> dup 2/3
+    assert got[1].n_tokens == 4
+    assert got[1].distinct_token_frac == 0.25
+    assert got[1].top_token_frac == 1.0
+    assert abs(got[1].dup_bigram_frac - 2 / 3) < 1e-12
+    # doc 2: all distinct
+    assert got[2].n_tokens == 4
+    assert got[2].distinct_token_frac == 1.0
+    assert got[2].top_token_frac == 0.25
+    assert got[2].dup_bigram_frac == 0.0
+
+
+def test_line_dedup_reassembles_in_order(spark):
+    from financial_data_pipeline_optimization_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "header\nbody one\nfooter"),
+            (2, "header\nbody two\nfooter"),
+            (3, "header\nfooter"),
+        ],
+        "id long, txt string",
+    )
+    got = {r.id: r.txt for r in text.line_dedup(df, "id", "txt").collect()}
+    # doc 1 saw every line first and keeps all of them in order
+    assert got[1] == "header\nbody one\nfooter"
+    # doc 2 loses the boilerplate, keeps its unique body
+    assert got[2] == "body two"
+    # doc 3 was all boilerplate -> no surviving lines, absent from output
+    assert 3 not in got
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from financial_data_pipeline_optimization_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "id long, txt string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 5-gram "alpha beta gamma delta epsilon"
+            (1, "prefix alpha beta gamma delta epsilon suffix"),
+            # no shared 5-gram
+            (2, "one two three four five six seven"),
+        ],
+        "id long, txt string",
+    )
+    kept = [
+        r.id
+        for r in dedup.decontaminate(corpus, bench, "id", "txt", n=5).collect()
+    ]
+    assert kept == [2]
