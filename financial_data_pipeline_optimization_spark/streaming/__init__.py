@@ -16,6 +16,7 @@ from financial_data_pipeline_optimization_spark.streaming.ops import (
     sessionized_counts,
     sliding_counts,
     stream_dedup_by_key,
+    stream_dedup_within_watermark,
     stream_stream_join,
     tumbling_counts,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "sessionized_counts",
     "sliding_counts",
     "stream_dedup_by_key",
+    "stream_dedup_within_watermark",
     "stream_stream_join",
     "tumbling_counts",
 ]

@@ -122,9 +122,30 @@ def stream_dedup_by_key(
     """Streaming keyed dedup — the reference's
     ``drop_duplicates(subset=['Date','Ticker'])`` (``extraction.py:105``)
     with bounded state: duplicates arriving within ``watermark`` of each
-    other are dropped; state for older keys is evicted."""
+    other are dropped; state for older keys is evicted. The key includes
+    ``ts_col``, so re-emissions of a key at a NEW event time pass
+    through — use :func:`stream_dedup_within_watermark` for key-only
+    dedup."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(
         [*keys, ts_col]
+    )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Key-only streaming dedup via ``dropDuplicatesWithinWatermark``:
+    two events with the same ``keys`` are collapsed even when their
+    event times differ, as long as they arrive within the watermark of
+    each other — exactly the reference's ``drop_duplicates(subset=...)``
+    semantics, with state bounded by watermark eviction instead of the
+    unbounded key set a plain ``dropDuplicates(keys)`` would accumulate
+    on a stream."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )
 
 

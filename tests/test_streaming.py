@@ -182,3 +182,78 @@ def test_stream_stream_join_matches_batch(spark, events_stream_dir):
         & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
     ).count()
     assert got == want
+
+
+def test_upsert_raises_on_corrupt_target_instead_of_duplicating(
+    spark, tmp_path
+):
+    """First-run detection must only swallow a MISSING target. A
+    corrupt/unreadable target used to be treated as 'first epoch',
+    silently skipping the anti-join and appending duplicate rows — now
+    it raises."""
+    import pytest as _pytest
+
+    from financial_data_pipeline_optimization_spark.streaming.ops import foreach_batch_upsert
+
+    target = tmp_path / "corrupt_target"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"this is not parquet")
+    batch = spark.createDataFrame([(1, "x")], "id long, v string")
+    upsert = foreach_batch_upsert(str(target), keys=["id"])
+    with _pytest.raises(Exception) as exc_info:
+        upsert(batch, epoch_id=0)
+    # the corruption surfaced; nothing was appended
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+    assert not [
+        p for p in target.iterdir() if p.stat().st_size > len(b"x") * 100
+    ]
+
+
+def test_load_warehouse_raises_on_corrupt_warehouse(spark, tmp_path):
+    import pytest as _pytest
+
+    from financial_data_pipeline_optimization_spark.plans import finance
+
+    wh = tmp_path / "corrupt_wh"
+    wh.mkdir()
+    (wh / "part-00000.parquet").write_bytes(b"junk bytes")
+    batch = finance.transform_prices(
+        finance.extract_prices(
+            finance.synthetic_prices(spark, days=3, batch_id=0)
+        )
+    )
+    with _pytest.raises(Exception):
+        finance.load_warehouse(batch, str(wh), mode="incremental")
+
+
+def test_stream_dedup_within_watermark_collapses_key_reemissions(spark):
+    """Key-only dedup: the same user re-emitted at DIFFERENT event
+    times within the watermark collapses to one row, which plain
+    dropDuplicates([key, ts]) would keep twice."""
+    import tempfile as _tf
+
+    src = _tf.mkdtemp(prefix="dedup_src_")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:05:00"),  # same key, different ts
+            (2, "2024-01-01 10:01:00"),
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    deduped = streaming.stream_dedup_within_watermark(
+        stream, ["user_id"], ts_col="ts", watermark="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id FROM dedup_wm").collect()
+    assert sorted(r.user_id for r in rows) == [1, 2]
+    shutil.rmtree(src, ignore_errors=True)
