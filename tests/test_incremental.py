@@ -85,3 +85,47 @@ def test_checks_duplicate_keys_and_assert_unique(spark):
     with pytest.raises(ValueError, match="uniqueness violated"):
         checks.assert_unique(df, ["k"])
     checks.assert_unique(df, ["k", "v"])  # composite key is unique
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Salting replicates the non-skewed side once per salt value, so
+    right/full-outer shapes would duplicate unmatched right rows — the
+    operator must refuse rather than silently inflate output."""
+    from financial_data_pipeline_optimization_spark.operators import joins
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            joins.salted_join(a, b, on=["k"], how=how)
+    # supported shapes still work and match the unsalted join
+    got = joins.salted_join(a, b, on=["k"], how="inner").collect()
+    assert [(r.k, r.v, r.w) for r in got] == [(1, "x", "y")]
+
+
+def test_null_safe_key_distinguishes_null_from_empty(spark):
+    """('a', NULL) and ('a', '') must hash to DIFFERENT stable ids —
+    concat_ws would silently skip the NULL and collide them, and the
+    anti-join merge keyed on the id would then drop a legitimate row."""
+    from financial_data_pipeline_optimization_spark.functions import (
+        portable_id,
+        stable_id,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", ""), (None, "a"), ("a", None)],
+        "x string, y string",
+    ).select(
+        "x",
+        "y",
+        stable_id("x", "y").alias("sid"),
+        portable_id("x", "y").alias("pid"),
+    )
+    rows = df.collect()
+    a_null, a_empty, null_a, a_null2 = rows
+    assert a_null.sid != a_empty.sid
+    assert a_null.pid != a_empty.pid
+    # order matters: (NULL,'a') != ('a',NULL)
+    assert null_a.sid != a_null.sid
+    # determinism: same key -> same id
+    assert a_null.sid == a_null2.sid and a_null.pid == a_null2.pid
