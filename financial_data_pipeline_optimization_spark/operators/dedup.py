@@ -261,14 +261,25 @@ def minhash_lsh_pairs(
         .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
         .distinct()
     )
-    sets = base.select(F.col(id_col).alias("__sid"), "shingles")
+    # Verify on hashed shingle sets: xxhash64 each shingle once and
+    # intersect 8-byte longs instead of multi-word strings — the two
+    # rehydration joins shuffle ~3× fewer bytes and compare integers.
+    # Jaccard over hashed sets equals Jaccard over string sets modulo
+    # 64-bit collisions (~1e-10 per pair) — the same trade
+    # ngram_jaccard_pairs documents.
+    sets = base.select(
+        F.col(id_col).alias("__sid"),
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("__hsh"),
+    )
     verified = (
         candidates.join(sets.alias("sa"), F.col("a") == F.col("sa.__sid"))
         .join(sets.alias("sb"), F.col("b") == F.col("sb.__sid"))
         .select(
             "a",
             "b",
-            jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias(
+            jaccard(F.col("sa.__hsh"), F.col("sb.__hsh")).alias(
                 "jaccard_sim"
             ),
         )
