@@ -192,3 +192,52 @@ def test_split_is_total_and_disjoint(rows):
         by_key.setdefault((r.k, r.v), set()).add(r.split)
     # same key → same split, always
     assert all(len(s) == 1 for s in by_key.values())
+
+
+#: Documents from a tiny vocabulary — forces shared shingles, near-dups
+#: and exact dups that a fixed fixture never covers systematically.
+DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(texts=DOCS)
+@SET
+def test_prefix_filtered_jaccard_matches_brute_force(texts):
+    """The prefix-filtered + size-filtered + hash-verified implementation
+    must return EXACTLY the naive all-pairs answer (prefix filtering has
+    no false negatives; the filters only skip pairs the threshold
+    already excludes)."""
+    t = 0.5
+    df = SPARK.createDataFrame(
+        list(enumerate(texts)), "id long, txt string"
+    )
+    got = {
+        (r.a, r.b): round(r.jaccard_sim, 9)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "id", "txt", n=2, min_jaccard=t
+        ).collect()
+    }
+
+    def shingles(s):
+        toks = s.split()
+        k = max(len(toks) - 1, 1)
+        return {" ".join(toks[i : i + 2]) for i in range(k)}
+
+    want = {}
+    sets = {i: shingles(s) for i, s in enumerate(texts)}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                j = inter / union if union else 0.0
+                if j >= t:
+                    want[(a, b)] = round(j, 9)
+    assert got == want
