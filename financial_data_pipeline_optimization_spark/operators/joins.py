@@ -57,17 +57,24 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
     greatest ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward'
-    = least ``right_ts`` >= ``left_ts``) within the same ``on`` keys.
+    = least ``right_ts`` >= ``left_ts``; 'nearest' = whichever of the
+    two is closer in time, ties to backward) within the same ``on``
+    keys. ``tolerance`` ('N unit', e.g. '30 minutes') discards matches
+    farther than that from the left timestamp — the pandas
+    ``merge_asof(tolerance=...)`` contract — leaving nulls (left-join
+    semantics).
 
     Implementation is the union-tag-window composition (no per-group
     pandas, no cross product): tag both sides, union by key, sort within
     key by time, carry the last-seen right row forward with
     ``last(ignorenulls)`` over an unbounded-preceding window, keep left
     rows. One shuffle on ``on`` — the same exchange a plain equi-join
-    would need, so it scales like a sort-merge join.
+    would need, so it scales like a sort-merge join ('nearest' adds a
+    second sort over the same exchange, still no extra shuffle).
 
     Right columns (except keys/ts) are struct-packed and re-expanded;
     name collisions with left are suffixed ``_right``.
@@ -97,20 +104,47 @@ def asof_join(
             "__r",
         )
     )
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").desc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tol_us = _interval_micros(tolerance) if tolerance is not None else None
+
+    def bounded(cand: Column) -> Column:
+        # Tolerance gate: null out a candidate farther than tol from the
+        # left timestamp (abs covers both directions).
+        if tol_us is None:
+            return cand
+        gap = F.abs(
+            F.unix_micros(F.col("__t")) - F.unix_micros(cand[right_ts])
+        )
+        return F.when(gap <= F.lit(tol_us), cand)
+
     if direction == "backward":
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__t").asc(), F.col("__side").desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        carried = F.last("__r", ignorenulls=True).over(w)
+        carried = bounded(F.last("__r", ignorenulls=True).over(w_back))
     elif direction == "forward":
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__t").desc(), F.col("__side").desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
+        carried = bounded(F.last("__r", ignorenulls=True).over(w_fwd))
+    elif direction == "nearest":
+        back = bounded(F.last("__r", ignorenulls=True).over(w_back))
+        fwd = bounded(F.last("__r", ignorenulls=True).over(w_fwd))
+        back_gap = F.unix_micros(F.col("__t")) - F.unix_micros(
+            back[right_ts]
         )
-        carried = F.last("__r", ignorenulls=True).over(w)
+        fwd_gap = F.unix_micros(fwd[right_ts]) - F.unix_micros(
+            F.col("__t")
+        )
+        carried = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(fwd_gap < back_gap, fwd)
+            .otherwise(back)
+        )
     else:
         raise ValueError(f"unknown direction: {direction!r}")
     out = (

@@ -31,6 +31,8 @@ from financial_data_pipeline_optimization_spark.operators import (
     clean,
     dedup,
     joins,
+    scd,
+    sketch,
     temporal,
     timeseries,
 )
@@ -3773,4 +3775,183 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             _r2(F.sum("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+# ===========================================================================
+# Warehouse maintenance: SCD2 version chains (operators.scd) — the
+# history-preserving replacement for the reference's overwrite-the-table
+# load (loading.py:110-127).
+# ===========================================================================
+
+
+@_register(
+    "scd2_apply_customers",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '2024-01-01' AS effective_from
+      FROM customer
+    ),
+    u_noop AS (  -- no attribute change: must compress away
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '2024-03-01' AS effective_from
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    u_seg AS (
+      SELECT c_custkey, 'M-' || c_mktsegment AS c_mktsegment, c_acctbal,
+             TIMESTAMP '2024-06-01' AS effective_from
+      FROM customer WHERE c_nationkey < 10
+    ),
+    u_bal AS (
+      SELECT c_custkey,
+             CASE WHEN c_nationkey < 10 THEN 'M-' || c_mktsegment
+                  ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal + 100 AS c_acctbal,
+             TIMESTAMP '2024-09-01' AS effective_from
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    allv AS (
+      SELECT * FROM base UNION ALL SELECT * FROM u_noop
+      UNION ALL SELECT * FROM u_seg UNION ALL SELECT * FROM u_bal
+    ),
+    chain AS (
+      SELECT *,
+             lag(c_mktsegment) OVER w AS pseg,
+             lag(c_acctbal) OVER w AS pbal,
+             row_number() OVER w AS rn
+      FROM allv
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY effective_from)
+    ),
+    kept AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, effective_from
+      FROM chain
+      WHERE rn = 1 OR c_mktsegment IS DISTINCT FROM pseg
+         OR c_acctbal IS DISTINCT FROM pbal
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal, effective_from,
+           lead(effective_from) OVER w2 AS effective_to,
+           lead(effective_from) OVER w2 IS NULL AS is_current
+    FROM kept
+    WINDOW w2 AS (PARTITION BY c_custkey ORDER BY effective_from)
+    """,
+    doc="SCD2 merge (operators.scd.scd2_apply): three update batches "
+    "(a no-op that must compress away, a segment change, a balance "
+    "change) folded into version chains in one shuffle; oracle rebuilds "
+    "the chain with lag/lead windows.",
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    keys, tracked = ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    dim = scd.scd2_snapshot(
+        cust, keys, tracked, F.lit("2024-01-01").cast("timestamp")
+    )
+    u_noop = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        *keys, *tracked, F.lit("2024-03-01").cast("timestamp").alias("change_ts")
+    )
+    u_seg = cust.filter(F.col("c_nationkey") < 10).select(
+        "c_custkey",
+        F.concat(F.lit("M-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit("2024-06-01").cast("timestamp").alias("change_ts"),
+    )
+    u_bal = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_nationkey") < 10,
+            F.concat(F.lit("M-"), F.col("c_mktsegment")),
+        ).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("2024-09-01").cast("timestamp").alias("change_ts"),
+    )
+    updates = u_noop.unionByName(u_seg).unionByName(u_bal)
+    return scd.scd2_apply(dim, updates, keys, tracked)
+
+
+@_register(
+    "asof_join_nearest_view",
+    """
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         views AS (
+           SELECT user_id, ts, value FROM events
+           WHERE event_type = 'view'
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) = 1
+         )
+    SELECT c.event_id, c.user_id, c.ts, v.ts AS ts_right,
+           v.value AS value_right
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT ts, value FROM views v
+      WHERE v.user_id = c.user_id
+        AND abs(epoch_us(v.ts) - epoch_us(c.ts)) <= 1800 * 1000000
+      ORDER BY abs(epoch_us(v.ts) - epoch_us(c.ts)),
+               CASE WHEN v.ts <= c.ts THEN 0 ELSE 1 END
+      LIMIT 1
+    ) v ON TRUE
+    """,
+    doc="As-of join, direction='nearest' with 30-minute tolerance "
+    "(operators.joins.asof_join): each click matched to the closest "
+    "view either side, ties to backward, unmatched beyond tolerance "
+    "stay null; oracle is a DuckDB lateral top-1.",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = dedup.keep_latest(
+        events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+    ).drop("event_id")
+    return joins.asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="nearest",
+        tolerance="30 minutes",
+    ).withColumnRenamed("value", "value_right")
+
+
+@_register(
+    "hll_distinct_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS sketch_rollup_ok
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Mergeable HLL pre-aggregation (operators.sketch): monthly "
+    "o_custkey sketches unioned to per-year estimates without "
+    "re-reading facts; the in-plan check asserts the rollup estimate "
+    "is within 5% of exact (lg_k=12 => ~1.6% RSE), so a hash match "
+    "proves the sketch path, not just the exact twin.",
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    ).withColumn("order_month", F.month("o_orderdate"))
+    monthly = sketch.build_distinct_sketches(
+        orders, ["order_year", "order_month"], "o_custkey", lg_k=12
+    )
+    yearly = sketch.rollup_distinct_sketches(
+        monthly, ["order_year"], "o_custkey_hll"
+    )
+    est = sketch.estimate_distinct(yearly, "o_custkey_hll", "approx_customers")
+    exact = orders.groupBy("order_year").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_customers")
+    )
+    return exact.join(est, "order_year").select(
+        "order_year",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            < 0.05
+        ).alias("sketch_rollup_ok"),
     )

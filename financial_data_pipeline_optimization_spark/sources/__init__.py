@@ -4,6 +4,10 @@ from financial_data_pipeline_optimization_spark.sources.bucketing import (
     bucketed_join,
     write_bucketed_table,
 )
+from financial_data_pipeline_optimization_spark.sources.layout import (
+    write_zordered,
+    zorder_value,
+)
 from financial_data_pipeline_optimization_spark.sources.readers import (
     load_table,
     load_tables,
@@ -34,4 +38,6 @@ __all__ = [
     "write_jdbc",
     "write_json",
     "write_parquet",
+    "write_zordered",
+    "zorder_value",
 ]
