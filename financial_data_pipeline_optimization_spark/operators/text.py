@@ -300,3 +300,64 @@ def line_dedup(
         ).alias(text_col)
     )
     return reassembled
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-window character chunking with overlap: the
+    context-window packing step of an LLM training pipeline (long
+    documents become stride-spaced windows; consecutive chunks share
+    ``overlap`` characters so no boundary context is lost).
+
+    Windows start at ``k * stride`` (``stride = chunk_size -
+    overlap``) for ``k in [0, K)`` with ``K = max(1,
+    ceil((n_chars - overlap) / stride))`` — the minimal cover of the
+    document; every document with text gets at least one chunk, and
+    the last window is allowed to run short. Empty/null documents
+    produce no chunks.
+
+    Scale shape: one narrow projection + ``explode`` — no shuffle, no
+    Python; output row count is ``~n_chars / stride`` per document,
+    so the operator is linear in corpus size and pipelines straight
+    into downstream dedup/tokenize stages.
+
+    Output: ``(id, chunk_index int, chunk_start bigint,
+    chunk_text string, n_chunk_chars int)``.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap=} {chunk_size=}"
+        )
+    stride = chunk_size - overlap
+    n = F.length(F.col(text_col))
+    k_count = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    start = (F.col("chunk_index").cast("bigint") * stride).alias(
+        "chunk_start"
+    )
+    chunk = F.col(text_col).substr(
+        (F.col("chunk_index") * stride + 1).cast("int"), F.lit(chunk_size)
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            id_col,
+            text_col,
+            F.explode(
+                F.sequence(F.lit(0).cast("int"), k_count - 1)
+            ).alias("chunk_index"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            start,
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("n_chunk_chars"),
+        )
+    )

@@ -3955,3 +3955,66 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.05
         ).alias("sketch_rollup_ok"),
     )
+
+
+@_register(
+    "chunk_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    k AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(1,
+               CAST(ceil((n - 20) / 100.0) AS BIGINT)))) AS ci
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_index,
+           CAST(ci * 100 AS BIGINT) AS chunk_start,
+           substring(text, CAST(ci * 100 + 1 AS INT), 120) AS chunk_text,
+           CAST(length(substring(text, CAST(ci * 100 + 1 AS INT), 120))
+                AS INT) AS n_chunk_chars
+    FROM k
+    """,
+    doc="Fixed-window character chunking with overlap "
+    "(operators.text.chunk_text): context-window packing for LLM "
+    "training — stride-100 windows of 120 chars, consecutive chunks "
+    "share 20 chars; pure explode, no shuffle.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_text(
+        docs, "doc_id", "text", chunk_size=120, overlap=20
+    )
+
+
+@_register(
+    "skew_salted_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(sum(o.o_totalprice) * 100 + 0.50005) / 100 AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-mitigating salted equi-join (operators.joins.salted_join): "
+    "orders salted across 8 sub-keys, customer replicated per salt, so "
+    "a hot customer key spreads over 8 reducers; the oracle is the "
+    "plain join — salting must not change results.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = joins.salted_join(orders, cust, on=["custkey"], salt_factor=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _r2(F.sum("o_totalprice")).alias("total_price"),
+    )

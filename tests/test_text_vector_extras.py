@@ -198,3 +198,41 @@ def test_decontaminate_drops_overlapping_docs(spark):
         for r in dedup.decontaminate(corpus, bench, "id", "txt", n=5).collect()
     ]
     assert kept == [2]
+
+
+def test_chunk_text_covers_document_with_overlap(spark):
+    doc = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame([(1, doc)], "id long, txt string")
+    rows = sorted(
+        text.chunk_text(df, "id", "txt", chunk_size=100, overlap=20)
+        .collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # stride 80: ceil((260-20)/80) = 3 chunks at 0, 80, 160
+    assert [r.chunk_start for r in rows] == [0, 80, 160]
+    assert rows[0].chunk_text == doc[0:100]
+    assert rows[1].chunk_text == doc[80:180]
+    assert rows[2].chunk_text == doc[160:260]
+    # consecutive chunks share exactly `overlap` characters
+    assert rows[0].chunk_text[-20:] == rows[1].chunk_text[:20]
+    # reassembling stride-prefixes reproduces the document
+    rebuilt = "".join(r.chunk_text[:80] for r in rows[:-1]) + rows[-1].chunk_text
+    assert rebuilt == doc
+
+
+def test_chunk_text_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, None)], "id long, txt string"
+    )
+    rows = text.chunk_text(df, "id", "txt", chunk_size=100, overlap=20).collect()
+    # short doc -> exactly one chunk; empty/null -> no chunks
+    assert len(rows) == 1 and rows[0].id == 1
+    assert rows[0].chunk_text == "tiny" and rows[0].n_chunk_chars == 4
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id long, txt string")
+    with pytest.raises(ValueError):
+        text.chunk_text(df, "id", "txt", chunk_size=10, overlap=10)
