@@ -135,3 +135,53 @@ def stratified_topn(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight: Column,
+    seed: str = "",
+) -> DataFrame:
+    """Bernoulli sample where each row's keep-probability is its
+    ``weight`` (clamped to [0, 1]) — quality-proportional corpus
+    downsampling (keep high-quality documents with high probability,
+    boilerplate with low), deterministic per key like every sampler
+    here.
+
+    A row is kept iff its uniform md5 hex prefix is below the hex
+    threshold ``floor(weight * 16^8)`` — the same comparison the
+    DuckDB oracle replays verbatim, so the exact kept-set is
+    engine-checkable. Narrow per-row filter; no shuffle.
+    """
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    bound = F.least(
+        F.floor(w * F.lit(float(16**_HEX_DIGITS))),
+        F.lit(16**_HEX_DIGITS - 1),
+    ).cast("long")
+    thresh = F.lower(F.lpad(F.hex(bound), _HEX_DIGITS, "0"))
+    return df.filter(_key_hash_hex(key_cols, seed) < thresh)
+
+
+def hash_topn(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic pseudo-random exactly-``n`` subset: order by the
+    engine-portable key hash (ties broken by the key itself) and take
+    ``n`` — fixed-size eval-set carving that is stable under corpus
+    growth of UNSELECTED keys and any partitioning.
+
+    Plans as ``TakeOrderedAndProject``: each partition keeps its local
+    top-n, the driver merges partition heads — no global sort, no full
+    shuffle; scale cost is O(partitions · n).
+    """
+    h = _key_hash_hex(key_cols, seed)
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", *key_cols)
+        .limit(n)
+        .drop("__h")
+    )

@@ -361,3 +361,62 @@ def chunk_text(
             F.length(chunk).alias("n_chunk_chars"),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Token-window chunking with overlap: like :func:`chunk_text` but
+    windows are counted in word tokens (the shared :func:`tokens`
+    tokenizer), so chunks never split a token — the packing step when
+    downstream budgets are token counts, not characters.
+
+    Same minimal-cover window math as :func:`chunk_text` over the
+    token array; chunk text is the space-rejoin of its token slice
+    (canonicalized: lowercased, punctuation stripped — chunking
+    composes with the dedup/fingerprint tokenization, by design).
+    Documents with no tokens produce no chunks.
+
+    Scale shape: narrow projection + ``explode`` + ``slice`` — no
+    shuffle, no Python.
+
+    Output: ``(id, chunk_index int, chunk_start_token bigint,
+    chunk_text string, n_chunk_tokens int)``.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap=} {chunk_size=}"
+        )
+    stride = chunk_size - overlap
+    n = F.size(F.col("__toks"))
+    k_count = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    chunk_toks = F.slice(
+        F.col("__toks"), (F.col("chunk_index") * stride + 1).cast("int"),
+        chunk_size,
+    )
+    return (
+        df.select(id_col, tokens(text_col).alias("__toks"))
+        .filter((F.size("__toks") > 0) & (F.element_at("__toks", 1) != ""))
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(0).cast("int"), k_count - 1)
+            ).alias("chunk_index"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            (F.col("chunk_index").cast("bigint") * stride).alias(
+                "chunk_start_token"
+            ),
+            F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+            F.size(chunk_toks).alias("n_chunk_tokens"),
+        )
+    )

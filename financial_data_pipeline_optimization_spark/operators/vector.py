@@ -549,6 +549,11 @@ def embedding_near_dup_pairs(
             "lsh_bucket",
         )
         .withColumn("__n", l2_norm(F.col("__dv")))
+        # Materialize once: both self-join sides read the bucketed
+        # projection instead of each re-running the planes×dim
+        # hyperplane expression (the same share-across-join-sides
+        # discipline as dedup.minhash signatures).
+        .localCheckpoint(eager=False)
     )
     pairs = (
         b.alias("x")

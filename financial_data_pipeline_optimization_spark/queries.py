@@ -4018,3 +4018,89 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         _r2(F.sum("o_totalprice")).alias("total_price"),
     )
+
+
+@_register(
+    "chunk_documents_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks
+      WHERE len(t) > 0 AND NOT (len(t) = 1 AND t[1] = '')
+    ),
+    k AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(1,
+               CAST(ceil((n - 8) / 32.0) AS BIGINT)))) AS ci
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_index,
+           CAST(ci * 32 AS BIGINT) AS chunk_start_token,
+           array_to_string(
+             list_slice(t, CAST(ci * 32 + 1 AS INT),
+                        CAST(ci * 32 + 40 AS INT)), ' ') AS chunk_text,
+           CAST(len(list_slice(t, CAST(ci * 32 + 1 AS INT),
+                               CAST(ci * 32 + 40 AS INT))) AS INT)
+             AS n_chunk_tokens
+    FROM k
+    """,
+    doc="Token-window chunking with overlap "
+    "(operators.text.chunk_tokens): 40-token windows at stride 32 over "
+    "the shared canonical tokenizer, so chunks never split a token; "
+    "pure explode+slice, no shuffle.",
+)
+def q_chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_tokens(
+        docs, "doc_id", "text", chunk_size=40, overlap=8
+    )
+
+
+@_register(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(to_hex(CAST(least(
+              floor(least(greatest(n_chars / 600.0, 0.0), 1.0)
+                    * 4294967296.0),
+              4294967295) AS BIGINT)), 8, '0'))
+    """,
+    doc="Quality-proportional Bernoulli sample "
+    "(operators.sampling.weighted_sample): keep-probability = "
+    "n_chars/600 per document, deterministic by key hash so the exact "
+    "kept-set is engine-checkable; narrow filter, no shuffle.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.weighted_sample(
+        docs, ["doc_id"], F.col("n_chars") / F.lit(600.0)
+    )
+
+
+@_register(
+    "hash_topn_docs",
+    """
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+    LIMIT 100
+    """,
+    doc="Deterministic exactly-100 pseudo-random subset "
+    "(operators.sampling.hash_topn): order by key hash, take n — "
+    "plans as TakeOrderedAndProject (partition-local top-n + driver "
+    "merge), no global sort.",
+)
+def q_hash_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.hash_topn(docs, ["doc_id"], 100)

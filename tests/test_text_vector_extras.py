@@ -236,3 +236,74 @@ def test_chunk_text_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "id long, txt string")
     with pytest.raises(ValueError):
         text.chunk_text(df, "id", "txt", chunk_size=10, overlap=10)
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    words = [f"w{i:03d}" for i in range(25)]
+    df = spark.createDataFrame([(1, " ".join(words))], "id long, txt string")
+    rows = sorted(
+        text.chunk_tokens(df, "id", "txt", chunk_size=10, overlap=4).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # stride 6: ceil((25-4)/6) = 4 chunks at tokens 0, 6, 12, 18
+    assert [r.chunk_start_token for r in rows] == [0, 6, 12, 18]
+    assert rows[0].chunk_text == " ".join(words[0:10])
+    assert rows[1].chunk_text == " ".join(words[6:16])
+    assert rows[-1].chunk_text == " ".join(words[18:25])
+    assert rows[-1].n_chunk_tokens == 7
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[0].chunk_text.split()[-4:] == rows[1].chunk_text.split()[:4]
+
+
+def test_chunk_tokens_canonicalizes_and_skips_tokenless(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "!!! ..."), (3, None)],
+        "id long, txt string",
+    )
+    rows = text.chunk_tokens(df, "id", "txt", chunk_size=10, overlap=2).collect()
+    # punctuation-only and null docs produce no chunks
+    assert len(rows) == 1 and rows[0].id == 1
+    assert rows[0].chunk_text == "hello world"
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate([0.0] * 50 + [1.0] * 50)],
+        "id long, w double",
+    )
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    kept = sampling.weighted_sample(df, ["id"], F.col("w")).collect()
+    ids = {r.id for r in kept}
+    # weight 0 rows can never be kept; weight 1 rows (almost) always are
+    assert all(i >= 50 for i in ids)
+    assert len(ids) >= 49  # P(miss) per w=1 row is 2^-32
+    # deterministic: same call, same kept-set, any partitioning
+    again = {
+        r.id
+        for r in sampling.weighted_sample(
+            df.repartition(7), ["id"], F.col("w")
+        ).collect()
+    }
+    assert ids == again
+
+
+def test_hash_topn_exact_size_stable_and_no_global_sort(spark):
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    picked = sampling.hash_topn(df, ["id"], 20)
+    ids = sorted(r.id for r in picked.collect())
+    assert len(ids) == 20
+    # growing the corpus with keys that hash above the cut cannot
+    # evict selected keys... but any new key CAN displace; what must
+    # hold is determinism and exact size under relayout
+    again = sorted(
+        r.id
+        for r in sampling.hash_topn(df.repartition(9), ["id"], 20).collect()
+    )
+    assert ids == again
+    # plan is TakeOrderedAndProject (partition-local top-n), not a
+    # global Sort + Limit
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
