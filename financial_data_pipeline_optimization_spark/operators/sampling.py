@@ -34,10 +34,25 @@ _HEX_DIGITS = 8
 
 def hex_threshold(fraction: float, digits: int = _HEX_DIGITS) -> str:
     """Lowercase hex string t such that a uniform ``digits``-char hex
-    prefix is < t with probability ``fraction``."""
+    prefix is < t with probability ``fraction``.
+
+    CAUTION: ``fraction=1.0`` renders one digit WIDER ('100000000'),
+    which lexicographically compares BELOW any prefix not starting
+    with '0' — callers must special-case keep-everything (see
+    :func:`hex_threshold_str`, or the short-circuit in
+    :func:`hash_sample`)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return format(int(round(fraction * 16**digits)), f"0{digits}x")
+
+
+def hex_threshold_str(fraction: float, digits: int = _HEX_DIGITS) -> str:
+    """Like :func:`hex_threshold` but safe at the keep-everything
+    boundary: returns ``'g'`` (lexicographically above every hex
+    prefix) for ``fraction >= 1.0``."""
+    if fraction >= 1.0:
+        return "g"
+    return hex_threshold(fraction, digits)
 
 
 def _key_hash_hex(key_cols: Sequence[str], seed: str = "") -> Column:
@@ -100,7 +115,7 @@ def with_split(
     names = list(weights)
     for name in names[:-1]:
         cum += weights[name]
-        cond = h < hex_threshold(cum)
+        cond = h < hex_threshold_str(cum)
         expr = (
             F.when(cond, F.lit(name))
             if expr is None
@@ -185,3 +200,37 @@ def hash_topn(
         .limit(n)
         .drop("__h")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_cols: Sequence[str],
+    default_fraction: float = 1.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — corpus rebalancing (e.g.
+    downweight an over-represented language) with an exact,
+    reproducible kept-set, unlike ``df.sampleBy``'s seed-and-layout-
+    dependent draw.
+
+    Each stratum value gets its own hash threshold; unlisted strata
+    keep ``default_fraction``. Same md5 hex-prefix uniform as
+    :func:`hash_sample`, so the DuckDB oracle replays the exact CASE.
+    Narrow per-row filter; no shuffle.
+    """
+    h = _key_hash_hex(key_cols, seed)
+    thresh = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        t = F.lit(hex_threshold_str(frac))
+        thresh = (
+            F.when(cond, t) if thresh is None else thresh.when(cond, t)
+        )
+    thresh = (
+        F.lit(hex_threshold_str(default_fraction))
+        if thresh is None
+        else thresh.otherwise(F.lit(hex_threshold_str(default_fraction)))
+    )
+    return df.filter(h < thresh)

@@ -420,3 +420,41 @@ def chunk_tokens(
             F.size(chunk_toks).alias("n_chunk_tokens"),
         )
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    shard_col: str,
+    order_cols: "list[str]",
+    token_col: str,
+    budget: int,
+    out_col: str = "bin_id",
+) -> DataFrame:
+    """Sequence packing: assign ordered chunks to fixed token-budget
+    bins — the concat-and-cut packing of GPT-style pretraining (the
+    shard's chunks form one logical token stream, cut every
+    ``budget`` tokens; a chunk belongs to the bin where it starts).
+
+    A bin's total can exceed ``budget`` by at most one chunk's tokens
+    (the straddling chunk) — exactly the semantics of concatenating
+    documents and slicing the stream, and the reason this stays a
+    single window cumsum instead of a sequential first-fit loop.
+    Deterministic given ``order_cols``.
+
+    Scale shape: ONE shuffle on ``shard_col`` (the window partition);
+    within a shard the cumsum is a linear running sum. Shards are the
+    parallelism unit — size them like output files (thousands of
+    bins per shard), never one global stream.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )

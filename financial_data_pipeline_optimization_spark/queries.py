@@ -4104,3 +4104,97 @@ def q_hash_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return sampling.hash_topn(docs, ["doc_id"], 100)
+
+
+def _rebalance_sql() -> str:
+    from financial_data_pipeline_optimization_spark.operators.sampling import (
+        hex_threshold_str,
+    )
+
+    t_en = hex_threshold_str(0.3)
+    t_zh = hex_threshold_str(0.8)
+    t_def = hex_threshold_str(1.0)
+    return f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang WHEN 'en' THEN '{t_en}'
+                      WHEN 'zh' THEN '{t_zh}'
+                      ELSE '{t_def}' END
+    GROUP BY lang
+    """
+
+
+@_register(
+    "stratified_rebalance_docs",
+    _rebalance_sql(),
+    doc="Per-stratum deterministic rebalancing "
+    "(operators.sampling.stratified_hash_sample): downsample "
+    "over-represented languages (en to 30%, zh to 80%, rest kept) "
+    "with an exact reproducible kept-set — the corpus-mix control "
+    "sampleBy can't give; narrow filter, no shuffle beyond the "
+    "count agg.",
+)
+def q_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = sampling.stratified_hash_sample(
+        docs, "lang", {"en": 0.3, "zh": 0.8}, ["doc_id"]
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+@_register(
+    "pack_chunks_bins",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks
+      WHERE len(t) > 0 AND NOT (len(t) = 1 AND t[1] = '')
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(1,
+               CAST(ceil((n - 8) / 32.0) AS BIGINT)))) AS ci,
+             t, n
+      FROM base
+    ),
+    sized AS (
+      SELECT CAST(doc_id % 8 AS INT) AS shard,
+             doc_id,
+             CAST(ci AS INT) AS chunk_index,
+             CAST(len(list_slice(t, CAST(ci * 32 + 1 AS INT),
+                                 CAST(ci * 32 + 40 AS INT))) AS INT)
+               AS n_chunk_tokens
+      FROM chunks
+    )
+    SELECT shard, doc_id, chunk_index, n_chunk_tokens,
+           CAST(floor((SUM(n_chunk_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id, chunk_index
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chunk_tokens) / 200.0) AS BIGINT) AS bin_id
+    FROM sized
+    """,
+    doc="Sequence packing (operators.text.pack_chunks): token-window "
+    "chunks concatenated per shard and cut every 200 tokens — the "
+    "concat-and-cut packing of GPT-style pretraining as one window "
+    "cumsum; one shuffle on the shard key.",
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = text_ops.chunk_tokens(
+        docs, "doc_id", "text", chunk_size=40, overlap=8
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+    packed = text_ops.pack_chunks(
+        chunks, "shard", ["doc_id", "chunk_index"], "n_chunk_tokens", 200
+    )
+    return packed.select(
+        "shard", "doc_id", "chunk_index", "n_chunk_tokens", "bin_id"
+    )

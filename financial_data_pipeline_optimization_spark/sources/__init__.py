@@ -11,6 +11,7 @@ from financial_data_pipeline_optimization_spark.sources.layout import (
 from financial_data_pipeline_optimization_spark.sources.readers import (
     load_table,
     load_tables,
+    register_views,
     read_csv,
     read_jdbc,
     read_json,
@@ -28,6 +29,7 @@ __all__ = [
     "bucketed_join",
     "load_table",
     "load_tables",
+    "register_views",
     "read_csv",
     "read_jdbc",
     "read_json",

@@ -160,6 +160,25 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Iterable[str] | None = None,
+    prefix: str = "",
+) -> list[str]:
+    """Register the driver test tables as temp views so users can run
+    raw ``spark.sql`` over them (the SQL entry point next to the
+    DataFrame API). Returns the registered view names. Views are
+    session-scoped and lazily bound — registering costs nothing until
+    a query reads one."""
+    registered = []
+    for name, df in load_tables(spark, sf_dir, names).items():
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        registered.append(view)
+    return registered
+
+
 def read_json(
     spark: SparkSession,
     path: str,

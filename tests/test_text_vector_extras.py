@@ -307,3 +307,64 @@ def test_hash_topn_exact_size_stable_and_no_global_sort(spark):
     # global Sort + Limit
     plan = picked._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_chunks_concat_and_cut_semantics(spark):
+    # one shard, chunks of 60 tokens each, budget 100:
+    # stream offsets 0,60,120,180,240 -> bins 0,0,1,1,2
+    df = spark.createDataFrame(
+        [(1, i, 60) for i in range(5)],
+        "shard int, idx int, n_tok int",
+    )
+    rows = sorted(
+        text.pack_chunks(df, "shard", ["idx"], "n_tok", 100).collect(),
+        key=lambda r: r.idx,
+    )
+    assert [r.bin_id for r in rows] == [0, 0, 1, 1, 2]
+    # a chunk belongs to the bin where it STARTS (straddle allowed):
+    # bin 0 holds offsets [0,100) starts -> chunks 0 and 1
+    # shards pack independently
+    df2 = df.union(
+        spark.createDataFrame([(2, 0, 250)], "shard int, idx int, n_tok int")
+    )
+    rows2 = text.pack_chunks(df2, "shard", ["idx"], "n_tok", 100).collect()
+    assert {r.bin_id for r in rows2 if r.shard == 2} == {0}
+
+
+def test_stratified_hash_sample_respects_per_stratum_fractions(spark):
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 500 else "b") for i in range(1000)],
+        "id long, grp string",
+    )
+    kept = sampling.stratified_hash_sample(
+        df, "grp", {"a": 0.0}, ["id"], default_fraction=1.0
+    ).collect()
+    # stratum a fully dropped, stratum b fully kept
+    assert all(r.grp == "b" for r in kept) and len(kept) == 500
+    # fractional stratum: deterministic and roughly proportional
+    half = sampling.stratified_hash_sample(
+        df, "grp", {"a": 0.5, "b": 0.1}, ["id"]
+    )
+    counts = {
+        r.grp: r.n
+        for r in half.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert 200 < counts["a"] < 300 and 20 < counts["b"] < 80
+    again = sampling.stratified_hash_sample(
+        df.repartition(11), "grp", {"a": 0.5, "b": 0.1}, ["id"]
+    ).count()
+    assert again == half.count()
+
+
+def test_register_views_enables_raw_sql(spark):
+    from financial_data_pipeline_optimization_spark.sources import register_views
+
+    views = register_views(spark, SF_SMOKE, names=["region", "nation"])
+    assert set(views) == {"region", "nation"}
+    n = spark.sql(
+        "SELECT count(*) AS n FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey"
+    ).collect()[0].n
+    assert n == 25
