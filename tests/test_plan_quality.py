@@ -185,3 +185,31 @@ def test_no_rdd_round_trips_in_package():
             if re.search(r"\.rdd\b", code):
                 offenders.append(f"{py}:{i}")
     assert not offenders, offenders
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Both chunkers are pure narrow maps — any Exchange would mean
+    the chunk stage shuffles corpus text (PLANS.md: chunk_documents
+    is a single WholeStageCodegen span)."""
+    for name in ("chunk_documents", "chunk_documents_tokens"):
+        plan = _plan(SPECS[name].spark(spark, SF_SMOKE), "simple")
+        assert "Exchange" not in plan, name
+
+
+def test_pack_chunks_costs_one_shard_exchange(spark):
+    """Sequence packing = chunk (narrow, fused) + ONE shuffle on the
+    shard key for the running cumsum; a second exchange would mean the
+    chunker lost its fusion with the window's map side."""
+    plan = _plan(SPECS["pack_chunks_bins"].spark(spark, SF_SMOKE), "simple")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(shard" in exchanges[0]
+
+
+def test_sampling_filters_are_narrow(spark):
+    """Hash/weighted/stratified sampling must stay pure per-row
+    filters: no Exchange, no Python eval in the plan."""
+    for name in ("deterministic_sample", "weighted_sample_docs"):
+        plan = _plan(SPECS[name].spark(spark, SF_SMOKE), "simple")
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan, name

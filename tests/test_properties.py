@@ -241,3 +241,72 @@ def test_prefix_filtered_jaccard_matches_brute_force(texts):
                 if j >= t:
                     want[(a, b)] = round(j, 9)
     assert got == want
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=400,
+    ),
+    chunk_size=st.integers(2, 50),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+@SET
+def test_chunk_text_cover_and_overlap_invariants(
+    text, chunk_size, overlap_frac
+):
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    overlap = min(int(chunk_size * overlap_frac), chunk_size - 1)
+    stride = chunk_size - overlap
+    df = SPARK.createDataFrame([(1, text)], "id long, txt string")
+    rows = sorted(
+        text_ops.chunk_text(
+            df, "id", "txt", chunk_size=chunk_size, overlap=overlap
+        ).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    if not text:
+        assert rows == []
+        return
+    # every chunk is the exact substring at its offset
+    for r in rows:
+        assert r.chunk_text == text[r.chunk_start : r.chunk_start + chunk_size]
+    # stride-prefix reassembly reproduces the document exactly
+    rebuilt = (
+        "".join(r.chunk_text[:stride] for r in rows[:-1])
+        + rows[-1].chunk_text
+    )
+    assert rebuilt == text
+    # minimal cover: dropping the last chunk leaves a tail uncovered
+    if len(rows) > 1:
+        covered_without_last = rows[-2].chunk_start + chunk_size
+        assert covered_without_last < len(text)
+
+
+@given(
+    sizes=st.lists(st.integers(1, 30), min_size=1, max_size=20),
+    budget=st.integers(5, 60),
+)
+@SET
+def test_pack_chunks_stream_cut_invariants(sizes, budget):
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    df = SPARK.createDataFrame(
+        [(0, i, s) for i, s in enumerate(sizes)],
+        "shard int, idx int, n_tok int",
+    )
+    rows = sorted(
+        text_ops.pack_chunks(df, "shard", ["idx"], "n_tok", budget).collect(),
+        key=lambda r: r.idx,
+    )
+    # bin ids are exactly the stream-offset cut: floor(start/budget)
+    offset = 0
+    for r, s in zip(rows, sizes):
+        assert r.bin_id == offset // budget
+        offset += s
+    # bins are contiguous and non-decreasing
+    bins = [r.bin_id for r in rows]
+    assert bins == sorted(bins)
+    assert bins[0] == 0
