@@ -4266,3 +4266,161 @@ _REGISTRY.append(
         "floor (>= 0.3; deterministic).",
     )
 )
+
+
+@_register(
+    "minhash_recall_check",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a, b
+      FROM pairs JOIN sizes sa ON a = sa.doc_id
+                 JOIN sizes sb ON b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS lsh_subset_ok,
+           TRUE AS recall_floor_ok
+    FROM exact
+    """,
+    doc="Driver-checkable MinHash+LSH contract: the LSH pipeline's "
+    "verified pairs are a SUBSET of the exact bigram-Jaccard pairs "
+    "(no false positives survive the verify stage) and cover >= 90% "
+    "of them (16 bands x 4 rows at t=0.8 => theoretical miss rate "
+    "~2e-4). The oracle recomputes the exact pair count in SQL, so "
+    "n_exact_pairs is independently derived on both sides.",
+)
+def q_minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8
+    ).select("a", "b").localCheckpoint(eager=False)
+    lsh = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8
+    ).select("a", "b").localCheckpoint(eager=False)
+    n_exact = exact.count()
+    n_false_pos = lsh.join(exact, ["a", "b"], "left_anti").count()
+    n_hit = lsh.join(exact, ["a", "b"], "left_semi").count()
+    return exact.agg(
+        F.lit(n_exact).cast("long").alias("n_exact_pairs"),
+        F.lit(n_false_pos == 0).alias("lsh_subset_ok"),
+        F.lit(n_exact == 0 or n_hit / n_exact >= 0.9).alias(
+            "recall_floor_ok"
+        ),
+    )
+
+
+@_register(
+    "embedding_near_dup_check",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_planted_found,
+           TRUE AS all_pairs_above_threshold
+    """,
+    doc="Driver-checkable embedding near-dup contract: the 3 planted "
+    "exact duplicates (cosine 1.0, same LSH bucket by construction) "
+    "must each surface as a pair, and every returned pair must meet "
+    "the 0.9 threshold.",
+)
+def q_embedding_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000).cast("long")
+        )
+    )
+    corpus = emb.unionByName(planted)
+    pairs = vector.embedding_near_dup_pairs(corpus, threshold=0.9)
+    planted_pairs = pairs.filter(
+        (F.col("b") >= 10_000_000)
+        & (F.col("b") - 10_000_000 == F.col("a"))
+    )
+    n_planted = planted_pairs.count()
+    n_below = pairs.filter(F.col("cosine_sim") < 0.9).count()
+    return pairs.agg(
+        F.lit(n_planted).cast("long").alias("n_planted_found"),
+        F.lit(n_below == 0).alias("all_pairs_above_threshold"),
+    )
+
+
+@_register(
+    "simhash_planted_check",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_planted_found,
+           TRUE AS all_within_hamming
+    """,
+    doc="Driver-checkable SimHash contract: 3 planted exact duplicates "
+    "(identical token stream => identical 64-bit signature, Hamming 0, "
+    "same band chunks by construction) must each surface as a pair, "
+    "and every returned pair must respect the Hamming bound.",
+)
+def q_simhash_planted_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000).cast("long")
+        )
+    )
+    corpus = docs.unionByName(planted)
+    pairs = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=3)
+    planted_pairs = pairs.filter(
+        (F.col("b") >= 10_000_000)
+        & (F.col("b") - 10_000_000 == F.col("a"))
+    )
+    n_planted = planted_pairs.count()
+    n_beyond = pairs.filter(F.col("hamming") > 3).count()
+    return pairs.agg(
+        F.lit(n_planted).cast("long").alias("n_planted_found"),
+        F.lit(n_beyond == 0).alias("all_within_hamming"),
+    )
+
+
+@_register(
+    "multimodal_features_check",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(substring(hex(encode(text)), 1, 8)) AS header_hex,
+           TRUE AS stats_in_bounds
+    FROM documents
+    """,
+    doc="Driver-checkable multimodal contract: the mapInPandas decode "
+    "path's per-asset byte count and 4-byte header must equal the "
+    "SQL-derived UTF-8 encoding of the source text (per-row, all "
+    "assets), and the batch-computed byte stats must be in-domain "
+    "(mean in [0,255], entropy in [0,8]). Verifies the Arrow batch "
+    "plumbing row-for-row, not just row counts.",
+)
+def q_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_assets(docs, "doc_id", "text")
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "header_hex",
+        (
+            F.col("mean_byte").between(0.0, 255.0)
+            & F.col("byte_entropy").between(0.0, 8.0)
+        ).alias("stats_in_bounds"),
+    )
