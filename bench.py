@@ -50,6 +50,9 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
     "near_dup_clusters",
+    # chunk -> pack composition (explode + shard-window cumsum): the
+    # training-data packing path.
+    "pack_chunks_bins",
 ]
 
 

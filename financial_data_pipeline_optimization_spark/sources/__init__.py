@@ -15,6 +15,7 @@ from financial_data_pipeline_optimization_spark.sources.readers import (
     read_csv,
     read_jdbc,
     read_json,
+    read_orc,
     read_parquet,
     read_parquet_if_exists,
 )
@@ -22,6 +23,7 @@ from financial_data_pipeline_optimization_spark.sources.sinks import (
     write_csv,
     write_jdbc,
     write_json,
+    write_orc,
     write_parquet,
 )
 
@@ -33,12 +35,14 @@ __all__ = [
     "read_csv",
     "read_jdbc",
     "read_json",
+    "read_orc",
     "read_parquet",
     "read_parquet_if_exists",
     "write_bucketed_table",
     "write_csv",
     "write_jdbc",
     "write_json",
+    "write_orc",
     "write_parquet",
     "write_zordered",
     "zorder_value",

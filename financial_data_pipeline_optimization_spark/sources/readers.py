@@ -56,6 +56,20 @@ def read_parquet_if_exists(
     return df
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: Iterable[str] | None = None,
+) -> DataFrame:
+    """ORC scan: columnar with the same pushdown/pruning behavior the
+    engine asserts for parquet (`spark.sql.orc.filterPushdown` is on
+    by default in Spark >= 3)."""
+    df = spark.read.orc(path)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -38,6 +38,21 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Iterable[str] | None = None,
+) -> None:
+    """ORC sink: same columnar/predicate-pushdown story as parquet
+    (built into Spark, no extra packages) for ORC-standardized
+    lakehouses. Same partitioning contract as :func:`write_parquet`."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -152,3 +152,34 @@ def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
         (2, "MSFT", 410.25),
         (3, "NVDA", 120.75),
     ]
+
+
+def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
+    from financial_data_pipeline_optimization_spark.sources import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    from .conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=["order_year"])
+    back = read_orc(spark, path).filter("order_year = 1996")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # same pruning contract as parquet: directory-level, not row filter
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    assert back.count() == orders.filter("order_year = 1996").count()
+    # values survive the round trip
+    a = sorted(map(tuple, orders.select("o_orderkey", "o_totalprice").collect()))
+    b = sorted(map(tuple, read_orc(spark, path, ["o_orderkey", "o_totalprice"]).collect()))
+    assert a == b
