@@ -24,6 +24,7 @@ Design rules (SURVEY.md §4.4, §7):
 
 __version__ = "0.1.0"
 
+from financial_data_pipeline_optimization_spark.diagnostics import plan_report
 from financial_data_pipeline_optimization_spark.session import get_spark
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "plan_report", "__version__"]

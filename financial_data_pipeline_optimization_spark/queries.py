@@ -4424,3 +4424,38 @@ def q_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("byte_entropy").between(0.0, 8.0)
         ).alias("stats_in_bounds"),
     )
+
+
+@_register(
+    "histogram_order_totals",
+    """
+    SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS INT) AS bucket,
+           floor(CAST(least(floor(o_totalprice / 60000.0), 9) AS INT)
+                 * 60000.0 * 100 + 0.50005) / 100 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(min(o_totalprice) * 100 + 0.50005) / 100 AS min_total,
+           floor(max(o_totalprice) * 100 + 0.50005) / 100 AS max_total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram profiling (10 buckets of 60k over "
+    "o_totalprice, top bucket open-ended): the numeric-distribution "
+    "profile of data-quality sweeps as one partial-agg groupBy; "
+    "portable bucket arithmetic (floor division), no width_bucket "
+    "engine dependence.",
+)
+def q_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(60000.0)), F.lit(9)
+    ).cast("int")
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            _r2(F.col("bucket") * F.lit(60000.0)).alias("bucket_lo"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            _r2(F.min("o_totalprice")).alias("min_total"),
+            _r2(F.max("o_totalprice")).alias("max_total"),
+        )
+    )

@@ -213,3 +213,27 @@ def test_sampling_filters_are_narrow(spark):
         plan = _plan(SPECS[name].spark(spark, SF_SMOKE), "simple")
         assert "Exchange" not in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_plan_report_summarizes_shapes(spark):
+    """plan_report must agree with the string gates above on the
+    canonical plans: star join = all-broadcast + one shuffle; chunking
+    = zero exchanges, codegen, no Python; knn = Arrow eval, no
+    row-Python."""
+    from financial_data_pipeline_optimization_spark import plan_report
+
+    star = plan_report(SPECS["star_join_revenue_by_region"].spark(spark, SF_SMOKE))
+    assert star["broadcast_hash_joins"] == 4
+    assert star["sort_merge_joins"] == 0
+    assert star["exchanges"] == 1  # the final aggregate
+    assert star["cartesian_products"] == 0
+    assert any(star["pushed_filters"])
+
+    chunk = plan_report(SPECS["chunk_documents"].spark(spark, SF_SMOKE))
+    assert chunk["exchanges"] == 0
+    assert chunk["whole_stage_codegen"]
+    assert chunk["python_evals"] == 0 and chunk["arrow_evals"] == 0
+
+    knn = plan_report(SPECS["knn_brute_force"].spark(spark, SF_SMOKE))
+    assert knn["arrow_evals"] >= 1
+    assert knn["python_evals"] == 0
