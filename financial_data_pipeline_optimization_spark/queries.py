@@ -4459,3 +4459,71 @@ def q_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.max("o_totalprice")).alias("max_total"),
         )
     )
+
+
+@_register(
+    "vocab_coverage",
+    f"""
+    WITH toks AS (SELECT unnest({_ORACLE_TOKENS_D}) AS token
+                  FROM documents),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM toks WHERE token <> '' GROUP BY token
+    ),
+    total AS (SELECT SUM(n_occurrences) AS n_total FROM counts),
+    ranked AS (
+      SELECT token, n_occurrences,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY n_occurrences DESC, token) AS INT) AS vocab_rank,
+             SUM(n_occurrences) OVER (
+               ORDER BY n_occurrences DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM counts
+    )
+    SELECT token, n_occurrences, vocab_rank,
+           floor(cum / (SELECT n_total FROM total) * 10000
+                 + 0.5000005) / 10000 AS coverage
+    FROM ranked
+    WHERE vocab_rank <= 50
+    """,
+    doc="Tokenizer-vocabulary construction: global token counts, "
+    "frequency rank, and cumulative corpus coverage (what fraction of "
+    "all token occurrences the top-k vocab explains) — the vocab-size "
+    "sizing curve. Partial-agg token counts, then a window cumsum over "
+    "the (small) vocab, top-50.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text_ops.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    # TakeOrdered top-50 BEFORE the rank/cumsum window: ordering the
+    # full vocabulary through one window partition is the classic
+    # global-window funnel (distinct tokens can be huge at corpus
+    # scale); top-k + window-over-50-rows is equivalent for the
+    # returned rows and keeps the single-partition stage bounded.
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(50)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    ranked = top.withColumns(
+        {
+            "vocab_rank": F.row_number().over(w).cast("int"),
+            "cum": F.sum("n_occurrences").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        }
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("n_total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n_occurrences",
+        "vocab_rank",
+        _r4(F.col("cum") / F.col("n_total")).alias("coverage"),
+    )
