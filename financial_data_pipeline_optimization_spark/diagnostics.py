@@ -27,6 +27,24 @@ def _explain(df: DataFrame, mode: str) -> str:
     )
 
 
+def _node_names(simple_plan: str) -> list[str]:
+    """Physical-plan node names, one per tree line.
+
+    Counting node occurrences by substring is wrong twice over: a
+    ``ReusedExchange`` line *names its source exchange* in its
+    description (so ``"Exchange"`` matches twice on one node), and the
+    codegen-stage prefix ``*(3)`` varies. Parse each line down to its
+    leading operator token instead.
+    """
+    names = []
+    for line in simple_plan.splitlines():
+        s = re.sub(r"^[\s:+\-]*", "", line)
+        s = re.sub(r"^\*\(\d+\)\s*", "", s)
+        if s:
+            names.append(s.split(None, 1)[0])
+    return names
+
+
 def plan_report(df: DataFrame) -> dict:
     """Summarize the physical plan's scale-relevant properties.
 
@@ -36,6 +54,8 @@ def plan_report(df: DataFrame) -> dict:
       exchanges counted separately) — each is a full network pass over
       its input;
     - ``broadcast_exchanges``: dimension broadcasts (cheap, bounded);
+    - ``reused_exchanges``: shuffle outputs Catalyst re-reads instead
+      of recomputing (free — counted separately, not as exchanges);
     - ``pushed_filters``: the ``PushedFilters`` lists per scan — empty
       lists on a filtered scan mean the predicate runs post-scan;
     - ``scan_columns``: per-scan ``ReadSchema`` column counts — a scan
@@ -62,11 +82,13 @@ def plan_report(df: DataFrame) -> dict:
     scan_columns = [
         len([c for c in schema.split(",") if c]) for schema in read_schemas
     ]
+    nodes = _node_names(simple)
     return {
-        "exchanges": len(
-            re.findall(r"(?<!Broadcast)Exchange", simple)
-        ),
-        "broadcast_exchanges": simple.count("BroadcastExchange"),
+        # ReusedExchange re-reads an existing shuffle's output — it is
+        # not a new network pass, so it must not count as an exchange.
+        "exchanges": nodes.count("Exchange"),
+        "reused_exchanges": nodes.count("ReusedExchange"),
+        "broadcast_exchanges": nodes.count("BroadcastExchange"),
         "pushed_filters": pushed,
         "scan_columns": scan_columns,
         "whole_stage_codegen": "WholeStageCodegen" in codegen_plan,

@@ -50,6 +50,32 @@ def broadcast_lookup(
     return fact.join(F.broadcast(dim), on=on_expr, how=how)
 
 
+def _as_instant(df: DataFrame, col: str) -> DataFrame:
+    """Normalize an event-time column to instant-typed ``timestamp``.
+
+    The time-based joins below do epoch arithmetic (``unix_micros``),
+    which rejects TIMESTAMP_NTZ (what tz-naive parquet — pandas'
+    default — loads as) and DATE. Under a UTC session the cast is
+    value-preserving, so both become first-class inputs instead of
+    analysis errors. Any other type (numeric epoch columns included)
+    raises with a clear message — silently guessing the unit of a
+    bigint "timestamp" would corrupt results.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"column {col!r} not found in frame")
+    if dtype in ("timestamp_ntz", "date"):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dtype != "timestamp":
+        raise TypeError(
+            f"time column {col!r} has type {dtype}; expected timestamp, "
+            "timestamp_ntz, or date. For numeric epoch columns, convert "
+            "explicitly first (e.g. F.timestamp_micros / "
+            "F.timestamp_seconds) so the unit is unambiguous."
+        )
+    return df
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -79,6 +105,8 @@ def asof_join(
     Right columns (except keys/ts) are struct-packed and re-expanded;
     name collisions with left are suffixed ``_right``.
     """
+    left = _as_instant(left, left_ts)
+    right = _as_instant(right, right_ts)
     keys = list(on)
     rcols = [c for c in right.columns if c not in keys and c != right_ts]
     packed = right.select(
@@ -205,6 +233,8 @@ def range_join(
     Intervals much longer than ``bucket`` multiply the explode factor;
     pick ``bucket`` ≈ median interval length.
     """
+    left = _as_instant(left, left_ts)
+    right = _as_instant(_as_instant(right, range_start), range_end)
     keys = list(on or [])
     bucket_us = _interval_micros(bucket)
 

@@ -167,7 +167,10 @@ def weighted_sample(
     A row is kept iff its uniform md5 hex prefix is below the hex
     threshold ``floor(weight * 16^8)`` — the same comparison the
     DuckDB oracle replays verbatim, so the exact kept-set is
-    engine-checkable. Narrow per-row filter; no shuffle.
+    engine-checkable. Rows with ``weight >= 1.0`` are kept
+    unconditionally (the hex threshold saturates at ``16^8 - 1``, which
+    would wrongly drop the 1-in-16^8 keys hashing to ``ffffffff``).
+    Narrow per-row filter; no shuffle.
     """
     w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
     bound = F.least(
@@ -175,7 +178,9 @@ def weighted_sample(
         F.lit(16**_HEX_DIGITS - 1),
     ).cast("long")
     thresh = F.lower(F.lpad(F.hex(bound), _HEX_DIGITS, "0"))
-    return df.filter(_key_hash_hex(key_cols, seed) < thresh)
+    return df.filter(
+        (weight >= F.lit(1.0)) | (_key_hash_hex(key_cols, seed) < thresh)
+    )
 
 
 def hash_topn(

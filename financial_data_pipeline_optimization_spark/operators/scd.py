@@ -115,7 +115,17 @@ def scd2_apply(
         )
         .drop("__side", "__open_from")
     )
-    w = Window.partitionBy(*keys).orderBy(from_col)
+    # Secondary ordering by the tracked-attribute tuple makes the chain
+    # deterministic when a batch carries several updates for one key at
+    # the SAME timestamp: without it lag/lead tie order is whatever the
+    # shuffle delivered, and two runs could disagree on which version
+    # "wins" the instant. With it the attribute-tuple-greatest update of
+    # an instant deterministically becomes the surviving version (the
+    # earlier ties become zero-duration versions closed at their own
+    # timestamp), on every run and any partitioning.
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(from_col), F.struct(*[F.col(c) for c in tracked])
+    )
     prev = F.lag(F.struct(*[F.col(c) for c in tracked])).over(w)
     cur = F.struct(*[F.col(c) for c in tracked])
     # Keep the first version of each run of identical attributes

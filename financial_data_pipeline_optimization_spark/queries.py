@@ -88,35 +88,74 @@ _DRIVER_CHECKED_R01 = frozenset(
 )
 
 
-# Queries whose implementation or oracle changed after their r01 driver
-# row was recorded — they need a fresh driver check, right after the
-# never-checked group.
-_CHANGED_SINCE_R01 = frozenset(
+# The round-2/3 driver runs checked exactly this 50-name prefix (the
+# CORRECTNESS_r02.json keys; r03 re-checked the identical set).
+_DRIVER_CHECKED_R02 = frozenset(
+    {
+        "collect_sorted_list", "conditional_aggregates",
+        "corpus_top_bigrams", "data_quality_profile", "date_arithmetic",
+        "decontaminate_vs_benchmark", "deterministic_sample",
+        "exact_percentiles", "finance_ema", "finance_max_drawdown",
+        "finance_ohlc_bars", "finance_returns",
+        "finance_rolling_volatility", "finance_rsi",
+        "finance_sma_bollinger", "finance_vwap", "finance_zscore",
+        "gopher_repetition_filter", "having_filter", "histogram_buckets",
+        "in_subquery", "line_dedup_docs", "map_functions",
+        "near_dup_clusters", "referential_orphans",
+        "scalar_subquery_ratio", "sql_correlated_exists",
+        "sql_grouping_sets", "stats_aggregates", "stratified_topn_orders",
+        "text_clean_redact", "tfidf_top_terms", "tpch_q10_returned_items",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer", "tpch_q19_disjunctive",
+        "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume", "tpch_q6_revenue_forecast",
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "train_test_split", "unpivot_metrics", "window_analytics",
+        "window_distribution", "window_range_frame",
+    }
+)
+
+_DRIVER_CHECKED = _DRIVER_CHECKED_R01 | _DRIVER_CHECKED_R02
+
+
+# Queries whose implementation or oracle changed after (or whose driver
+# row was red in) their last driver check — they need a fresh row,
+# right after the never-checked group.
+_CHANGED_SINCE_CHECK = frozenset(
     {
         "stable_id",          # null-safe key encoding (oracle updated)
         "exact_dedup_docs",   # null-safe content hash
         "knn_ivf",            # k-means centroids + Arrow assignment
         "approx_aggregates",  # now oracle-paired tolerance check
         "embedding_near_dup",  # planted positive pairs
+        "map_functions",      # r2/r3 row red; keys now string-serialized
+        "session_window_agg",  # r1 row stale: NTZ testdata re-encoding
+        "range_join_followers",  # r1 row stale: NTZ testdata re-encoding
+        "asof_join_last_view",  # r1 row stale: NTZ testdata re-encoding
     }
 )
 
 
 def registry() -> list[QuerySpec]:
     """All registered queries, never-driver-checked names first, then
-    changed-since-r01 names, then the stable already-checked tail.
+    changed-since-last-check names, then the stable already-checked tail.
 
     Stable within each group (definition order), so the driver's
     prefix-limited correctness sweep reaches the queries that have no
     (current) CORRECTNESS row before re-verifying the ones that do.
     """
-    fresh = [s for s in _REGISTRY if s.name not in _DRIVER_CHECKED_R01]
-    changed = [s for s in _REGISTRY if s.name in _CHANGED_SINCE_R01]
+    fresh = [s for s in _REGISTRY if s.name not in _DRIVER_CHECKED]
+    changed = [
+        s
+        for s in _REGISTRY
+        if s.name in _DRIVER_CHECKED and s.name in _CHANGED_SINCE_CHECK
+    ]
     rest = [
         s
         for s in _REGISTRY
-        if s.name in _DRIVER_CHECKED_R01
-        and s.name not in _CHANGED_SINCE_R01
+        if s.name in _DRIVER_CHECKED
+        and s.name not in _CHANGED_SINCE_CHECK
     ]
     return fresh + changed + rest
 
@@ -3246,21 +3285,23 @@ def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions",
     """
     SELECT event_id,
-           list_sort(json_keys(props)) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(len(json_keys(props)) AS INT) AS n_props,
            CAST(props->>'$.k' AS INT) AS k_value
     FROM events
     """,
     doc="Map-typed column surface: parse events.props JSON into "
     "map<string,int> once, then map_keys / size / element_at — the "
-    "declared-schema alternative to per-access json path extraction.",
+    "declared-schema alternative to per-access json path extraction. "
+    "Keys are serialized to one comma-joined string (both engines) so "
+    "the driver's order-insensitive value hash can compare them.",
 )
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(m).alias("n_props"),
         F.element_at(m, F.lit("k")).alias("k_value"),
     )
@@ -4066,7 +4107,8 @@ def q_chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, n_chars
     FROM documents
-    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+    WHERE n_chars / 600.0 >= 1.0
+       OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
           < lower(lpad(to_hex(CAST(least(
               floor(least(greatest(n_chars / 600.0, 0.0), 1.0)
                     * 4294967296.0),

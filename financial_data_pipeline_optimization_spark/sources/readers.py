@@ -116,6 +116,26 @@ def read_jdbc(
     return reader.load()
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to instant-typed ``timestamp``.
+
+    tz-naive parquet (pandas' default writer output) loads as
+    TIMESTAMP_NTZ, which ``unix_micros``/``window``/watermarks reject.
+    Under a UTC session (``session.get_spark`` pins
+    ``spark.sql.session.timeZone=UTC``) the cast reinterprets the same
+    wall-clock fields as UTC instants — bit-identical epoch values to
+    what DuckDB/pandas report for the same file — so downstream
+    event-time operators work on either encoding. No-op (returns the
+    same plan object) when no NTZ column exists.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp") for c in ntz}
+    )
+
+
 # Memoized base DataFrames keyed by (applicationId, sf_dir, table).
 # DataFrames are immutable plans, so sharing one across queries is safe;
 # re-resolving the same parquet footer for every query in a 100+-query
@@ -144,6 +164,15 @@ def load_table(
     only consulted for TIMESTAMP(NANOS) parquet files — every other
     timestamp read is unaffected — and ``session.get_spark`` sets the
     same default, so reader and factory agree.
+
+    Files written as plain ``timestamp[us]`` with no UTC-adjust flag
+    (pandas/pyarrow's default, and what the driver ships today) load as
+    TIMESTAMP_NTZ, which Spark's epoch functions (``unix_micros`` et
+    al.) reject. With the session pinned to UTC every NTZ column is
+    cast to instant-typed ``timestamp`` — the same wall-clock values
+    the DuckDB/pandas oracle sees, so semantics are unchanged and the
+    whole engine surface works regardless of which of the three
+    encodings the file carries.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _TABLE_CACHE.get(key)
@@ -157,8 +186,9 @@ def load_table(
                 )
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            if name in schemas.BROADCASTABLE_DIMS:
-                df = F.broadcast(df)
+        df = normalize_ntz(df)
+        if name != "events" and name in schemas.BROADCASTABLE_DIMS:
+            df = F.broadcast(df)
         _TABLE_CACHE[key] = df
     if columns is not None:
         df = df.select(*columns)

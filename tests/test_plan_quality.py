@@ -237,3 +237,26 @@ def test_plan_report_summarizes_shapes(spark):
     knn = plan_report(SPECS["knn_brute_force"].spark(spark, SF_SMOKE))
     assert knn["arrow_evals"] >= 1
     assert knn["python_evals"] == 0
+
+
+def test_plan_report_reused_exchange_not_counted(spark):
+    """A ReusedExchange is a free re-read of an existing shuffle, not a
+    new network pass: it must count under reused_exchanges, never under
+    exchanges — even though its plan line NAMES the source exchange
+    (the substring-count trap this pins against). Static exchange reuse
+    only materializes with AQE off, so flip it for this plan build."""
+    from pyspark.sql import functions as F
+
+    from financial_data_pipeline_optimization_spark import plan_report
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = spark.range(1000).withColumn("k", F.col("id") % 10)
+        agg = base.groupBy("k").agg(F.count("*").alias("n"))
+        joined = agg.alias("a").join(agg.alias("b").hint("merge"), "k")
+        rep = plan_report(joined)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert rep["reused_exchanges"] == 1
+    assert rep["exchanges"] == 1  # the one real shuffle, not 2 or 3
+    assert rep["sort_merge_joins"] == 1

@@ -80,6 +80,40 @@ def test_scd2_point_in_time(spark):
     assert got == {1: "A2", 2: "B", 3: "C"}
 
 
+def test_scd2_same_timestamp_ties_are_deterministic(spark):
+    """Two updates for one key at the SAME change_ts: the chain must be
+    rebuilt identically on every run/partitioning — ties order by the
+    tracked-attribute tuple, so the tuple-greatest update survives as
+    the open version and the other becomes a zero-duration version."""
+    dim = _dim(spark)
+    ties = spark.createDataFrame(
+        [
+            (1, "Z1", 1.0, _ts("2024-06-01")),
+            (1, "Z2", 2.0, _ts("2024-06-01")),
+        ],
+        "k int, seg string, bal double, change_ts timestamp",
+    )
+    expected = None
+    for nparts in (1, 3, 7):
+        out = scd.scd2_apply(
+            dim, ties.repartition(nparts), ["k"], ["seg", "bal"]
+        )
+        rows = sorted(map(tuple, out.collect()))
+        if expected is None:
+            expected = rows
+        else:
+            assert rows == expected
+    open_k1 = [
+        r
+        for r in out.collect()
+        if r.k == 1 and r.is_current
+    ]
+    assert len(open_k1) == 1 and open_k1[0].seg == "Z2"
+    # the tied-out update is a closed zero-duration version
+    z1 = [r for r in out.collect() if r.k == 1 and r.seg == "Z1"]
+    assert len(z1) == 1 and z1[0].effective_to == _ts("2024-06-01")
+
+
 def test_scd2_single_shuffle(spark):
     """The merge's version-chain rebuild adds exactly one exchange on
     the key (the second window reuses the first's partitioning)."""

@@ -275,9 +275,10 @@ def test_weighted_sample_extremes_and_determinism(spark):
 
     kept = sampling.weighted_sample(df, ["id"], F.col("w")).collect()
     ids = {r.id for r in kept}
-    # weight 0 rows can never be kept; weight 1 rows (almost) always are
-    assert all(i >= 50 for i in ids)
-    assert len(ids) >= 49  # P(miss) per w=1 row is 2^-32
+    # weight 0 rows can never be kept; weight >= 1 rows ALWAYS are
+    # (the w>=1 sentinel bypasses the saturating hex threshold, which
+    # alone would drop keys hashing to exactly 'ffffffff')
+    assert ids == set(range(50, 100))
     # deterministic: same call, same kept-set, any partitioning
     again = {
         r.id
