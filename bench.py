@@ -69,6 +69,14 @@ def _sf_label(path: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="fdpo-bench")
     specs = {s.name: s for s in q.registry()}
+    # minhash_lsh_pairs is retired from the registry (its raw pairs
+    # have no DuckDB oracle; the oracle-paired minhash_recall_check
+    # twin carries driver verification) but stays a bench headliner so
+    # the LSH-path timing trend line continues across rounds.
+    specs.setdefault(
+        "minhash_lsh_pairs",
+        q.QuerySpec("minhash_lsh_pairs", q.q_minhash_pairs, None),
+    )
     timings: dict[str, float] = {}
 
     # Warm the JVM + file listing once so the first measured query

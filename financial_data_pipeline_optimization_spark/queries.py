@@ -79,11 +79,15 @@ _DRIVER_CHECKED_R01 = frozenset(
         "asof_join_last_view", "range_join_followers", "text_stats",
         "token_count_bpe_ish", "lang_id_heuristic", "doc_fingerprint",
         "quality_filter", "exact_dedup_docs", "ngram_jaccard_pairs",
-        "minhash_lsh_pairs", "simhash_pairs", "knn_brute_force", "knn_lsh",
-        "knn_ivf", "embedding_near_dup", "approx_aggregates",
-        "multimodal_features", "string_functions", "math_functions",
+        "knn_brute_force", "approx_aggregates",
+        "string_functions", "math_functions",
         "conditional_functions", "array_functions", "full_outer_join",
         "cross_join_dims",
+        # r01 also recorded rows-only checks for minhash_lsh_pairs,
+        # simhash_pairs, knn_lsh, knn_ivf, embedding_near_dup and
+        # multimodal_features; those names are retired from the
+        # registry in favor of their oracle-paired *_check contract
+        # twins (see the near-dup section below).
     }
 )
 
@@ -126,9 +130,7 @@ _CHANGED_SINCE_CHECK = frozenset(
     {
         "stable_id",          # null-safe key encoding (oracle updated)
         "exact_dedup_docs",   # null-safe content hash
-        "knn_ivf",            # k-means centroids + Arrow assignment
         "approx_aggregates",  # now oracle-paired tolerance check
-        "embedding_near_dup",  # planted positive pairs
         "map_functions",      # r2/r3 row red; keys now string-serialized
         "session_window_agg",  # r1 row stale: NTZ testdata re-encoding
         "range_join_followers",  # r1 row stale: NTZ testdata re-encoding
@@ -1292,29 +1294,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "minhash_lsh_pairs",
-    None,  # xxhash64 has no DuckDB twin; pytest checks recall vs ngram oracle
-    doc="MinHash+LSH near-dup candidate pairs, Jaccard-verified "
-    "(operators.dedup.minhash_lsh_pairs). Rows-only driver check; exact "
-    "recall invariant tested in tests/test_dedup.py.",
-)
+# MinHash+LSH / SimHash / ANN / multimodal raw-pair queries are NOT
+# registered: their outputs depend on engine-side hash functions
+# (xxhash64) with no DuckDB twin, so a driver row could only ever be
+# rows-only. Each path is instead driver-verified through an
+# oracle-paired contract query below (`minhash_recall_check`,
+# `simhash_planted_check`, `knn_lsh_recall_check`,
+# `knn_ivf_recall_check`, `embedding_near_dup_check`,
+# `multimodal_features_check`) that recomputes the ground truth in
+# SQL, plus pytest invariants (tests/test_dedup.py,
+# tests/test_vector.py, tests/test_multimodal.py). This keeps the
+# registry 100% oracle-paired. `q_minhash_pairs` stays callable for
+# bench.py's LSH-path headliner timing.
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8
     )
-
-
-@_register(
-    "simhash_pairs",
-    None,
-    doc="SimHash banded near-dup pairs (operators.dedup.simhash_pairs). "
-    "Rows-only driver check; Hamming invariant tested in pytest.",
-)
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 # ===========================================================================
@@ -1355,59 +1351,6 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("knn_rank"),
         _r4(F.col("cosine_sim")).alias("cosine_sim"),
     )
-
-
-@_register(
-    "knn_lsh",
-    None,  # approximate: recall-vs-brute-force tested in pytest
-    doc="LSH-bucketed approximate top-k (operators.vector.lsh_topk). "
-    "Rows-only driver check; recall invariant in tests/test_vector.py.",
-)
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import vector
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    return vector.lsh_topk(emb, queries_df, k=5, num_planes=4)
-
-
-@_register(
-    "knn_ivf",
-    None,
-    doc="IVF-style approximate top-k (operators.vector.ivf_topk). "
-    "Rows-only driver check; recall invariant in tests/test_vector.py.",
-)
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import vector
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    return vector.ivf_topk(emb, queries_df, k=5)
-
-
-@_register(
-    "embedding_near_dup",
-    None,
-    doc="Embedding-cosine near-duplicate pairs via LSH blocking "
-    "(operators.vector.embedding_near_dup_pairs). Rows-only check; the "
-    "three planted duplicates guarantee the positive path is exercised "
-    "at every SF (at sf0.001 the raw table has no >=0.9 pair, so a "
-    "0-row result would be indistinguishable from a broken operator).",
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import vector
-
-    emb = _t(spark, sf_dir, "embeddings")
-    # Plant 3 exact duplicates (copies of the lowest-id vectors under
-    # shifted ids): cosine 1.0 and identical LSH bucket by construction,
-    # so the pipeline MUST surface at least these pairs.
-    planted = (
-        emb.orderBy("vec_id")
-        .limit(3)
-        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000).cast("long"))
-    )
-    corpus = emb.unionByName(planted)
-    return vector.embedding_near_dup_pairs(corpus, threshold=0.9)
 
 
 @_register(
@@ -1452,22 +1395,6 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Multimodal plumbing (operators.multimodal) — binary columns + features
 # ===========================================================================
-
-
-@_register(
-    "multimodal_features",
-    None,  # binary/mapInPandas path has no SQL twin; invariants in pytest
-    doc="Binary-asset decode + featurize via mapInPandas with the "
-    "deterministic fake codec (operators.multimodal.extract_features). "
-    "Rows-only driver check; byte-level invariants in "
-    "tests/test_multimodal.py.",
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import multimodal
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = multimodal.synthetic_assets(docs, "doc_id", "text")
-    return multimodal.extract_features(assets)
 
 
 # ===========================================================================

@@ -154,6 +154,36 @@ def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
     ]
 
 
+def test_jdbc_partitioned_read_embedded_derby(spark, tmp_path):
+    """Partitioned JDBC *read* (T1's read twin — the reference only
+    parallelizes the write side via repartition(4), loading.py:116).
+    With partitionColumn/bounds the scan issues one range query per
+    partition instead of a single connection; results must be the
+    union of the ranges with nothing dropped or duplicated, including
+    rows outside [lowerBound, upperBound) which JDBC assigns to the
+    edge partitions."""
+    from financial_data_pipeline_optimization_spark.sources import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_part;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    rows = [(i, f"t{i % 7}", float(i) / 4) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, ticker string, v double")
+    write_jdbc(df, url, "ticks", mode="overwrite", properties=props)
+
+    back = read_jdbc(
+        spark,
+        url,
+        "ticks",
+        properties=props,
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=10,  # deliberately inside the data range: edge
+        upper_bound=90,  # partitions must still pick up 0-9 and 90-99
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
 def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
     from financial_data_pipeline_optimization_spark.sources import (
         load_table,

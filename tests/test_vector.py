@@ -167,17 +167,26 @@ def test_approx_aggregates_within_bounds(spark):
         assert abs(med_approx - med_exact) / med_exact < 0.1
 
 
-def test_embedding_near_dup_registry_finds_planted_pairs(spark):
-    """The registry entry plants 3 exact duplicates so the driver's
-    rows-only check exercises the positive path at every SF: each
-    planted copy must be reported as a pair with its source at
-    cosine ~1.0."""
-    from financial_data_pipeline_optimization_spark import queries as q
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    """Planting 3 exact duplicates exercises the positive path at every
+    SF (at sf0.001 the raw table has no >=0.9 pair, so a 0-row result
+    would be indistinguishable from a broken operator): each planted
+    copy must be reported as a pair with its source at cosine ~1.0.
+    The registry's oracle-paired twin is embedding_near_dup_check."""
+    from financial_data_pipeline_optimization_spark.sources import load_table
 
     from .conftest import SF_SMOKE
 
-    spec = {s.name: s for s in q.registry()}["embedding_near_dup"]
-    rows = spec.spark(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    planted_src = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000).cast("long")
+        )
+    )
+    corpus = emb.unionByName(planted_src)
+    rows = vector.embedding_near_dup_pairs(corpus, threshold=0.9).collect()
     planted = {
         (r.a, r.b) for r in rows if r.b >= 10_000_000 and r.cosine_sim > 0.999
     }
