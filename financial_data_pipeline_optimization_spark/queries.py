@@ -4496,3 +4496,97 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_rank",
         _r4(F.col("cum") / F.col("n_total")).alias("coverage"),
     )
+
+
+@_register(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE months(month_start) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE)
+      FROM months WHERE month_start < DATE '2001-08-01'
+    )
+    SELECT month_start,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           floor(coalesce(sum(o_totalprice), 0) * 100 + 0.50005) / 100
+             AS month_revenue
+    FROM months
+    LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS DATE) = month_start
+    GROUP BY month_start
+    """,
+    doc="Recursive CTE (WITH RECURSIVE, Spark >= 4.0) generating a "
+    "month spine over the order date range, left-joined to monthly "
+    "order counts/revenue — gap-filled time series, the standard "
+    "calendar-spine pattern reporting pipelines need (a plain GROUP BY "
+    "silently drops empty months). The spine is 80 rows driver-side "
+    "recursion; the fact scan aggregates map-side before the join.",
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(month_start) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(month_start, 1)
+          FROM months WHERE month_start < DATE '2001-08-01'
+        )
+        SELECT month_start,
+               COUNT(o_orderkey) AS n_orders,
+               floor(coalesce(sum(o_totalprice), 0) * 100 + 0.50005) / 100
+                 AS month_revenue
+        FROM months
+        LEFT JOIN v_orders
+          ON CAST(date_trunc('MM', o_orderdate) AS DATE) = month_start
+        GROUP BY month_start
+        """
+    )
+
+
+@_register(
+    "unigram_logprob_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_ORACLE_TOKENS}) AS token FROM documents
+    ),
+    tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY 1),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored_tokens,
+           floor(avg(-ln(CAST(c AS DOUBLE) / n)) * 10000 + 0.5000005)
+             / 10000 AS mean_neg_logprob
+    FROM tok JOIN counts USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model quality score: per-document mean "
+    "negative log-probability of each token under the corpus unigram "
+    "distribution — the in-domain/outlier signal CCNet-style pipelines "
+    "compute with an LM (here self-trained on the corpus in the same "
+    "query). High scores = rare-token-heavy documents (boilerplate, "
+    "noise, wrong language). Shuffles only (token) and (doc_id) keyed "
+    "rows; the token-frequency side is vocabulary-sized and the "
+    "corpus-total is a broadcast scalar — documents themselves never "
+    "move.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("n"))
+    scored = toks.join(counts, "token").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
+        _r4(
+            F.avg(-F.log(F.col("c").cast("double") / F.col("n")))
+        ).alias("mean_neg_logprob"),
+    )
