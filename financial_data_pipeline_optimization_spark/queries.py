@@ -4590,3 +4590,132 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(-F.log(F.col("c").cast("double") / F.col("n")))
         ).alias("mean_neg_logprob"),
     )
+
+
+@_register(
+    "corpus_mixture_report",
+    f"""
+    WITH toks AS (
+      SELECT source, lang, len(list_filter({_ORACLE_TOKENS}, x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1, 2
+    ),
+    total AS (SELECT sum(n_tokens) AS n FROM per)
+    SELECT source, lang, n_docs, n_tokens,
+           floor(n_tokens / (SELECT n FROM total) * 10000 + 0.5000005)
+             / 10000 AS token_share
+    FROM per
+    """,
+    doc="Training-data mixture report: documents and token counts per "
+    "(source, lang) stratum plus each stratum's share of total corpus "
+    "tokens — the sampling-weight input every pretraining data recipe "
+    "starts from. Token counting is row-local (no explode); one "
+    "partial-agg groupBy; the corpus total broadcasts as a scalar.",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(text_ops.tokens("text"), lambda x: x != "")
+    )
+    per = (
+        docs.select("source", "lang", n_tok.alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").alias("n"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        _r4(F.col("n_tokens") / F.col("n")).alias("token_share"),
+    )
+
+
+@_register(
+    "contamination_report",
+    f"""
+    WITH c_sh AS (
+      SELECT DISTINCT d.doc_id, array_to_string(t[i+1:i+5], ' ') AS s
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents) d,
+           UNNEST(range(greatest(len(t) - 4, 1))) AS u(i)
+      WHERE len(t) >= 5 OR i = 0
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 20 = 7
+    ),
+    b_sh AS (
+      SELECT DISTINCT b.bench_id, array_to_string(t[i+1:i+5], ' ') AS s
+      FROM (SELECT bench_id, {_ORACLE_TOKENS} AS t FROM bench) b,
+           UNNEST(range(greatest(len(t) - 4, 1))) AS u(i)
+      WHERE len(t) >= 5 OR i = 0
+    )
+    SELECT bench_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+           CAST(count(DISTINCT c_sh.s) AS BIGINT) AS n_shared_shingles
+    FROM b_sh JOIN c_sh ON b_sh.s = c_sh.s AND c_sh.doc_id <> b_sh.bench_id
+    GROUP BY bench_id
+    """,
+    doc="Eval-leakage audit, the reporting twin of operators.dedup."
+    "decontaminate: for each benchmark document (every 20th doc as a "
+    "stand-in eval set), how many OTHER corpus documents share a word "
+    "5-gram with it and how many distinct 5-grams leak. decontaminate "
+    "silently drops contaminated docs; audits need the per-benchmark "
+    "evidence. Shuffles (shingle, id) pairs only; the benchmark side "
+    "is tiny and broadcasts.",
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n = 5
+
+    def shingles(df, idc):
+        t = F.filter(tokens("text"), lambda x: x != "")
+        # DuckDB's t[i+1:i+5] silently truncates at the array end, so
+        # short docs contribute their sub-n-gram remainder; mirror that
+        # by clamping the slice length (sequence floor 1 keeps >= one
+        # shingle per non-empty doc, exactly like greatest(len-4, 1)).
+        return (
+            df.select(F.col(idc), t.alias("t"))
+            .select(
+                idc,
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(F.size("t") - (n - 1), F.lit(1)) - 1,
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(F.col("t"), i + 1, n), " "
+                        ),
+                    )
+                ).alias("s"),
+            )
+            .distinct()
+        )
+
+    c_sh = shingles(docs, "doc_id")
+    bench = docs.filter(F.col("doc_id") % 20 == 7).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    b_sh = shingles(bench, "bench_id")
+    hits = c_sh.join(
+        F.broadcast(b_sh),
+        (c_sh["s"] == b_sh["s"]) & (c_sh["doc_id"] != b_sh["bench_id"]),
+    )
+    return hits.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_contaminated_docs"),
+        F.countDistinct(c_sh["s"]).cast("long").alias("n_shared_shingles"),
+    )
