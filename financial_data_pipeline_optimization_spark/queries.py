@@ -4520,8 +4520,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "month spine over the order date range, left-joined to monthly "
     "order counts/revenue — gap-filled time series, the standard "
     "calendar-spine pattern reporting pipelines need (a plain GROUP BY "
-    "silently drops empty months). The spine is 80 rows driver-side "
-    "recursion; the fact scan aggregates map-side before the join.",
+    "silently drops empty months). Facts aggregate to per-month rows "
+    "BEFORE meeting the spine: joining raw facts to an 80-value month "
+    "key first would funnel the whole table through <=80 reducers; "
+    "aggregate-then-join keeps the fact side a partial-agg shuffle on "
+    "month and makes the spine join an 80x80 broadcast.",
 )
 def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
@@ -4532,15 +4535,18 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT add_months(month_start, 1)
           FROM months WHERE month_start < DATE '2001-08-01'
+        ),
+        agg AS (
+          SELECT CAST(date_trunc('MM', o_orderdate) AS DATE) AS m,
+                 COUNT(o_orderkey) AS n,
+                 SUM(o_totalprice) AS rev
+          FROM v_orders GROUP BY 1
         )
         SELECT month_start,
-               COUNT(o_orderkey) AS n_orders,
-               floor(coalesce(sum(o_totalprice), 0) * 100 + 0.50005) / 100
+               coalesce(n, CAST(0 AS BIGINT)) AS n_orders,
+               floor(coalesce(rev, 0) * 100 + 0.50005) / 100
                  AS month_revenue
-        FROM months
-        LEFT JOIN v_orders
-          ON CAST(date_trunc('MM', o_orderdate) AS DATE) = month_start
-        GROUP BY month_start
+        FROM months LEFT JOIN agg ON agg.m = months.month_start
         """
     )
 
@@ -4579,8 +4585,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(text_ops.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # Vocabulary-sized; lazily checkpointed so the corpus total reuses
+    # the materialized counts instead of re-scanning + re-exploding the
+    # document table a third time.
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("c").cast("long").alias("n"))
     scored = toks.join(counts, "token").crossJoin(F.broadcast(total))
@@ -4632,6 +4643,9 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
+        # stratum-count-sized; checkpointed so the grand total derives
+        # from these rows instead of a second corpus scan + tokenize
+        .localCheckpoint(eager=False)
     )
     total = per.agg(F.sum("n_tokens").alias("n"))
     return per.crossJoin(F.broadcast(total)).select(
