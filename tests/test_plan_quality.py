@@ -260,3 +260,34 @@ def test_plan_report_reused_exchange_not_counted(spark):
     assert rep["reused_exchanges"] == 1
     assert rep["exchanges"] == 1  # the one real shuffle, not 2 or 3
     assert rep["sort_merge_joins"] == 1
+
+
+def test_recursive_spine_aggregates_before_join(spark):
+    """sql_recursive_cte must reduce facts to per-month rows BEFORE the
+    spine join: joining raw facts on an 80-value month key funnels the
+    table through <=80 reducers. The gate: a HashAggregate (grouped on
+    the month expression) sits below the join, and the join itself is
+    the 80x80 outer join — so the aggregate appears on the join's build
+    side, not above it only."""
+    df = SPECS["sql_recursive_cte"].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    join_pos = plan.find("Join")
+    assert join_pos != -1, plan
+    below_join = plan[join_pos:]
+    # the per-month fact aggregate must be under the join operator
+    assert "HashAggregate" in below_join, plan
+    assert "date_trunc" in below_join, plan
+
+
+def test_unigram_score_never_shuffles_documents(spark):
+    """unigram_logprob_score's exchanges may carry only token/doc_id
+    keyed aggregate rows — the document text column must not appear in
+    any Exchange input (documents never move; only exploded token rows
+    and the vocabulary-sized count table do)."""
+    df = SPECS["unigram_logprob_score"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    for chunk in plan.split("\n\n"):
+        if chunk.lstrip().startswith("(") and "Exchange" in chunk.split(
+            "\n"
+        )[0]:
+            assert "text#" not in chunk, chunk
