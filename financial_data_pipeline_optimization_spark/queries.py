@@ -4733,3 +4733,129 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_contaminated_docs"),
         F.countDistinct(c_sh["s"]).cast("long").alias("n_shared_shingles"),
     )
+
+
+@_register(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased
+    """,
+    doc="Strict-order conversion funnel over the event stream: users "
+    "whose first view precedes a click that precedes a purchase — the "
+    "canonical product-analytics query. Each stage is one partial-agg "
+    "groupBy on user_id plus a user-keyed join; stages reuse the same "
+    "hash partitioning, and no event row is ever shuffled twice within "
+    "a stage.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+        .crossJoin(
+            F.broadcast(
+                c.agg(F.count(F.lit(1)).cast("long").alias("n_clicked"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(F.count(F.lit(1)).cast("long").alias("n_purchased"))
+            )
+        )
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    sizes AS (SELECT cohort_date, CAST(count(*) AS BIGINT) AS n_cohort
+              FROM first GROUP BY 1),
+    joined AS (
+      SELECT f.cohort_date,
+             CAST(date_diff('day', f.cohort_date, a.d) AS INT) AS day_offset,
+             a.user_id
+      FROM first f JOIN activity a ON f.user_id = a.user_id
+      WHERE date_diff('day', f.cohort_date, a.d) BETWEEN 0 AND 7
+    )
+    SELECT j.cohort_date, j.day_offset,
+           CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           floor(count(DISTINCT j.user_id) / CAST(s.n_cohort AS DOUBLE)
+                 * 10000 + 0.5000005) / 10000 AS retention
+    FROM joined j JOIN sizes s ON j.cohort_date = s.cohort_date
+    GROUP BY j.cohort_date, j.day_offset, s.n_cohort
+    """,
+    doc="Day-0..7 retention cohort table: users grouped by first-seen "
+    "date, per-day-offset distinct active users and retained fraction "
+    "— the standard growth-analytics rollup. Shuffles are all keyed on "
+    "user_id or (cohort_date, day_offset); per-user activity "
+    "deduplicates to one row per user-day before the cohort join, so "
+    "the join side scales with users x days, not with raw events.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_date")
+    )
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    joined = (
+        first.join(activity, "user_id")
+        .withColumn(
+            "day_offset", F.datediff("d", "cohort_date").cast("int")
+        )
+        .filter(F.col("day_offset").between(0, 7))
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_date")
+        .groupBy("cohort_date", "day_offset", "n_cohort")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .select(
+            "cohort_date",
+            "day_offset",
+            "n_active",
+            _r4(
+                F.col("n_active") / F.col("n_cohort").cast("double")
+            ).alias("retention"),
+        )
+    )
