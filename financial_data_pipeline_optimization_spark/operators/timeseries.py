@@ -346,3 +346,45 @@ def with_ema(
     sc = df.sparkSession.sparkContext
     df = df.repartition(sc.defaultParallelism, entity_col)
     return df.groupBy(entity_col).applyInPandas(_ema, schema)
+
+
+def forward_fill(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    cols: Sequence[str],
+    backfill_leading: bool = False,
+) -> DataFrame:
+    """Per-entity forward fill: replace each null in ``cols`` with the
+    most recent non-null value in ``order_cols`` order (the sparse→
+    dense gap-filling step sensor/market series need before windowed
+    math; pandas ``ffill`` at DataFrame scale).
+
+    ``last(ignorenulls) OVER (... ROWS UNBOUNDED PRECEDING)`` evaluates
+    partition-locally after the one hash-shuffle on ``entity_col`` —
+    the same single-exchange cost envelope as every window op in this
+    module. Leading nulls (no prior observation) stay null unless
+    ``backfill_leading``, which adds the mirrored first-following
+    window (a second sort, no second shuffle — same partitioning).
+    """
+    w_back = _w(entity_col, order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w_back) for c in cols}
+    )
+    if backfill_leading:
+        w_fwd = (
+            Window.partitionBy(entity_col)
+            .orderBy(*[F.col(c).desc() for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumns(
+            {
+                c: F.coalesce(
+                    F.col(c), F.last(c, ignorenulls=True).over(w_fwd)
+                )
+                for c in cols
+            }
+        )
+    return out

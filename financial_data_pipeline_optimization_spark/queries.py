@@ -4859,3 +4859,46 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@_register(
+    "forward_fill_gaps",
+    f"""
+    WITH sparse AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END
+               AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           floor(coalesce(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), -1.0) * 10000
+                 + 0.5000005) / 10000 AS v_filled
+    FROM sparse
+    """,
+    doc="Per-entity forward fill (operators.timeseries.forward_fill): "
+    "error events null their reading and inherit the entity's most "
+    "recent good value — the sparse-to-dense gap fill sensor/market "
+    "series need before windowed math. One hash-shuffle on the entity "
+    "key, then partition-local. Leading nulls (no prior observation) "
+    "are sentinel -1.0 so the comparator sees a concrete value on "
+    "both engines.",
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    filled = timeseries.forward_fill(
+        ev, "user_id", ["ts", "event_id"], ["v"]
+    )
+    return filled.select(
+        "user_id",
+        "event_id",
+        _r4(F.coalesce(F.col("v"), F.lit(-1.0))).alias("v_filled"),
+    )

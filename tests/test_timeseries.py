@@ -122,3 +122,33 @@ def test_bollinger_band_ordering(ticks):
         | (F.col("bb_lower") > F.col("bb_mid"))
     )
     assert bad.isEmpty()
+
+
+def test_forward_fill_values_and_leading_nulls(spark):
+    rows = [
+        ("A", 1, None), ("A", 2, 10.0), ("A", 3, None), ("A", 4, None),
+        ("A", 5, 20.0),
+        ("B", 1, 5.0), ("B", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "entity string, seq long, v double")
+
+    out = {
+        (r.entity, r.seq): r.v
+        for r in timeseries.forward_fill(
+            df, "entity", ["seq"], ["v"]
+        ).collect()
+    }
+    assert out[("A", 1)] is None          # leading null stays null
+    assert out[("A", 3)] == 10.0          # carried forward
+    assert out[("A", 4)] == 10.0          # across consecutive gaps
+    assert out[("A", 5)] == 20.0          # real value untouched
+    assert out[("B", 2)] == 5.0           # per-entity isolation
+
+    back = {
+        (r.entity, r.seq): r.v
+        for r in timeseries.forward_fill(
+            df, "entity", ["seq"], ["v"], backfill_leading=True
+        ).collect()
+    }
+    assert back[("A", 1)] == 10.0         # leading null backfilled
+    assert back[("A", 4)] == 10.0         # forward fill still wins
