@@ -17,6 +17,7 @@ from financial_data_pipeline_optimization_spark.streaming.ops import (
     sliding_counts,
     stream_dedup_by_key,
     stream_dedup_within_watermark,
+    stream_static_enrich,
     stream_stream_join,
     tumbling_counts,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "sliding_counts",
     "stream_dedup_by_key",
     "stream_dedup_within_watermark",
+    "stream_static_enrich",
     "stream_stream_join",
     "tumbling_counts",
 ]

@@ -279,3 +279,23 @@ def stream_stream_join(
     return lw.join(rw, cond).select(
         F.col("k").alias(key_col), "l_ts", "r_ts", "l_value", "r_value"
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (the streaming twin of the reference's ticker→company
+    lookup, ``extraction.py:85-94`` → our ``joins.broadcast_lookup``).
+
+    The static side needs no watermark and holds no streaming state —
+    Spark re-plans it per micro-batch, so the dimension may even be
+    swapped under the same path between batches. Broadcast-hinting the
+    dim keeps every micro-batch shuffle-free on the stream side: each
+    task enriches its partition locally, which at scale means the join
+    adds zero exchanges to the streaming plan.
+    """
+    return stream.join(F.broadcast(dim), on=key_col, how=how)

@@ -257,3 +257,38 @@ def test_stream_dedup_within_watermark_collapses_key_reemissions(spark):
     rows = spark.sql("SELECT user_id FROM dedup_wm").collect()
     assert sorted(r.user_id for r in rows) == [1, 2]
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_static_enrich_matches_batch(spark, events_stream_dir):
+    """Stream-static join: streamed events enriched with a static dim
+    must equal the batch join on the same data, and the streaming plan
+    must not add a stateful operator (no watermark needed)."""
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "buy"),
+         ("signup", "acquire"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = streaming.read_stream_parquet(
+        spark, events_stream_dir, schemas.TESTDATA["events"]
+    )
+    enriched = streaming.stream_static_enrich(stream, dim, "event_type")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT category, count(*) AS n FROM enrich_out GROUP BY 1"
+    ).collect()
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .join(dim, "event_type")
+        .groupBy("category")
+        .count()
+    ).collect()
+    assert {(r.category, r.n) for r in got} == {
+        (r.category, r["count"]) for r in batch
+    }
