@@ -53,6 +53,11 @@ HEADLINE = [
     # chunk -> pack composition (explode + shard-window cumsum): the
     # training-data packing path.
     "pack_chunks_bins",
+    # r4 additions: token-explode + vocab join (LM quality scoring)
+    # and the shingle-broadcast contamination audit — the two heaviest
+    # new text shapes, so their cost is tracked round-over-round.
+    "unigram_logprob_score",
+    "contamination_report",
 ]
 
 

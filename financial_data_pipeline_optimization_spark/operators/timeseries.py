@@ -388,3 +388,25 @@ def forward_fill(
             }
         )
     return out
+
+
+def with_rolling_median(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window: int = 5,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Rolling exact median over the trailing ``window`` rows per
+    entity — the robust-smoothing twin of :func:`with_sma` (a median
+    ignores the spike outliers that drag a mean; standard for sensor
+    despiking and tick cleaning). Exact ``percentile`` with continuous
+    interpolation evaluates partition-locally inside the one
+    entity-keyed exchange; per-row cost is O(window log window) on a
+    bounded frame, so no state concern at scale.
+    """
+    w = _w(entity_col, order_cols).rowsBetween(-(window - 1), 0)
+    return df.withColumn(
+        out_col, F.expr(f"percentile({value_col}, 0.5)").over(w)
+    )

@@ -4902,3 +4902,32 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         _r4(F.coalesce(F.col("v"), F.lit(-1.0))).alias("v_filled"),
     )
+
+
+@_register(
+    "finance_rolling_median",
+    f"""
+    SELECT user_id, event_id,
+           floor(quantile_cont(value, 0.5) OVER (
+                   {_TS_W}
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 10000
+                 + 0.5000005) / 10000 AS rolling_median
+    FROM events
+    """,
+    doc="Rolling 5-tick exact median per entity (operators.timeseries."
+    "with_rolling_median): the robust-smoothing twin of the SMA — "
+    "outlier spikes drag a mean but not a median. Continuous-"
+    "interpolation percentile over a bounded trailing frame, "
+    "partition-local after the one entity-keyed exchange.",
+)
+def q_finance_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = timeseries.with_rolling_median(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        window=5,
+    )
+    return out.select(
+        "user_id", "event_id", _r4(F.col("rolling_median")).alias("rolling_median")
+    )
