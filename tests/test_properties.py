@@ -310,3 +310,112 @@ def test_pack_chunks_stream_cut_invariants(sizes, budget):
     bins = [r.bin_id for r in rows]
     assert bins == sorted(bins)
     assert bins[0] == 0
+
+
+#: (entity, seq, value-or-null) rows for fill/median invariants
+TS_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 9),
+        st.one_of(st.none(), st.integers(-50, 50)),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=TS_ROWS)
+@SET
+def test_forward_fill_matches_pandas_ffill(rows):
+    from financial_data_pipeline_optimization_spark.operators import timeseries
+
+    df = SPARK.createDataFrame(
+        [(e, s, float(v) if v is not None else None) for e, s, v in rows],
+        "entity long, seq long, v double",
+    )
+    got = {
+        (r.entity, r.seq): r.v
+        for r in timeseries.forward_fill(
+            df, "entity", ["seq"], ["v"]
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["entity", "seq", "v"]).astype(
+        {"v": "float64"}
+    )
+    pdf = pdf.sort_values(["entity", "seq"])
+    pdf["v"] = pdf.groupby("entity")["v"].ffill()
+    for _, row in pdf.iterrows():
+        expect = None if pd.isna(row.v) else row.v
+        assert got[(row.entity, row.seq)] == expect
+
+
+@given(rows=TS_ROWS)
+@SET
+def test_rolling_median_matches_pandas(rows):
+    from financial_data_pipeline_optimization_spark.operators import timeseries
+
+    filled = [(e, s, float(v if v is not None else 0)) for e, s, v in rows]
+    df = SPARK.createDataFrame(filled, "entity long, seq long, v double")
+    got = {
+        (r.entity, r.seq): r.rolling_median
+        for r in timeseries.with_rolling_median(
+            df, "entity", ["seq"], "v", window=3
+        ).collect()
+    }
+    pdf = pd.DataFrame(filled, columns=["entity", "seq", "v"]).sort_values(
+        ["entity", "seq"]
+    )
+    pdf["med"] = (
+        pdf.groupby("entity")["v"]
+        .rolling(3, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    for _, row in pdf.iterrows():
+        assert got[(row.entity, row.seq)] == pytest.approx(row.med)
+
+
+#: undirected edges over a small node domain — forces multi-component
+#: graphs, chains, self-loops and duplicate edges
+EDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGES)
+@SET
+def test_connected_components_matches_union_find(edges):
+    from financial_data_pipeline_optimization_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = SPARK.createDataFrame(edges, "a long, b long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    expect = {}
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    for n in parent:
+        expect[n] = roots[find(n)]
+    assert got == expect
