@@ -4931,3 +4931,126 @@ def q_finance_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", _r4(F.col("rolling_median")).alias("rolling_median")
     )
+
+
+_ORACLE_CLEANED = (
+    "regexp_replace(regexp_replace(regexp_replace(trim(regexp_replace("
+    "regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), "
+    "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')), "
+    "'https?://[^\\s]+', '<URL>', 'g'), "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g')"
+)
+
+
+@_register(
+    "corpus_curation_funnel",
+    f"""
+    WITH RECURSIVE cleaned AS (
+      SELECT doc_id, {_ORACLE_CLEANED} AS text FROM documents
+    ),
+    lang_toks AS (
+      SELECT doc_id, list_distinct({_ORACLE_TOKENS}) AS ts FROM cleaned
+    ),
+    scores AS (
+      SELECT doc_id, 'de' AS lang, len(list_intersect(ts, ['der', 'die', 'das', 'und', 'ist', 'nicht'])) AS sc FROM lang_toks
+      UNION ALL SELECT doc_id, 'en' AS lang, len(list_intersect(ts, ['the', 'and', 'of', 'to', 'a', 'in', 'is'])) AS sc FROM lang_toks
+      UNION ALL SELECT doc_id, 'es' AS lang, len(list_intersect(ts, ['el', 'la', 'los', 'las', 'es', 'y', 'en'])) AS sc FROM lang_toks
+      UNION ALL SELECT doc_id, 'fr' AS lang, len(list_intersect(ts, ['le', 'la', 'les', 'et', 'est', 'dans'])) AS sc FROM lang_toks
+      UNION ALL SELECT doc_id, 'zh' AS lang, len(list_intersect(ts, ['de', 'shi', 'le', 'bu', 'wo'])) AS sc FROM lang_toks
+    ),
+    best AS (
+      SELECT doc_id, lang, sc,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY sc DESC, lang) AS rn
+      FROM scores
+    ),
+    lang_keep AS (
+      SELECT c.doc_id, c.text
+      FROM cleaned c JOIN best b ON c.doc_id = b.doc_id
+      WHERE b.rn = 1 AND b.sc > 0 AND b.lang = 'en'
+    ),
+    q_stats AS (
+      SELECT doc_id, text,
+             length(text) AS nc,
+             len({_ORACLE_TOKENS}) AS nt,
+             len(list_distinct({_ORACLE_TOKENS})) AS nd,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS np
+      FROM lang_keep
+    ),
+    quality AS (
+      SELECT doc_id, text FROM q_stats
+      WHERE nt >= 20 AND CAST(np AS DOUBLE)/nc <= 0.3
+        AND CAST(nd AS DOUBLE)/nt >= 0.1
+    ),
+    exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                 ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, {_ORACLE_TOKENS} AS t FROM exact),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+    ),
+    sym AS (SELECT a AS s, b AS d FROM pairs
+            UNION SELECT b AS s, a AS d FROM pairs),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    survivors AS (
+      SELECT e.doc_id
+      FROM exact e
+      LEFT JOIN (SELECT s AS node, least(s, min(d)) AS component
+                 FROM reach GROUP BY s) l
+        ON e.doc_id = l.node
+      WHERE COALESCE(l.component, e.doc_id) = e.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+           CAST((SELECT count(*) FROM lang_keep) AS BIGINT) AS n_lang_filtered,
+           CAST((SELECT count(*) FROM quality) AS BIGINT) AS n_quality_filtered,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_deduped,
+           CAST((SELECT count(*) FROM survivors) AS BIGINT) AS n_near_deduped
+    """,
+    doc="The END-TO-END corpus curation funnel (plans.corpus."
+    "funnel_counts) as one driver-checkable row: hygiene+PII redaction "
+    "-> English lang-ID -> quality gates -> exact dedup -> transitive "
+    "near-dedup, with per-stage survivor counts. The oracle recomputes "
+    "the ENTIRE pipeline — including the connected-components stage via "
+    "a recursive CTE — in SQL, so every stage's composition (not just "
+    "each operator in isolation) is verified. Stage order is the "
+    "100 TB-load-bearing one: narrow row-local filters shrink the "
+    "corpus before anything shuffles or iterates.",
+)
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.plans import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = corpus.funnel_counts(docs)
+    return docs.limit(1).agg(
+        F.lit(counts["input"]).cast("long").alias("n_input"),
+        F.lit(counts["lang_filtered"]).cast("long").alias("n_lang_filtered"),
+        F.lit(counts["quality_filtered"]).cast("long").alias(
+            "n_quality_filtered"
+        ),
+        F.lit(counts["exact_deduped"]).cast("long").alias("n_exact_deduped"),
+        F.lit(counts["near_deduped"]).cast("long").alias("n_near_deduped"),
+    )
