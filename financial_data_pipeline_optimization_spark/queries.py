@@ -5054,3 +5054,164 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(counts["exact_deduped"]).cast("long").alias("n_exact_deduped"),
         F.lit(counts["near_deduped"]).cast("long").alias("n_near_deduped"),
     )
+
+
+@_register(
+    "rollup_time_hierarchy",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(sum(o_totalprice) * 100 + 0.50005) / 100 AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate),
+                     month(o_orderdate))
+    """,
+    doc="Calendar-hierarchy ROLLUP (year -> quarter -> month subtotals "
+    "+ grand total) over order revenue — the reporting twin of "
+    "rollup_region_nation on the time dimension the reference derives "
+    "(F1-F5). One Expand + partial-agg pass; subtotal rows cost one "
+    "replicated aggregate, not extra scans.",
+)
+def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            "o_totalprice",
+        )
+        .rollup("order_year", "order_quarter", "order_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            _r2(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_key_rows,
+             floor(avg(n) * 10000 + 0.5000005) / 10000 AS avg_key_rows,
+             floor(max(n) / avg(n) * 10000 + 0.5000005) / 10000
+               AS skew_ratio
+      FROM per_key
+    ),
+    top5 AS (
+      SELECT key, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS INT)
+               AS heavy_rank
+      FROM per_key QUALIFY heavy_rank <= 5
+    )
+    SELECT s.n_keys, s.max_key_rows, s.avg_key_rows, s.skew_ratio,
+           t.heavy_rank, CAST(t.key AS BIGINT) AS key, t.n AS key_rows
+    FROM stats s CROSS JOIN top5 t
+    """,
+    doc="Join-key skew diagnostic: per-key cardinality profile of "
+    "orders.o_custkey (key count, max/avg rows per key, skew ratio, "
+    "top-5 heaviest keys) — the measurement that decides between a "
+    "plain shuffle join, AQE skew handling, and an explicit salted "
+    "join (operators.joins.salted_join). One partial-agg pass; the "
+    "top-5 is a TakeOrdered over key counts, never a global sort of "
+    "the fact table.",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_key = (
+        orders.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # reused by stats AND top-5
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        _r4(F.avg("n")).alias("avg_key_rows"),
+        _r4(F.max("n") / F.avg("n")).alias("skew_ratio"),
+    )
+    top5 = (
+        per_key.orderBy(F.col("n").desc(), "key")
+        .limit(5)
+        .withColumn(
+            "heavy_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "key"))
+            .cast("int"),
+        )
+    )
+    return F.broadcast(stats).crossJoin(top5).select(
+        "n_keys",
+        "max_key_rows",
+        "avg_key_rows",
+        "skew_ratio",
+        "heavy_rank",
+        F.col("key").cast("long").alias("key"),
+        F.col("n").alias("key_rows"),
+    )
+
+
+@_register(
+    "cross_source_dup_matrix",
+    """
+    WITH corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT '__planted__' AS source, text FROM (
+        SELECT text FROM documents ORDER BY doc_id LIMIT 3)
+    ),
+    content AS (
+      SELECT DISTINCT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      FROM corpus
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_contents
+    FROM content a JOIN content b
+      ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplication matrix: for every source pair, how "
+    "many distinct normalized contents appear in both — the overlap "
+    "audit that decides dedup ORDER across crawls/dumps (dedup "
+    "priority goes to the higher-quality source). Three documents are "
+    "planted under a synthetic source so the positive path is "
+    "exercised at every SF (at sf0.01 the raw corpus has no "
+    "cross-source dup, and a 0-row green row would be "
+    "indistinguishable from a broken join). Shuffles 16-byte digests "
+    "keyed by (source, hash); documents never move.",
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(F.lit("__planted__").alias("source"), "text")
+    )
+    corpus = docs.select("source", "text").unionByName(planted)
+    content = corpus.select(
+        "source",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("h"),
+    ).distinct()
+    a = content.alias("a")
+    b = content.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_contents"))
+    )
