@@ -5215,3 +5215,109 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_contents"))
     )
+
+
+@_register(
+    "order_to_ship_lag_percentiles",
+    """
+    WITH lags AS (
+      SELECT l.l_returnflag,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           floor(quantile_cont(lag_days, 0.5) * 10000 + 0.5000005)
+             / 10000 AS p50_lag_days,
+           floor(quantile_cont(lag_days, 0.9) * 10000 + 0.5000005)
+             / 10000 AS p90_lag_days,
+           floor(quantile_cont(lag_days, 0.99) * 10000 + 0.5000005)
+             / 10000 AS p99_lag_days
+    FROM lags GROUP BY 1
+    """,
+    doc="Order-to-ship latency SLA percentiles (p50/p90/p99 of "
+    "order-date -> ship-date lag, per return flag): fulfillment-"
+    "latency monitoring as exact aggregate percentiles — computed as "
+    "an aggregate, NOT a global-window ntile, so it parallelizes like "
+    "any groupBy at scale. Integer day lags make the continuous-"
+    "interpolation arithmetic engine-exact. The orderkey fact-fact "
+    "join is the standard co-partitioned TPC-H shape.",
+)
+def q_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lags = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_returnflag",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lag_days"),
+    )
+    agg = lags.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.expr(
+            "percentile(lag_days, array(0.5, 0.9, 0.99))"
+        ).alias("__p"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_lineitems",
+        _r4(F.element_at("__p", 1)).alias("p50_lag_days"),
+        _r4(F.element_at("__p", 2)).alias("p90_lag_days"),
+        _r4(F.element_at("__p", 3)).alias("p99_lag_days"),
+    )
+
+
+@_register(
+    "events_hourly_profile",
+    """
+    WITH base AS (
+      SELECT CAST(isodow(ts) AS INT) AS day_of_week,
+             CAST(hour(ts) AS INT) AS hour_of_day
+      FROM events
+    ),
+    per AS (
+      SELECT day_of_week, hour_of_day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM base GROUP BY 1, 2
+    ),
+    dow AS (
+      SELECT day_of_week, sum(n_events) AS day_total FROM per GROUP BY 1
+    )
+    SELECT p.day_of_week, p.hour_of_day, p.n_events,
+           floor(p.n_events / CAST(d.day_total AS DOUBLE) * 10000
+                 + 0.5000005) / 10000 AS share_of_day
+    FROM per p JOIN dow d ON p.day_of_week = d.day_of_week
+    """,
+    doc="Weekly activity heatmap (ISO day-of-week x hour event counts "
+    "+ within-day share): the load-profile rollup capacity planning "
+    "and anomaly baselines start from. Two partial-agg passes over "
+    "168 output cells; the day totals derive from the first aggregate "
+    "(168 rows), never from a second event scan.",
+)
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(extract(DAYOFWEEK_ISO FROM ts) AS INT)").alias(
+            "day_of_week"
+        ),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    )
+    per = ev.groupBy("day_of_week", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    ).localCheckpoint(eager=False)  # 168 rows; reused for day totals
+    dow = per.groupBy("day_of_week").agg(
+        F.sum("n_events").alias("day_total")
+    )
+    return per.join(F.broadcast(dow), "day_of_week").select(
+        "day_of_week",
+        "hour_of_day",
+        "n_events",
+        _r4(
+            F.col("n_events") / F.col("day_total").cast("double")
+        ).alias("share_of_day"),
+    )
