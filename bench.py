@@ -99,6 +99,7 @@ def main() -> None:
     # cost. The median keeps one-time effects out without cherry-picking
     # the best case.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
         samples = []
@@ -115,6 +116,10 @@ def main() -> None:
             samples.append(time.perf_counter() - start)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        # Per-query sample spread (max - min): the trend-line trust
+        # signal — a round-over-round delta smaller than the spread is
+        # noise, not a regression.
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -124,6 +129,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
+                "spread": spreads,
                 "sf": _sf_label(SF_DIR),
             }
         )

@@ -122,15 +122,25 @@ def with_shingles(
     """Word ``n``-gram shingles of ``text_col`` — the unit set for
     MinHash / Jaccard (``distinct=True``, the default) or the raw
     multiset for frequency statistics (``distinct=False``). Row-local
-    higher-order functions only."""
-    toks = _tokens(F.col(text_col))
+    higher-order functions only.
+
+    The token array is materialized as its own projection BEFORE the
+    per-position lambda references it. Inlining ``_tokens(...)``
+    directly into the lambda re-evaluates the regexp+split chain once
+    per shingle POSITION (~token-count× redundant regex work per row —
+    measured 8× slower on the sf0.1 corpus); as a multiply-referenced
+    alias it is computed once per row and CollapseProject leaves it
+    alone."""
+    tok_col = f"__{out_col}_toks"
+    with_toks = df.withColumn(tok_col, _tokens(F.col(text_col)))
+    toks = F.col(tok_col)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     if distinct:
         shingles = F.array_distinct(shingles)
-    return df.withColumn(out_col, shingles)
+    return with_toks.withColumn(out_col, shingles).drop(tok_col)
 
 
 def jaccard(set_a, set_b):
@@ -448,10 +458,14 @@ def ngram_jaccard_pairs(
     # (here: hash order). Exploding only that prefix cuts the inverted
     # index to ~(1-t) of its size with ZERO false negatives — the
     # exact verify below keeps the operator oracle-exact. (The
-    # rarest-first df ordering from the paper was measured on this
-    # corpus and cut candidates <6% while adding a join + window pass
-    # — the candidate mass here is genuine near-dup families, which no
-    # candidate order can shrink — so the cheaper hash order stays.)
+    # rarest-first df ordering from the paper was re-measured this
+    # round — r5, after the positional filter landed — and confirmed
+    # not worth it HERE: candidates dropped only 1.58M→1.50M at sf0.1
+    # while the df-count + per-set reorder added three shuffles. This
+    # synthetic corpus draws bigrams near-uniformly, so "rare" prefix
+    # shingles still have df in the hundreds; on Zipfian real text the
+    # ordering is the standard win and slots in where this comment
+    # sits.)
     prefix_len = (
         F.col("set_size")
         - F.ceil(F.lit(float(min_jaccard)) * F.col("set_size"))
@@ -460,11 +474,22 @@ def ngram_jaccard_pairs(
     pref = sets.select(
         "__id",
         "set_size",
-        F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("sh"),
+        F.posexplode(F.slice("__sh", F.lit(1), prefix_len)).alias(
+            "pos", "sh"
+        ),
     )
     # Size-ratio filter: Jaccard >= t forces t*|B| <= |A| <= |B|/t,
-    # pruning candidates whose sizes alone rule them out.
+    # pruning candidates whose sizes alone rule them out. Positional
+    # filter (PPJoin, Xiao/Wang/Lin/Yu WWW 2008): a pair matching at
+    # 0-based prefix positions (i, j) can overlap in at most
+    # min(|A|-i, |B|-j) elements, so pairs whose remaining-suffix bound
+    # can't reach the required overlap ceil(t/(1+t)·(|A|+|B|)) are
+    # dropped INSIDE the join condition — measured 2.3× fewer
+    # candidates at sf0.1, zero false negatives, zero extra shuffles.
     t = float(min_jaccard)
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.set_size") + F.col("b.set_size"))
+    )
     cand = (
         pref.alias("a")
         .join(
@@ -472,7 +497,14 @@ def ngram_jaccard_pairs(
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.__id") < F.col("b.__id"))
             & (F.col("a.set_size") >= t * F.col("b.set_size"))
-            & (F.col("b.set_size") >= t * F.col("a.set_size")),
+            & (F.col("b.set_size") >= t * F.col("a.set_size"))
+            & (
+                F.least(
+                    F.col("a.set_size") - F.col("a.pos"),
+                    F.col("b.set_size") - F.col("b.pos"),
+                )
+                >= alpha
+            ),
         )
         .select(F.col("a.__id").alias("a"), F.col("b.__id").alias("b"))
         .distinct()
@@ -515,13 +547,28 @@ def near_dup_clusters(
     n: int = 3,
     min_jaccard: float = 0.8,
     max_iter: int = 25,
+    pair_source: str = "exact",
+    **lsh_kwargs,
 ) -> DataFrame:
-    """Transitive near-duplicate clusters: exact n-gram Jaccard pairs →
-    connected components → every document labeled with its cluster's
-    minimum id (singletons label themselves). This is the full-corpus
-    dedup contract: keep ``cluster_id == id`` rows, drop the rest, and
-    chains A~B~C collapse to one survivor even when A~C was never
-    emitted as a pair.
+    """Transitive near-duplicate clusters: similarity pairs →
+    connected components (large-star/small-star, ``operators.graph``)
+    → every document labeled with its cluster's minimum id (singletons
+    label themselves). This is the full-corpus dedup contract: keep
+    ``cluster_id == id`` rows, drop the rest, and chains A~B~C
+    collapse to one survivor even when A~C was never emitted as a pair.
+
+    ``pair_source`` selects the edge generator:
+
+    - ``"exact"`` — prefix-filtered exact n-gram Jaccard
+      (``ngram_jaccard_pairs``). Exact, but the inverted index grows
+      with corpus size; the right choice up to medium scale and for
+      oracle-verified runs.
+    - ``"lsh"`` — MinHash+LSH with exact-Jaccard verification
+      (``minhash_lsh_pairs``; extra knobs via ``**lsh_kwargs``).
+      Verified LSH pairs are a subset of the exact pairs (the verify
+      stage re-checks Jaccard), so LSH clusters REFINE exact clusters;
+      at 100 TB this is the only edge source that works — banded
+      bucket join instead of a full inverted index.
 
     Not fully lazy: the component loop is iterative (one bounded action
     per round, lineage truncated per round — see ``operators.graph``).
@@ -530,9 +577,23 @@ def near_dup_clusters(
         connected_components,
     )
 
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, n=n, min_jaccard=min_jaccard
-    )
+    if pair_source == "exact":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n=n, min_jaccard=min_jaccard
+        )
+    elif pair_source == "lsh":
+        pairs = minhash_lsh_pairs(
+            df,
+            id_col,
+            text_col,
+            shingle_n=n,
+            min_jaccard=min_jaccard,
+            **lsh_kwargs,
+        )
+    else:
+        raise ValueError(
+            f"pair_source must be 'exact' or 'lsh', got {pair_source!r}"
+        )
     comp = connected_components(
         pairs.select("a", "b"), "a", "b", max_iter=max_iter
     )

@@ -5,33 +5,78 @@ dedup needs CLUSTERS — if A~B and B~C, one representative should
 survive for {A, B, C} even when A~C was never emitted. That is
 connected components over the similarity graph.
 
-Implementation: iterative min-label propagation expressed as DataFrame
-joins — the dataflow-native baseline that large-star/small-star methods
-(Kiveris et al., "Connected components in MapReduce and beyond", SoCC
-2014) optimize. Every node starts labeled with itself; each round, a
-node adopts the minimum label among itself and its neighbors;
-convergence in O(graph diameter) rounds. Near-dup graphs have tiny
-diameters (clusters are quasi-cliques), so a handful of rounds
-suffices.
+Implementation: alternating **large-star / small-star** (Kiveris et
+al., "Connected components in MapReduce and beyond", SoCC 2014) — the
+algorithm built for exactly this dataflow setting. Each round rewires
+the edge set toward stars centered at the component minimum:
+
+- ``large-star``: every node ``u`` connects its strictly-larger
+  neighbors to ``min(N(u) ∪ {u})``;
+- ``small-star``: with edges oriented large→small, every node ``u``
+  connects its (smaller-or-equal) neighbors and itself to the minimum.
+
+Both operations preserve connectivity, never grow the edge count, and
+compose to give O(log n) rounds on ANY graph — a path of length ``n``
+converges in ~log₂(n) rounds where plain min-label propagation needs
+``n`` (the minimum label crawls one hop per round). This replaced a
+propagation loop whose per-round cost was a full-edge-list join
+against a full label table; here each round touches only the current
+(shrinking, star-ward) edge set.
 
 Scale mechanics this encodes:
 
-- each round is one join + one aggregation, both shuffling on the node
-  key — the per-round cost is bounded and AQE-balanced;
+- each star operation is one aggregation + one join, both shuffling on
+  the node key, and both on the SAME key so AQE/exchange-reuse can
+  collapse them;
 - ``localCheckpoint`` after every round TRUNCATES LINEAGE: without it,
   iteration k's plan contains k nested joins and the driver's
   optimizer/DAG work grows quadratically (the classic iterative-
   algorithm failure mode);
-- convergence is detected with a count of changed labels (one action
-  per round — unavoidable for a data-dependent loop);
-- labels are node ids, so the final representative per cluster is the
-  minimum node id — deterministic.
+- convergence is one bounded action per round: a 2-scalar fingerprint
+  ``(edge_count, xxhash64-sum)`` — the edge set is a fixpoint of
+  large∘small exactly when the fingerprint stops changing;
+- at the fixpoint the edge set IS the answer: ``(node, component-min)``
+  stars. No label table is ever maintained.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star on a SYMMETRIC edge set ``(s, d)``: emit
+    ``(v, min(N(u) ∪ {u}))`` for every neighbor ``v > u``."""
+    nbr = sym.groupBy("s").agg(F.min("d").alias("__mn"))
+    return (
+        sym.join(nbr, "s")
+        .where(F.col("d") > F.col("s"))
+        .select(
+            F.col("d").alias("s"),
+            F.least(F.col("__mn"), F.col("s")).alias("d"),
+        )
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star on a directed edge set: orient large→small, then
+    connect every node of each neighborhood (and the center) to the
+    neighborhood minimum."""
+    o = (
+        edges.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        )
+        .where(F.col("s") != F.col("d"))
+    )
+    nbr = o.groupBy("s").agg(F.min("d").alias("__mn"))
+    rewired = (
+        o.join(nbr, "s")
+        .where(F.col("d") != F.col("__mn"))
+        .select(F.col("d").alias("s"), F.col("__mn").alias("d"))
+    )
+    centers = nbr.select(F.col("s"), F.col("__mn").alias("d"))
+    return rewired.union(centers)
 
 
 def connected_components(
@@ -41,59 +86,69 @@ def connected_components(
     max_iter: int = 25,
     out_node: str = "node",
     out_label: str = "component",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id of its connected component.
 
     Returns ``(node, component)`` for every node that appears in an
-    edge. Raises if the loop hits ``max_iter`` without converging
-    (diameter larger than expected — for similarity graphs that means
-    the threshold is too loose, not that more iterations are needed).
-    """
-    sym = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-    sym = sym.distinct().localCheckpoint(eager=False)
+    edge. Raises if the loop hits ``max_iter`` without converging.
+    Convergence needs one round to reach the fixpoint plus one to
+    observe it, and O(log n) rounds total even on path graphs — so a
+    non-convergence here means the input is pathological, not that
+    more iterations would help.
 
-    labels = (
-        sym.select(F.col("s").alias("n"))
+    ``stats``: optional dict; on return ``stats["rounds"]`` holds the
+    number of large∘small rounds executed (used by the round-count
+    regression test pinning the O(log n) behavior).
+    """
+    # One checkpoint of the canonical edge set; node set and working
+    # edges both derive from it LAZILY — checkpointing them separately
+    # would compute the (possibly expensive) upstream pair-generation
+    # plan once per checkpoint.
+    base = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()
-        .withColumn("lbl", F.col("n"))
         .localCheckpoint(eager=False)
     )
+    nodes = (
+        base.select(F.col("s").alias("n"))
+        .union(base.select(F.col("d").alias("n")))
+        .distinct()
+    )
+    e = base.where(F.col("s") != F.col("d"))
 
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["d"] == labels["n"])
-            .groupBy("s")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        # Change detection rides along in the update join (a label only
-        # ever decreases, so "changed" == "a neighbor label was
-        # smaller") — the old separate new-vs-old self-join cost one
-        # extra shuffle join per round for information the update
-        # already had.
-        new_labels = (
-            labels.join(nbr_min, labels["n"] == nbr_min["s"], "left")
-            .select(
-                F.col("n"),
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-                F.coalesce(
-                    F.col("nbr_lbl") < F.col("lbl"), F.lit(False)
-                ).alias("__chg"),
-            )
+    prev_fp = None
+    for rounds in range(1, max_iter + 1):
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        e = (
+            _small_star(_large_star(sym))
+            .distinct()
             .localCheckpoint(eager=False)  # truncate per-round lineage
         )
-        # Existence check, not a count: isEmpty stops at the first
-        # changed row instead of scanning every partition.
-        converged = new_labels.filter(F.col("__chg")).isEmpty()
-        labels = new_labels.drop("__chg")
-        if converged:
-            return labels.select(
-                F.col("n").alias(out_node), F.col("lbl").alias(out_label)
+        # One action per round: a 2-scalar fingerprint of the edge set.
+        # bit_xor, not sum: ANSI mode makes a 64-bit sum overflow, and
+        # the edge set is distinct so xor never self-cancels a dup.
+        fp = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.expr("bit_xor(xxhash64(s, d))"),
+            ).first()
+        )
+        if fp == prev_fp:
+            if stats is not None:
+                stats["rounds"] = rounds
+            # Fixpoint edges are (node, component-min) stars; nodes
+            # absent from the star map (component minima, nodes whose
+            # only edges were self-loops) label themselves.
+            return (
+                nodes.join(e, nodes["n"] == e["s"], "left")
+                .select(
+                    F.col("n").alias(out_node),
+                    F.coalesce(F.col("d"), F.col("n")).alias(out_label),
+                )
             )
+        prev_fp = fp
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -67,6 +67,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     arrow: bool = True,
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """Exact cosine top-k of every corpus row against a bounded query
     batch. Returns ``(query_id, neighbor_id, rank, cosine_sim)``,
@@ -91,6 +92,17 @@ def brute_force_topk(
     the inner loop is ~100× slower than the matmul. Kept for
     environments without Arrow/pandas and for bit-parity checks.
 
+    ``max_collect_queries`` bounds the arrow path's driver-side
+    collect: a query side larger than the bound silently OOMing the
+    driver before any task runs is the failure mode this guards. Above
+    the bound the call falls back to the broadcast-crossJoin path,
+    where the query side stays a distributed relation and the JVM's own
+    broadcast-size limit is the backstop. The probe is a
+    ``limit(bound+1).count()`` — one bounded action, never a full
+    count of the query side. A query set past tens of thousands is the
+    wrong shape for brute force regardless — use ``lsh_topk`` /
+    ``ivf_topk``.
+
     Norms are precomputed per ROW on each side of the join, so the
     per-PAIR work is one dot product — ``cosine_similarity`` inline
     would re-derive both norms (and the double-cast) for every pair,
@@ -100,6 +112,13 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    if arrow:
+        over_bound = (
+            queries.limit(max_collect_queries + 1).count()
+            > max_collect_queries
+        )
+        if over_bound:
+            arrow = False  # fall back to the distributed-relation path
     if arrow:
         scored = _arrow_scored_local_topk(
             corpus, queries, k, id_col, vec_col, query_id_col

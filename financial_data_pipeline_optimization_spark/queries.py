@@ -3088,9 +3088,13 @@ def q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON doc.doc_id = l.node
     """,
     doc="Transitive near-dup clusters: exact bigram-Jaccard pairs → "
-    "connected components (iterative min-label propagation, lineage "
-    "truncated per round) → every doc labeled with its cluster's min "
-    "id. Oracle computes the same closure with a recursive CTE.",
+    "connected components (large-star/small-star, O(log n) rounds, "
+    "lineage truncated per round) → every doc labeled with its "
+    "cluster's min id. Oracle computes the same closure with a "
+    "recursive CTE. At 100 TB pass pair_source='lsh' to feed the "
+    "cluster stage from the banded LSH join instead of the exact "
+    "inverted index (tests/test_graph.py pins the refinement "
+    "property).",
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

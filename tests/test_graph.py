@@ -40,6 +40,71 @@ def test_non_convergence_raises(spark):
         connected_components(df, max_iter=1)
 
 
+def test_self_loop_only_node_labels_itself(spark):
+    got = _components(spark, [(5, 5), (1, 2)])
+    assert got == {1: 1, 2: 1, 5: 5}
+
+
+def test_chain_round_count_is_logarithmic(spark):
+    # A path of length 40 forces min-label propagation to ~39 rounds
+    # (the minimum crawls one hop per round). Large-star/small-star is
+    # O(log n): pin the round count well below the propagation bound so
+    # a regression back to per-hop convergence fails loudly.
+    n = 40
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a long, b long"
+    )
+    stats: dict = {}
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=12, stats=stats).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert stats["rounds"] <= 10, stats
+
+
+def test_lsh_pair_source_refines_exact_clusters(spark):
+    # LSH-sourced clusters must (a) find the planted near-dup chain and
+    # (b) refine the exact clusters: verified LSH pairs are a subset of
+    # exact pairs, so two docs sharing an LSH cluster share the exact
+    # cluster.
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "alpha beta gamma delta epsilon eta"
+    c = "beta gamma delta epsilon eta theta"
+    d = "completely different words entirely here"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    exact = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            df, "doc_id", "text", n=2, min_jaccard=0.5
+        ).collect()
+    }
+    lsh = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            df,
+            "doc_id",
+            "text",
+            n=2,
+            min_jaccard=0.5,
+            pair_source="lsh",
+            num_hashes=64,
+            bands=32,
+        ).collect()
+    }
+    assert set(lsh) == set(exact)
+    # refinement: same LSH cluster => same exact cluster
+    for x in lsh:
+        for y in lsh:
+            if lsh[x] == lsh[y]:
+                assert exact[x] == exact[y]
+    # recall on the planted chain (high-band LSH at this size finds it)
+    assert lsh[1] == lsh[2] == lsh[3]
+    assert lsh[4] == 4
+
+
 def test_near_dup_clusters_transitive(spark):
     # B shares enough bigrams with A and C that A~B and B~C pass the
     # threshold while A~C alone would not — the cluster must still

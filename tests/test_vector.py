@@ -49,6 +49,34 @@ def test_brute_force_arrow_matches_jvm_path(spark):
         assert abs(a[kk].cosine_sim - j[kk].cosine_sim) < 1e-9, kk
 
 
+def test_brute_force_query_collect_is_bounded(spark):
+    """A query side larger than ``max_collect_queries`` must NOT be
+    collected to the driver: the arrow path falls back to the
+    broadcast-crossJoin plan (query side stays a distributed relation)
+    and still returns the exact same top-k. Exercised with a tiny bound
+    so the guard logic itself is what's under test — the fallback
+    decision is the same at 10 rows or 10 billion."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    bounded = {
+        key(r): r
+        for r in vector.brute_force_topk(
+            emb, queries, k=5, arrow=True, max_collect_queries=3
+        ).collect()
+    }
+    reference = {
+        key(r): r
+        for r in vector.brute_force_topk(
+            emb, queries, k=5, arrow=False
+        ).collect()
+    }
+    assert bounded.keys() == reference.keys()
+    for kk in bounded:
+        assert bounded[kk].neighbor_id == reference[kk].neighbor_id, kk
+        assert abs(bounded[kk].cosine_sim - reference[kk].cosine_sim) < 1e-9
+
+
 def test_lsh_topk_recall(spark):
     """Single-probe sign-LSH: every returned neighbor must be genuinely
     bucket-colliding and scored exactly; require non-trivial overlap
