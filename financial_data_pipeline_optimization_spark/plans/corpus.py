@@ -78,33 +78,74 @@ def curate_corpus(
     return out
 
 
+def funnel_counts_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Per-stage survivor counts as ONE single-row DataFrame
+    ``(n_input, n_lang_filtered, n_quality_filtered, n_exact_deduped,
+    n_near_deduped)``.
+
+    The five counts are one lazy plan: each stage boundary is a lazy
+    ``localCheckpoint`` (computed once, shared by its own count AND the
+    next stage), and the one-row aggregates are combined with 1×1
+    crossJoins, so collecting the row is ONE job instead of five
+    serial count() actions re-deriving the funnel prefix each time.
+
+    NOT fully lazy: ``near_dup_clusters``'s connected-components loop
+    runs bounded actions at CONSTRUCTION time (see ``operators.graph``)
+    — building this DataFrame already computes the dedup stages.
+    Plan-inspection tooling that assumes construction is action-free
+    should skip this plan (bench warms it like any other query; the
+    cost is real work, not waste)."""
+    cleaned = text.redact_pii(
+        text.clean_text(docs.select(id_col, text_col), text_col), text_col
+    )
+    lang = (
+        text.with_lang_id(cleaned, text_col)
+        .filter(F.col("lang_pred").isin(*kwargs.get("languages", ("en",))))
+        .localCheckpoint(eager=False)
+    )
+    quality = text.quality_filter(
+        lang.select(id_col, text_col), text_col,
+        min_tokens=kwargs.get("min_tokens", 20),
+    ).localCheckpoint(eager=False)
+    exact = dedup.exact_dedup(quality, [text_col], id_col).localCheckpoint(
+        eager=False
+    )
+    clusters = dedup.near_dup_clusters(
+        exact, id_col, text_col, n=2,
+        min_jaccard=kwargs.get("near_dup_jaccard", 0.8),
+    )
+    survivors = clusters.filter(F.col(id_col) == F.col("cluster_id"))
+
+    def n(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    return (
+        n(docs, "n_input")
+        .crossJoin(n(lang, "n_lang_filtered"))
+        .crossJoin(n(quality, "n_quality_filtered"))
+        .crossJoin(n(exact, "n_exact_deduped"))
+        .crossJoin(n(survivors, "n_near_deduped"))
+    )
+
+
 def funnel_counts(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     **kwargs,
 ) -> dict[str, int]:
-    """Per-stage survivor counts (monitoring/reporting; one action per
-    stage — use for audits, not in the hot path)."""
-    counts = {"input": docs.count()}
-    cleaned = text.redact_pii(
-        text.clean_text(docs.select(id_col, text_col), text_col), text_col
-    )
-    lang = text.with_lang_id(cleaned, text_col).filter(
-        F.col("lang_pred").isin(*kwargs.get("languages", ("en",)))
-    )
-    counts["lang_filtered"] = lang.count()
-    quality = text.quality_filter(
-        lang.select(id_col, text_col), text_col,
-        min_tokens=kwargs.get("min_tokens", 20),
-    )
-    counts["quality_filtered"] = quality.count()
-    exact = dedup.exact_dedup(quality, [text_col], id_col)
-    counts["exact_deduped"] = exact.count()
-    clusters = dedup.near_dup_clusters(
-        exact, id_col, text_col, n=2,
-        min_jaccard=kwargs.get("near_dup_jaccard", 0.8),
-    )
-    survivors = clusters.filter(F.col(id_col) == F.col("cluster_id"))
-    counts["near_deduped"] = survivors.count()
-    return counts
+    """Per-stage survivor counts (monitoring/reporting; one collected
+    job — use for audits, not in the hot path)."""
+    row = funnel_counts_df(docs, id_col, text_col, **kwargs).first()
+    return {
+        "input": row["n_input"],
+        "lang_filtered": row["n_lang_filtered"],
+        "quality_filtered": row["n_quality_filtered"],
+        "exact_deduped": row["n_exact_deduped"],
+        "near_deduped": row["n_near_deduped"],
+    }

@@ -4690,8 +4690,11 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stand-in eval set), how many OTHER corpus documents share a word "
     "5-gram with it and how many distinct 5-grams leak. decontaminate "
     "silently drops contaminated docs; audits need the per-benchmark "
-    "evidence. Shuffles (shingle, id) pairs only; the benchmark side "
-    "is tiny and broadcasts.",
+    "evidence. Shuffles (shingle, id) pairs only. The benchmark side "
+    "grows with the corpus here (it is a 5% slice), so no broadcast "
+    "hint is forced — AQE broadcasts it while it fits and falls back "
+    "to a shuffle join past the threshold; a real eval set is a "
+    "fixed-size table and broadcasts unconditionally.",
 )
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators.text import tokens
@@ -4729,8 +4732,12 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "text"
     )
     b_sh = shingles(bench, "bench_id")
+    # No broadcast hint: b_sh is ~5% of the corpus's shingles, which
+    # scales WITH the corpus — a forced broadcast would eventually blow
+    # the driver/broadcast limit at a larger SF. AQE picks broadcast
+    # while the built side is actually small.
     hits = c_sh.join(
-        F.broadcast(b_sh),
+        b_sh,
         (c_sh["s"] == b_sh["s"]) & (c_sh["doc_id"] != b_sh["bench_id"]),
     )
     return hits.groupBy("bench_id").agg(
@@ -5035,29 +5042,25 @@ _ORACLE_CLEANED = (
            CAST((SELECT count(*) FROM survivors) AS BIGINT) AS n_near_deduped
     """,
     doc="The END-TO-END corpus curation funnel (plans.corpus."
-    "funnel_counts) as one driver-checkable row: hygiene+PII redaction "
-    "-> English lang-ID -> quality gates -> exact dedup -> transitive "
-    "near-dedup, with per-stage survivor counts. The oracle recomputes "
-    "the ENTIRE pipeline — including the connected-components stage via "
-    "a recursive CTE — in SQL, so every stage's composition (not just "
-    "each operator in isolation) is verified. Stage order is the "
-    "100 TB-load-bearing one: narrow row-local filters shrink the "
-    "corpus before anything shuffles or iterates.",
+    "funnel_counts_df) as one driver-checkable row: hygiene+PII "
+    "redaction -> English lang-ID -> quality gates -> exact dedup -> "
+    "transitive near-dedup, with per-stage survivor counts as one lazy "
+    "plan (1x1 crossJoins of stage aggregates over lazily-checkpointed "
+    "stage boundaries). NOT action-free at construction: the connected-"
+    "components stage runs its bounded per-round actions when the "
+    "DataFrame is BUILT — plan-only tooling should skip this query. "
+    "The oracle recomputes the ENTIRE pipeline — including the "
+    "connected-components stage via a recursive CTE — in SQL, so every "
+    "stage's composition (not just each operator in isolation) is "
+    "verified. Stage order is the 100 TB-load-bearing one: narrow "
+    "row-local filters shrink the corpus before anything shuffles or "
+    "iterates.",
 )
 def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.plans import corpus
 
     docs = _t(spark, sf_dir, "documents")
-    counts = corpus.funnel_counts(docs)
-    return docs.limit(1).agg(
-        F.lit(counts["input"]).cast("long").alias("n_input"),
-        F.lit(counts["lang_filtered"]).cast("long").alias("n_lang_filtered"),
-        F.lit(counts["quality_filtered"]).cast("long").alias(
-            "n_quality_filtered"
-        ),
-        F.lit(counts["exact_deduped"]).cast("long").alias("n_exact_deduped"),
-        F.lit(counts["near_deduped"]).cast("long").alias("n_near_deduped"),
-    )
+    return corpus.funnel_counts_df(docs)
 
 
 @_register(

@@ -262,32 +262,76 @@ def test_plan_report_reused_exchange_not_counted(spark):
     assert rep["sort_merge_joins"] == 1
 
 
+def _walk(node):
+    """Depth-first walk of a JVM plan tree (py4j)."""
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _walk(children.apply(i))
+
+
+def _spark_plan(df):
+    """Pre-AQE physical plan tree (a real tree, not rendered text — the
+    rendered-text assertions these replaced could pass vacuously when
+    explain formatting changed)."""
+    return df._jdf.queryExecution().sparkPlan()
+
+
+def _executed_plan(df):
+    """Physical plan tree AFTER EnsureRequirements (exchanges are
+    inserted here, not in sparkPlan). Under AQE the root is an
+    AdaptiveSparkPlanExec leaf wrapper; descend into its initialPlan."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in plan.nodeName():
+        plan = plan.initialPlan()
+    return plan
+
+
 def test_recursive_spine_aggregates_before_join(spark):
     """sql_recursive_cte must reduce facts to per-month rows BEFORE the
     spine join: joining raw facts on an 80-value month key funnels the
-    table through <=80 reducers. The gate: a HashAggregate (grouped on
-    the month expression) sits below the join, and the join itself is
-    the 80x80 outer join — so the aggregate appears on the join's build
-    side, not above it only."""
+    table through <=80 reducers. The gate, asserted on the physical
+    plan TREE: some join node's SUBTREE contains a HashAggregate whose
+    rendering carries the date_trunc month expression — i.e. the
+    per-month fact aggregate sits on a join input, not above the join.
+    """
     df = SPECS["sql_recursive_cte"].spark(spark, SF_SMOKE)
-    plan = _plan(df, "simple")
-    join_pos = plan.find("Join")
-    assert join_pos != -1, plan
-    below_join = plan[join_pos:]
-    # the per-month fact aggregate must be under the join operator
-    assert "HashAggregate" in below_join, plan
-    assert "date_trunc" in below_join, plan
+    joins = [
+        n
+        for n in _walk(_spark_plan(df))
+        if "Join" in n.nodeName()
+    ]
+    assert joins, "plan has no join node"
+    found = False
+    for join in joins:
+        for n in _walk(join):
+            if n is join:
+                continue
+            if "HashAggregate" in n.nodeName() and "date_trunc" in (
+                n.toString()
+            ):
+                found = True
+    assert found, _plan(df, "simple")
 
 
 def test_unigram_score_never_shuffles_documents(spark):
     """unigram_logprob_score's exchanges may carry only token/doc_id
     keyed aggregate rows — the document text column must not appear in
     any Exchange input (documents never move; only exploded token rows
-    and the vocabulary-sized count table do)."""
+    and the vocabulary-sized count table do). Asserted on the physical
+    plan tree: every Exchange node's child OUTPUT attribute list is
+    checked by name, and the test fails if no Exchange was examined
+    (the vacuous-pass mode of the rendered-text version this replaced).
+    """
     df = SPECS["unigram_logprob_score"].spark(spark, SF_SMOKE)
-    plan = _plan(df)
-    for chunk in plan.split("\n\n"):
-        if chunk.lstrip().startswith("(") and "Exchange" in chunk.split(
-            "\n"
-        )[0]:
-            assert "text#" not in chunk, chunk
+    exchanges = [
+        n
+        for n in _walk(_executed_plan(df))
+        if "Exchange" in n.nodeName()
+    ]
+    assert exchanges, "plan has no Exchange node — wrong query?"
+    for ex in exchanges:
+        child = ex.children().apply(0)
+        out = child.output()
+        names = [out.apply(i).name() for i in range(out.length())]
+        assert "text" not in names, (ex.nodeName(), names)
