@@ -5240,7 +5240,16 @@ def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plain shuffle join, AQE skew handling, and an explicit salted "
     "join (operators.joins.salted_join). One partial-agg pass; the "
     "top-5 is a TakeOrdered over key counts, never a global sort of "
-    "the fact table.",
+    "the fact table. DECISION RULE (evidence pinned by tests/"
+    "test_plan_quality.py::test_salted_join_spreads_planted_skew_"
+    "and_aqe_marks_it on a planted 97%%-one-key shape): under AQE "
+    "skew-join (the session default) use a PLAIN join — the runtime "
+    "split absorbs the skew unaided (executed plan shows skew=true); "
+    "reach for salted_join only where AQE cannot act: a skewed "
+    "AGGREGATION feeding the join, stream-static joins (no AQE in "
+    "micro-batch plans), or AQE-off deployments — there the salt "
+    "spreads the hot key across salt_factor reducers where the plain "
+    "join would put it on one.",
 )
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")

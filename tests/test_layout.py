@@ -122,3 +122,100 @@ def test_zorder_write_skips_more_files_than_linear_sort(spark, tmp_path):
         F.col("x").between(115, 160) & F.col("y").between(115, 160)
     ).count()
     assert got == want
+
+
+def test_layout_pipeline_compact_zorder_bucket(spark, tmp_path):
+    """The full layout-maintenance pipeline at sf0.1 (VERDICT r4 #8):
+    streaming-style small-file ingest -> compact_parquet ->
+    write_zordered -> bucketed join, with the win MEASURED at each
+    stage: compaction collapses the file count (bytes-sized), z-order
+    skips most files on a 2-D box predicate where the round-robin
+    compacted layout can skip none, and the bucketed self-join plans
+    with zero Exchange."""
+    import os
+
+    from financial_data_pipeline_optimization_spark.sources import (
+        bucketing,
+        load_table,
+        maintenance,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    n_rows = events.count()
+
+    # 1. small-file ingest (what per-trigger streaming appends leave)
+    ingest = str(tmp_path / "ingest")
+    events.repartition(200).write.parquet(ingest)
+    assert maintenance.parquet_file_count(spark, ingest) == 200
+
+    # 2. compaction sizes file count from actual bytes, keeps the data
+    n_out = maintenance.compact_parquet(
+        spark, ingest, target_partition_bytes=512 << 10
+    )
+    assert n_out < 50, n_out
+    assert maintenance.parquet_file_count(spark, ingest) == n_out
+    compacted = spark.read.parquet(ingest)
+    assert compacted.count() == n_rows
+
+    # 3. z-order on (user_id, value): a ~10% x ~10% box predicate
+    stats = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    u_lo = stats[0] + (stats[1] - stats[0]) * 45 // 100
+    u_hi = stats[0] + (stats[1] - stats[0]) * 55 // 100
+    v_lo = stats[2] + (stats[3] - stats[2]) * 0.45
+    v_hi = stats[2] + (stats[3] - stats[2]) * 0.55
+    box = {"user_id": (u_lo, u_hi), "value": (v_lo, v_hi)}
+
+    zdir = str(tmp_path / "zordered")
+    layout.write_zordered(compacted, zdir, ["user_id", "value"],
+                          num_files=32)
+    n_z = len(glob.glob(f"{zdir}/*.parquet"))
+    # round-robin compacted layout: every file overlaps the box
+    assert _files_overlapping_box(ingest, box) == n_out
+    # z-ordered: the box confines to a small fraction of the files
+    z_hit = _files_overlapping_box(zdir, box)
+    assert z_hit <= n_z // 4, (z_hit, n_z)
+    # the skipping is honest: same rows through the filter
+    pred = (
+        F.col("user_id").between(u_lo, u_hi)
+        & F.col("value").between(v_lo, v_hi)
+    )
+    assert (
+        spark.read.parquet(zdir).filter(pred).count()
+        == events.filter(pred).count()
+    )
+
+    # 4. bucket the z-ordered table by user_id: co-located self-join
+    # (events-to-events by user) plans with no shuffle at all
+    table = "events_layout_pipeline_bucketed"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path so the zero-Exchange assertion is
+        # about the bucket layout, not the tiny table broadcasting
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketing.write_bucketed_table(
+            spark.read.parquet(zdir), table, ["user_id"], 8,
+            path=str(tmp_path / "bucketed"),
+        )
+        joined = bucketing.bucketed_join(spark, table, table, "user_id")
+        jvm = spark._jvm
+        plan = joined._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "Exchange" not in plan, plan[:1500]
+        want = (
+            events.groupBy("user_id")
+            .count()
+            .agg(F.sum(F.col("count") * F.col("count")))
+            .first()[0]
+        )
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
