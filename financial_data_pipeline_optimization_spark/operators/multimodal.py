@@ -255,34 +255,59 @@ def synthetic_bmp_assets(df: DataFrame, id_col: str) -> DataFrame:
     ).drop("width", "height")
 
 
-def _decode_wav_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """REAL (pure-NumPy) WAV decode: walk the RIFF chunk list, read the
-    fmt chunk, locate the data chunk, parse PCM16 samples. Raises on a
-    malformed payload — a codec that silently emits garbage features
-    poisons every downstream filter."""
+def _parse_wav(aid, buf: bytes):
+    """Walk the RIFF chunk list of a WAV payload; return
+    ``(rate, channels, bits, data_bytes)``. Raises on a malformed
+    payload — a codec that silently emits garbage features poisons
+    every downstream filter."""
     import struct
 
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"asset {aid}: not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None or bits != 16:
+        raise ValueError(f"asset {aid}: missing fmt/data or not PCM16")
+    return rate, channels, bits, data
+
+
+def _wav_header(rate: int, channels: int, data_len: int) -> bytes:
+    """Canonical 44-byte PCM16 WAV header for ``data_len`` sample
+    bytes."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, rate * 2 * channels,
+            2 * channels, 16,
+        )
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+def _decode_wav_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """REAL (pure-NumPy) WAV decode: RIFF chunk walk (``_parse_wav``),
+    PCM16 sample parse, all-integer feature aggregation."""
     import numpy as np
 
     out = []
     for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-        buf = bytes(payload)
-        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-            raise ValueError(f"asset {aid}: not a RIFF/WAVE payload")
-        pos, rate, channels, bits, data = 12, None, None, None, None
-        while pos + 8 <= len(buf):
-            cid = buf[pos : pos + 4]
-            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-            body = buf[pos + 8 : pos + 8 + size]
-            if cid == b"fmt ":
-                _, channels, rate, _, _, bits = struct.unpack(
-                    "<HHIIHH", body[:16]
-                )
-            elif cid == b"data":
-                data = body
-            pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-        if rate is None or data is None or bits != 16:
-            raise ValueError(f"asset {aid}: missing fmt/data or not PCM16")
+        rate, channels, bits, data = _parse_wav(aid, bytes(payload))
         samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
         out.append(
             (
@@ -328,6 +353,58 @@ def _decode_bmp_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         out,
         columns=[f.name for f in BMP_FEATURE_SCHEMA.fields],
+    )
+
+
+#: Output schema of the WAV chunker: each row is a byte-valid
+#: standalone WAV covering one fixed-length slice of the source audio.
+WAV_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("chunk_index", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def chunk_wav_assets(
+    assets: DataFrame, chunk_samples: int
+) -> DataFrame:
+    """Split PCM16 WAV payloads into fixed-length sample windows — the
+    audio analog of document chunking for training pipelines (long
+    recordings → model-sized segments). Each output row re-emits ONE
+    chunk as a byte-valid standalone WAV (fresh 44-byte header over the
+    sliced sample bytes), so every chunk feeds straight back into
+    :func:`extract_features` or any audio tool.
+
+    Same explode plumbing contract as ``frame_sample_stub``/document
+    chunking: one blob in, k small blobs out, all inside ``mapInPandas``
+    — payloads never visit the driver, and a chunk row is bounded by
+    ``chunk_samples`` regardless of source length (the property that
+    keeps downstream partitions sizable at 100 TB).
+    """
+
+    def _chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, channels, _, data = _parse_wav(aid, bytes(payload))
+                step = chunk_samples * 2 * channels
+                for k, off in enumerate(range(0, max(len(data), 1), step)):
+                    piece = data[off : off + step]
+                    ids.append(aid)
+                    idxs.append(k)
+                    payloads.append(
+                        _wav_header(rate, channels, len(piece)) + piece
+                    )
+            yield pd.DataFrame(
+                {"asset_id": pd.array(ids, dtype="int64"),
+                 "chunk_index": pd.array(idxs, dtype="int32"),
+                 "payload": payloads}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _chunker, schema=WAV_CHUNK_SCHEMA
     )
 
 

@@ -5449,3 +5449,386 @@ def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") / F.col("day_total").cast("double")
         ).alias("share_of_day"),
     )
+
+
+@_register(
+    "bm25_topk_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_ORACLE_TOKENS_D}) AS token FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+             CAST(sum(CASE WHEN token = 'hash' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tf_hash,
+             CAST(sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tf_join,
+             CAST(sum(CASE WHEN token = 'scan' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tf_scan
+      FROM toks WHERE token <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS df_hash,
+             CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS df_join,
+             CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS df_scan
+      FROM per_doc
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END)
+                AS INT) AS n_query_terms,
+           floor((
+               ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+                 * (tf_hash * 2.2)
+                 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+                 * (tf_join * 2.2)
+                 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+                 * (tf_scan * 2.2)
+                 / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ) * 10000 + 0.5000005) / 10000 AS bm25_score
+    FROM per_doc, stats
+    ORDER BY bm25_score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-k retrieval (Robertson/Sparck Jones probabilistic "
+    "weighting, the Lucene idf variant ln(1+(N-df+0.5)/(df+0.5)), "
+    "k1=1.2, b=0.75) for a fixed 3-term query over the documents "
+    "table. Plan shape is the scale story: ONE token explode feeding "
+    "ONE partial-agg groupBy(doc_id) computes dl and every per-term tf "
+    "as conditional aggregates (no per-term joins, no inverted index "
+    "materialization for a fixed query), corpus stats (N, avgdl, df) "
+    "reduce to a single broadcast row, scoring is a row-local "
+    "projection, and the top-k is TakeOrdered — documents shuffle "
+    "once, as aggregate rows. Ordering on the ROUNDED score keeps the "
+    "k-boundary identical across engines.",
+)
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    terms = ["hash", "join", "scan"]
+    k1, b = 1.2, 0.75
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t_, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{t_}")
+            for t_ in terms
+        ],
+    ).localCheckpoint(eager=False)  # reused by stats AND scoring
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t_}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"df_{t_}")
+            for t_ in terms
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score = None
+    present = None
+    for t_ in terms:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t_}") + F.lit(0.5))
+            / (F.col(f"df_{t_}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{t_}").cast("double")
+        part = idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+        score = part if score is None else score + part
+        p = (F.col(f"tf_{t_}") > 0).cast("int")
+        present = p if present is None else present + p
+    out = scored.select(
+        "doc_id",
+        present.cast("int").alias("n_query_terms"),
+        _r4(score).alias("bm25_score"),
+    )
+    return out.orderBy(F.col("bm25_score").desc(), "doc_id").limit(20)
+
+
+@_register(
+    "pagerank_3iter",
+    """
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM cs
+              UNION ALL SELECT dst AS src, src AS dst FROM cs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n_nodes FROM n) AS rank
+           FROM deg),
+    r1 AS (
+      SELECT d.src AS node,
+             0.15 / (SELECT n_nodes FROM n)
+               + 0.85 * COALESCE(m.m, 0) AS rank
+      FROM deg d LEFT JOIN (
+        SELECT e.dst, sum(r.rank / g.deg) AS m
+        FROM edges e JOIN r0 r ON e.src = r.node
+        JOIN deg g ON e.src = g.src
+        GROUP BY e.dst) m ON d.src = m.dst
+    ),
+    r2 AS (
+      SELECT d.src AS node,
+             0.15 / (SELECT n_nodes FROM n)
+               + 0.85 * COALESCE(m.m, 0) AS rank
+      FROM deg d LEFT JOIN (
+        SELECT e.dst, sum(r.rank / g.deg) AS m
+        FROM edges e JOIN r1 r ON e.src = r.node
+        JOIN deg g ON e.src = g.src
+        GROUP BY e.dst) m ON d.src = m.dst
+    ),
+    r3 AS (
+      SELECT d.src AS node,
+             0.15 / (SELECT n_nodes FROM n)
+               + 0.85 * COALESCE(m.m, 0) AS rank
+      FROM deg d LEFT JOIN (
+        SELECT e.dst, sum(r.rank / g.deg) AS m
+        FROM edges e JOIN r2 r ON e.src = r.node
+        JOIN deg g ON e.src = g.src
+        GROUP BY e.dst) m ON d.src = m.dst
+    )
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           floor(rank * 10000000 + 0.50000005) / 10000000 AS pagerank
+    FROM r3 ORDER BY pagerank DESC, node LIMIT 15
+    """,
+    doc="PageRank, 3 fixed power iterations (damping 0.85, uniform "
+    "init) over the bipartite customer-supplier trade graph "
+    "(orders x lineitem, both directions so no dangling mass), top-15 "
+    "nodes. The iterative-algorithm pattern done Spark-right: each "
+    "iteration is ONE lazy plan (edges join ranks join degrees, one "
+    "keyed aggregation) with localCheckpoint truncating lineage so "
+    "iteration k's plan does not nest k copies of the upstream graph "
+    "build; the node count rides as a broadcast scalar, never a "
+    "driver-side collect. Oracle unrolls the same 3 iterations as "
+    "chained CTEs. Ordering on the ROUNDED rank keeps the k-boundary "
+    "engine-stable.",
+)
+def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)  # reused every iteration
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    nstats = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ranks = (
+        deg.crossJoin(F.broadcast(nstats))
+        .select(
+            F.col("src").alias("node"),
+            (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+        )
+    )
+    for _ in range(3):
+        contribs = (
+            edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("m"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # truncate per-iteration lineage
+        )
+    out = ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (
+            F.floor(F.col("rank") * 10000000 + F.lit(0.50000005)) / 10000000
+        ).alias("pagerank"),
+    )
+    return out.orderBy(F.col("pagerank").desc(), "node").limit(15)
+
+
+@_register(
+    "bigram_interp_logprob",
+    f"""
+    WITH filt AS (
+      SELECT doc_id, list_filter({_ORACLE_TOKENS_D}, x -> x <> '') AS t
+      FROM documents
+    ),
+    uc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM filt) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uc),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM filt, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM bi GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             0.7 * bc.c12 / u1.c
+               + 0.3 * u2.c / (SELECT total FROM tot) AS p
+      FROM bi b
+      JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      JOIN uc u1 ON b.w1 = u1.w
+      JOIN uc u2 ON b.w2 = u2.w
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(-ln(p)) * 10000 + 0.5000005) / 10000
+             AS mean_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Interpolated bigram LM scoring (the KenLM-style quality "
+    "signal one rung above unigram_logprob_score): corpus-trained "
+    "P(w2|w1) = 0.7*c(w1,w2)/c(w1) + 0.3*c(w2)/T, per-doc mean "
+    "negative log-prob over its bigrams. Bigram construction is "
+    "ROW-LOCAL (indexed transform over the token array — no "
+    "posexplode+window adjacency shuffle); the count tables are "
+    "vocabulary- and bigram-vocabulary-sized aggregates AQE "
+    "broadcast-joins back onto the bigram stream; documents shuffle "
+    "only as (doc_id, w1, w2) rows. Docs with fewer than 2 tokens "
+    "drop out on both engines.",
+)
+def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    filt = docs.select(
+        "doc_id",
+        F.filter(
+            text_ops.tokens("text"), lambda x: x != F.lit("")
+        ).alias("t"),
+    )
+    uc = (
+        filt.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # reused for w1 AND w2 joins
+    )
+    tot = uc.agg(F.sum("c").cast("long").alias("total"))
+    bg = F.transform(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.get(F.col("t"), i + 1).alias("w2")
+        ),
+    )
+    bi = (
+        filt.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bg).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                F.lit(0.7) * F.col("c12") / F.col("c1")
+                + F.lit(0.3) * F.col("c2") / F.col("total")
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        _r4(F.avg(-F.log("p"))).alias("mean_neg_logprob"),
+    )
+
+
+@_register(
+    "multimodal_wav_chunk_check",
+    """
+    WITH idx AS (SELECT i FROM generate_series(0, 127) AS t(i)),
+    per AS (
+      SELECT d.doc_id, CAST(t.i // 48 AS INT) AS chunk_index,
+             ((d.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS amp
+      FROM documents d, idx t
+      WHERE t.i < 32 + d.doc_id % 97
+    )
+    SELECT doc_id AS asset_id, chunk_index,
+           CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(amp) AS BIGINT) AS sum_amp
+    FROM per GROUP BY doc_id, chunk_index
+    """,
+    doc="Audio chunking contract: WAV payloads split into 48-sample "
+    "windows (operators.multimodal.chunk_wav_assets — each chunk "
+    "re-emitted as a byte-valid standalone WAV), then every chunk "
+    "decoded back through the real WAV codec. The oracle re-derives "
+    "per-chunk sample counts and exact integer sums from the "
+    "generating formula, so a wrong slice boundary, header, or "
+    "short-final-chunk bug changes a row and fails the hash.",
+)
+def q_multimodal_wav_chunk_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_wav_assets(docs, "doc_id")
+    chunks = multimodal.chunk_wav_assets(assets, chunk_samples=48)
+    # n <= 128 samples -> at most 3 chunks; pack (asset, chunk) into one
+    # id for the decoder, unpack after
+    feats = multimodal.extract_features(
+        chunks.select(
+            (F.col("asset_id") * 10 + F.col("chunk_index")).alias(
+                "asset_id"
+            ),
+            "payload",
+        ),
+        decode_fn="wav",
+    )
+    return feats.select(
+        F.floor(F.col("asset_id") / 10).cast("long").alias("asset_id"),
+        (F.col("asset_id") % 10).cast("int").alias("chunk_index"),
+        "sample_rate",
+        "n_samples",
+        "sum_amp",
+    )

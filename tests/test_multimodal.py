@@ -75,6 +75,41 @@ def test_wav_payloads_decode_with_stdlib_wave(spark):
             assert int(np.abs(samples).max()) == got.peak_amp
 
 
+def test_wav_chunks_are_valid_and_reassemble(spark):
+    """Each WAV chunk must be independently decodable by the stdlib
+    ``wave`` module, chunk sizes must be exactly chunk_samples except a
+    short final chunk, and concatenating the chunks' samples in index
+    order must reproduce the source audio byte-for-byte."""
+    import io
+    import wave
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(15)
+    wavs = multimodal.synthetic_wav_assets(docs, "doc_id")
+    source = {}
+    for r in wavs.collect():
+        with wave.open(io.BytesIO(bytes(r.payload))) as wf:
+            source[r.asset_id] = (
+                wf.getframerate(),
+                wf.readframes(wf.getnframes()),
+            )
+    chunks = multimodal.chunk_wav_assets(wavs, chunk_samples=48).collect()
+    by_asset = {}
+    for r in chunks:
+        with wave.open(io.BytesIO(bytes(r.payload))) as wf:
+            rate, n = wf.getframerate(), wf.getnframes()
+            frames = wf.readframes(n)
+        assert rate == source[r.asset_id][0]
+        by_asset.setdefault(r.asset_id, []).append(
+            (r.chunk_index, n, frames)
+        )
+    for aid, parts in by_asset.items():
+        parts.sort()
+        assert [p[0] for p in parts] == list(range(len(parts)))
+        assert all(p[1] == 48 for p in parts[:-1])  # full chunks
+        assert 1 <= parts[-1][1] <= 48  # short tail allowed
+        assert b"".join(p[2] for p in parts) == source[aid][1]
+
+
 def test_bmp_payloads_header_and_padding(spark):
     """BMP codec vs an independent hand-parse: width/height from the DIB
     header, pixel sum computed by slicing rows at the 4-byte-aligned
