@@ -58,6 +58,12 @@ HEADLINE = [
     # new text shapes, so their cost is tracked round-over-round.
     "unigram_logprob_score",
     "contamination_report",
+    # r5 additions: the three heaviest new shapes — iterative graph
+    # (3 PageRank power iterations), triple-join triangle closure, and
+    # one-shuffle BM25 scoring — tracked round-over-round.
+    "pagerank_3iter",
+    "triangle_count_order_bursts",
+    "bm25_topk_docs",
 ]
 
 

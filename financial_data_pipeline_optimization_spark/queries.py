@@ -5636,12 +5636,17 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = cs.union(
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)  # reused every iteration
+    ).localCheckpoint(eager=False)  # graph build runs once, not 3x
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # node-sized; feeds 3 consumers
     )
+    # Degree rides ON the edge list (one join, done once, checkpointed)
+    # so each iteration is exactly one join + one keyed aggregation —
+    # not the join-ranks + join-degrees + left-join-nodes triple a
+    # naive translation of the recurrence would run 3x.
+    edges_w = edges.join(deg, "src").localCheckpoint(eager=False)
     nstats = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     ranks = (
         deg.crossJoin(F.broadcast(nstats))
@@ -5651,25 +5656,20 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for _ in range(3):
-        contribs = (
-            edges.join(
-                ranks.withColumnRenamed("node", "src"), "src"
-            )
-            .join(deg, "src")
+        # The symmetric edge set guarantees every node receives mass,
+        # so the aggregate's key set IS the node set — no left join
+        # back to a node list. (A general DIRECTED graph needs that
+        # join plus dangling-mass redistribution.)
+        ranks = (
+            edges_w.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("m"))
-        )
-        ranks = (
-            deg.select(F.col("src").alias("node"))
-            .join(
-                contribs.withColumnRenamed("dst", "node"), "node", "left"
-            )
             .crossJoin(F.broadcast(nstats))
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 (
                     F.lit(0.15) / F.col("n_nodes")
-                    + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))
+                    + F.lit(0.85) * F.col("m")
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)  # truncate per-iteration lineage
@@ -5831,4 +5831,184 @@ def q_multimodal_wav_chunk_check(
         "sample_rate",
         "n_samples",
         "sum_amp",
+    )
+
+
+@_register(
+    "triangle_count_order_bursts",
+    """
+    WITH e AS (
+      SELECT x.o_orderkey AS a, y.o_orderkey AS b
+      FROM orders x JOIN orders y
+        ON x.o_custkey = y.o_custkey
+       AND x.o_orderkey < y.o_orderkey
+       AND abs(date_diff('day', x.o_orderdate, y.o_orderdate)) <= 7
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           floor(3.0 * (SELECT n_triangles FROM tri)
+                 / (SELECT sum(d * (d - 1) / 2) FROM deg)
+                 * 10000 + 0.5000005) / 10000 AS transitivity
+    """,
+    doc="Triangle counting + global transitivity over the order-burst "
+    "graph: orders by the SAME customer within 7 days are adjacent, so "
+    "triangles are 3-order purchase bursts (pairwise within a week). "
+    "The graph is NATURALLY SPARSE with per-node degree bounded by one "
+    "customer's orders in a +-7-day window — the property that keeps "
+    "the canonical id-ordered triple join (wedges e1xe2 closed by an "
+    "e3 probe; wedge TOTAL from degrees, never enumerated) linear-ish "
+    "at any corpus size. A first cut of this query used the "
+    "supplier-co-occurrence graph instead, which is COMPLETE on this "
+    "data (every supplier pair shares an order) — a reminder that "
+    "triple-join triangle counting is O(sum deg^2) and graph choice, "
+    "then low-degree->high-degree orientation (Suri/Vassilvitskii "
+    "WWW'11), is what makes it survive scale.",
+)
+def q_triangle_count_order_bursts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e = (
+        orders.alias("x")
+        .join(
+            orders.alias("y"),
+            (F.col("x.o_custkey") == F.col("y.o_custkey"))
+            & (F.col("x.o_orderkey") < F.col("y.o_orderkey"))
+            & (
+                F.abs(
+                    F.datediff(
+                        F.col("x.o_orderdate"), F.col("y.o_orderdate")
+                    )
+                )
+                <= 7
+            ),
+        )
+        .select(
+            F.col("x.o_orderkey").alias("a"),
+            F.col("y.o_orderkey").alias("b"),
+        )
+        .localCheckpoint(eager=False)  # reused by deg + 3 join legs
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    edge_stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e2.a") == F.col("e1.a"))
+            & (F.col("e2.b") > F.col("e1.b")),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.b"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        F.broadcast(node_stats)
+        .crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            _r4(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+            ).alias("transitivity"),
+        )
+    )
+
+
+@_register(
+    "last_touch_attribution",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    ),
+    attributed AS (
+      SELECT COALESCE(touch, 'none') AS touch_type
+      FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+           floor(count(*) * 10000.0
+                 / (SELECT count(*) FROM attributed)
+                 + 0.5000005) / 10000 AS share
+    FROM attributed GROUP BY touch_type
+    """,
+    doc="Last-touch marketing attribution: every purchase event is "
+    "credited to the user's most recent PRECEDING non-purchase event "
+    "(ignore-nulls last_value over a rows-preceding frame — no "
+    "self-join, no per-user collect), purchases with no prior touch "
+    "credit 'none'. One exchange on user_id for the window, then a "
+    "tiny enum-sized aggregate; the share denominator derives from "
+    "the aggregate itself, not a second event scan.",
+)
+def q_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
+        .localCheckpoint(eager=False)  # reused for the denominator
+    )
+    total = attributed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return (
+        attributed.groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "touch_type",
+            "n_purchases",
+            _r4(
+                F.col("n_purchases") / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
     )
