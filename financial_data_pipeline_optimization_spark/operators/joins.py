@@ -311,3 +311,49 @@ def salted_join(
     )
     out = left.join(right, on=[*keys, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_exprs: Sequence[Column | str],
+    max_distance: int = 1,
+) -> DataFrame:
+    """Record-linkage fuzzy self-match: candidate pairs share a blocking
+    key, survivors are within ``max_distance`` Levenshtein edits.
+
+    The classic two-phase linkage design (Fellegi–Sunter blocking): the
+    equi-join on the blocking key is what makes fuzzy matching feasible
+    at scale — candidates are generated per block instead of the O(n²)
+    all-pairs cross join, and Catalyst plans it as a plain shuffled (or
+    broadcast) hash join on the key. ``levenshtein`` is a JVM built-in,
+    codegen'd, evaluated only on within-block candidates. Emits each
+    unordered pair once (``a_id < b_id``) with the edit distance.
+
+    100 TB posture: comparisons = Σ_b |block_b|²; the blocking
+    expression is the scale lever (tighter blocks = fewer candidates),
+    and a hot block is an AQE skew-join split, not a planning hazard.
+    """
+    blocks = [
+        F.expr(e).alias(f"__blk{i}") if isinstance(e, str) else
+        e.alias(f"__blk{i}")
+        for i, e in enumerate(block_exprs)
+    ]
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"), *blocks
+    )
+    blk_cols = [f"__blk{i}" for i in range(len(blocks))]
+    left = base.select(
+        F.col("__id").alias("a_id"), F.col("__txt").alias("a_text"), *blk_cols
+    )
+    right = base.select(
+        F.col("__id").alias("b_id"), F.col("__txt").alias("b_text"), *blk_cols
+    )
+    dist = F.levenshtein("a_text", "b_text")
+    return (
+        left.join(right, on=blk_cols)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dist <= max_distance)
+        .select("a_id", "b_id", dist.alias("edit_distance"))
+    )

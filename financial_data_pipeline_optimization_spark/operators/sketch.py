@@ -65,3 +65,137 @@ def estimate_distinct(
     return df.withColumn(
         out_col, F.hll_sketch_estimate(sketch_col)
     ).drop(sketch_col)
+
+
+def misra_gries_candidates(
+    df: DataFrame, value_col: str, k: int = 64
+) -> DataFrame:
+    """Heavy-hitter candidates via per-partition Misra–Gries summaries.
+
+    Each partition keeps at most ``k`` counters (one Arrow-batched pass,
+    state = a dict of size ``k``); per-partition survivors are merged by
+    a normal keyed sum. The union of per-partition survivors is a
+    SUPERSET of every value with global frequency > n/k: if a value is
+    globally that frequent, by pigeonhole it exceeds n_p/k in at least
+    one partition p, and Misra–Gries never evicts a value whose
+    partition frequency exceeds n_p/k (each decrement step consumes k
+    occurrences of distinct values). ``mg_count`` is a lower bound on
+    the partition-local frequency, undercounting by at most n_p/k.
+
+    100 TB posture: the full pass never shuffles raw values — each
+    partition emits ≤ k rows, so the merge shuffles O(k × partitions)
+    tiny rows. Follow with an exact recount restricted to the candidate
+    set (a broadcast semi-join) when exact top-k counts are needed: two
+    linear scans instead of a full-cardinality groupBy shuffle.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("value", StringType(), True),
+            StructField("mg_count", LongType(), True),
+        ]
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # Decrement-all step: drop zeroed counters.
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "value": list(counters.keys()),
+                    "mg_count": list(counters.values()),
+                }
+            )
+
+    summaries = df.select(F.col(value_col).cast("string").alias(value_col))
+    return (
+        summaries.mapInPandas(summarize, out_schema)
+        .groupBy("value")
+        .agg(F.sum("mg_count").cast("long").alias("mg_count"))
+    )
+
+
+def histogram_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: float,
+) -> DataFrame:
+    """Mergeable equi-width histogram: integer bucket counts per group.
+
+    ``bucket = floor(value / width)`` — deterministic integer state, so
+    partial histograms from different ingest partitions merge by plain
+    addition (same contract as the HLL sketches above, but for rank
+    queries). Map-side partial aggregation bounds shuffle volume at
+    O(groups × occupied buckets), independent of row count.
+    """
+    return (
+        df.withColumn(
+            "bucket", F.floor(F.col(value_col) / F.lit(width)).cast("long")
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").cast("long").alias("bucket_count"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    q: float,
+    width: float,
+    out_col: str = "est_quantile",
+) -> DataFrame:
+    """Estimate the q-quantile per group from bucket counts.
+
+    Picks the first bucket where the cumulative count reaches
+    ``ceil(q × n)`` and returns its midpoint — deterministic arithmetic
+    on integer counts, so the estimate is bit-identical across engines
+    and within ``width`` of the exact quantile (the exact value lies in
+    the selected bucket or an adjacent one for even-n midpoint
+    interpolation). The window runs over the bucket table (≤ occupied
+    buckets per group), never the raw data.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("bucket_count").over(w)).withColumn(
+        "n", F.sum("bucket_count").over(Window.partitionBy(*group_cols))
+    )
+    target = F.ceil(F.lit(q) * F.col("n"))
+    hit = cum.filter(F.col("cum") >= target)
+    first = (
+        hit.groupBy(*group_cols)
+        .agg(F.min("bucket").alias("bucket"))
+        .withColumn(
+            out_col,
+            (F.col("bucket") * F.lit(width) + F.lit(width / 2.0)).cast(
+                "double"
+            ),
+        )
+        .drop("bucket")
+    )
+    return first

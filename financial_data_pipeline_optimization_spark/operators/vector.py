@@ -365,6 +365,7 @@ def _nearest_cells(
     id_col: str,
     vec_col: str,
     out_id_col: str,
+    with_sim: bool = False,
 ) -> DataFrame:
     """Assign each row its ``topn`` nearest centroid cells by cosine.
 
@@ -386,13 +387,14 @@ def _nearest_cells(
         StructType,
     )
 
-    out_schema = StructType(
-        [
-            StructField(out_id_col, df.schema[id_col].dataType, True),
-            StructField("__v", ArrayType(DoubleType()), True),
-            StructField("cell", IntegerType(), True),
-        ]
-    )
+    fields = [
+        StructField(out_id_col, df.schema[id_col].dataType, True),
+        StructField("__v", ArrayType(DoubleType()), True),
+        StructField("cell", IntegerType(), True),
+    ]
+    if with_sim:
+        fields.append(StructField("sim", DoubleType(), True))
+    out_schema = StructType(fields)
 
     def assign(batches):
         import pandas as pd
@@ -405,15 +407,18 @@ def _nearest_cells(
             take = min(topn, cen_unit.shape[0])
             order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    out_id_col: pdf[id_col].to_numpy().repeat(take),
-                    "__v": [
-                        mat[i].tolist() for i in range(n) for _ in range(take)
-                    ],
-                    "cell": order.astype("int32").reshape(-1),
-                }
-            )
+            cols = {
+                out_id_col: pdf[id_col].to_numpy().repeat(take),
+                "__v": [
+                    mat[i].tolist() for i in range(n) for _ in range(take)
+                ],
+                "cell": order.astype("int32").reshape(-1),
+            }
+            if with_sim:
+                cols["sim"] = np.take_along_axis(sims, order, axis=1).reshape(
+                    -1
+                )
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
@@ -424,6 +429,7 @@ def train_ivf_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    track_inertia: bool = False,
 ):
     """Spherical k-means centroids as a num_centroids×dim float64 matrix.
 
@@ -437,6 +443,16 @@ def train_ivf_centroids(
     Empty cells keep their previous centroid. At 100 TB you train on a
     sampled corpus (standard IVF practice) and assign over the full
     corpus; both stages share this code path.
+
+    With ``track_inertia=True`` returns ``(centroids, inertias)`` where
+    ``inertias[t]`` is the spherical-k-means objective Σ(1 − cos(x,
+    c_assigned)) measured at iteration ``t``'s assignment pass (i.e.
+    under the centroids produced by update ``t−1``). Lloyd's algorithm
+    guarantees the sequence is non-increasing: assignment maximizes each
+    row's cosine, and the cell-mean update maximizes Σcos for fixed
+    assignments (Σ⟨x, c⟩ ≤ ‖Σx‖ with equality at c = unit(mean)). The
+    per-cell sim sums ride the SAME single action as the cell means —
+    tracking adds zero extra passes over the corpus.
     """
     import numpy as np
     import pandas as pd
@@ -454,35 +470,50 @@ def train_ivf_centroids(
     )
     cen = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
 
-    mean_schema = StructType(
-        [
-            StructField("cell", IntegerType(), True),
-            StructField("__mean", ArrayType(DoubleType()), True),
-            StructField("n", LongType(), True),
-        ]
-    )
+    mean_fields = [
+        StructField("cell", IntegerType(), True),
+        StructField("__mean", ArrayType(DoubleType()), True),
+        StructField("n", LongType(), True),
+    ]
+    if track_inertia:
+        mean_fields.append(StructField("sum_sim", DoubleType(), True))
+    mean_schema = StructType(mean_fields)
 
     def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.asarray(list(pdf["__v"]), dtype=np.float64).mean(axis=0)
-        return pd.DataFrame(
-            {
-                "cell": [int(pdf["cell"].iloc[0])],
-                "__mean": [m.tolist()],
-                "n": [len(pdf)],
-            }
-        )
+        out = {
+            "cell": [int(pdf["cell"].iloc[0])],
+            "__mean": [m.tolist()],
+            "n": [len(pdf)],
+        }
+        if track_inertia:
+            out["sum_sim"] = [float(pdf["sim"].sum())]
+        return pd.DataFrame(out)
 
+    inertias: list[float] = []
     for _ in range(max(0, iters)):
         assigned = _nearest_cells(
-            corpus, _unit_rows(cen), 1, id_col, vec_col, "__id"
+            corpus,
+            _unit_rows(cen),
+            1,
+            id_col,
+            vec_col,
+            "__id",
+            with_sim=track_inertia,
         )
         new_rows = (
             assigned.groupBy("cell")
             .applyInPandas(cell_mean, mean_schema)
             .collect()  # bounded: ≤ num_centroids rows of dim doubles
         )
+        if track_inertia:
+            n_total = sum(r["n"] for r in new_rows)
+            sim_total = sum(r["sum_sim"] for r in new_rows)
+            inertias.append(float(n_total) - sim_total)
         for r in new_rows:
             cen[r["cell"]] = np.asarray(r["__mean"], dtype=np.float64)
+    if track_inertia:
+        return cen, inertias
     return cen
 
 

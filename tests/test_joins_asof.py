@@ -11,6 +11,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from financial_data_pipeline_optimization_spark.operators import joins
 
 
@@ -153,3 +155,61 @@ def test_asof_single_shuffle(spark, frames):
         exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
         assert len(exchanges) == 1, (direction, exchanges)
         assert "hashpartitioning" in exchanges[0], direction
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching (record linkage)
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_fuzzy_pairs_matches_brute_force_within_blocks(spark):
+    rows = [
+        (1, "small ring", "A"),
+        (2, "small king", "A"),   # lev 1 from #1, same block
+        (3, "small ring", "B"),   # same text, different block → no pair
+        (4, "large bolt", "A"),
+        (5, "large belt", "A"),   # lev 1 from #4
+        (6, "large bolts", "A"),  # lev 1 from #4 (insert), 2 from #5
+        (7, None, "A"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, grp string")
+    got = {
+        (r.a_id, r.b_id, r.edit_distance)
+        for r in joins.blocked_fuzzy_pairs(
+            df,
+            "id",
+            "name",
+            [F.concat(F.split_part("name", F.lit(" "), F.lit(1)),
+                      F.lit("|"), F.col("grp"))],
+            max_distance=1,
+        ).collect()
+    }
+    assert got == {(1, 2, 1), (4, 5, 1), (4, 6, 1)}
+
+
+def test_blocked_fuzzy_pairs_emits_each_pair_once(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta", "g") for i in range(5)],
+        "id long, name string, grp string",
+    )
+    pairs = joins.blocked_fuzzy_pairs(
+        df, "id", "name", [F.col("grp")], max_distance=0
+    ).collect()
+    assert len(pairs) == 10  # C(5,2), a_id < b_id each once
+    assert all(p.a_id < p.b_id for p in pairs)
+
+
+def test_blocked_fuzzy_pairs_plans_as_equi_join(spark):
+    """The blocking key must plan as a hash/sort-merge EQUI join —
+    never a cartesian product with a distance filter."""
+    df = spark.createDataFrame(
+        [(1, "a b", "g")], "id long, name string, grp string"
+    )
+    plan = (
+        joins.blocked_fuzzy_pairs(df, "id", "name", [F.col("grp")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -71,3 +71,102 @@ def test_sketch_build_does_partial_aggregation(spark):
         )
     )
     assert "partial_hll_sketch_agg" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy-hitter candidates
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark, n=20_000, heavy_every=3):
+    """Planted-skew stream: value 'hot' at every ``heavy_every``-th row
+    (frequency ~ n/3, far above n/k for k=32), the rest spread over a
+    4001-value tail so no tail value is heavy."""
+    return spark.range(n).select(
+        F.when(F.col("id") % heavy_every == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 4001)))
+        .alias("v")
+    ).repartition(8)  # force multi-partition summaries
+
+
+def test_misra_gries_finds_all_heavy_values(spark):
+    """Pigeonhole guarantee: every value with global frequency > n/k
+    appears among the merged per-partition candidates."""
+    df = _skewed(spark)
+    k = 32
+    cand = sketch.misra_gries_candidates(df, "v", k=k)
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    n = df.count()
+    heavy = exact.filter(F.col("c") * k > F.lit(n))
+    assert heavy.count() >= 1  # the planted value is heavy
+    missed = heavy.join(
+        cand.withColumnRenamed("value", "v"), "v", "left_anti"
+    ).count()
+    assert missed == 0
+
+
+def test_misra_gries_counts_lower_bound_exact(spark):
+    df = _skewed(spark)
+    cand = sketch.misra_gries_candidates(df, "v", k=32)
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    over = (
+        cand.withColumnRenamed("value", "v")
+        .join(exact, "v")
+        .filter(F.col("mg_count") > F.col("c"))
+        .count()
+    )
+    assert over == 0
+
+
+def test_misra_gries_bounded_output(spark):
+    """Each partition emits at most k rows, so the merged candidate set
+    is bounded by k × partitions — the property that keeps the shuffle
+    O(k·P) instead of O(distinct values)."""
+    df = _skewed(spark)
+    n_parts = df.select(F.spark_partition_id().alias("p")).agg(
+        F.countDistinct("p")
+    ).first()[0]
+    cand_n = sketch.misra_gries_candidates(df, "v", k=32).count()
+    assert cand_n <= 32 * n_parts
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_within_one_bucket_of_exact(spark):
+    df = spark.range(10_001).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 7919 % 100_000).cast("double").alias("x"),
+    )
+    width = 500.0
+    hist = sketch.histogram_counts(df, ["g"], "x", width)
+    est = sketch.histogram_quantile(hist, ["g"], 0.5, width)
+    exact = df.groupBy("g").agg(
+        F.expr("percentile(x, 0.5)").alias("m")
+    )
+    rows = est.join(exact, "g").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r.est_quantile - r.m) <= width, r
+
+
+def test_histogram_counts_merge_by_addition(spark):
+    """Partial histograms from disjoint slices sum to the histogram of
+    the union — the mergeability contract (per-day partials → any
+    rollup) shared with the HLL sketches."""
+    df = spark.range(8_000).select(
+        F.lit(0).alias("g"),
+        (F.col("id") % 997).cast("double").alias("x"),
+        (F.col("id") % 2).alias("slice"),
+    )
+    width = 50.0
+    whole = sketch.histogram_counts(df, ["g"], "x", width)
+    parts = sketch.histogram_counts(df, ["g", "slice"], "x", width)
+    merged = parts.groupBy("g", "bucket").agg(
+        F.sum("bucket_count").alias("bucket_count")
+    )
+    w = {(r.g, r.bucket): r.bucket_count for r in whole.collect()}
+    m = {(r.g, r.bucket): r.bucket_count for r in merged.collect()}
+    assert w == m

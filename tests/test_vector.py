@@ -220,3 +220,41 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
     }
     assert {(b - 10_000_000, b) for _, b in planted} == planted
     assert len(planted) >= 3
+
+
+def test_kmeans_inertia_monotone_and_assignment_is_argmax(spark):
+    """Lloyd's guarantee: the spherical-k-means objective Σ(1 − cos)
+    is non-increasing across iterations, and the final assignment is
+    to the true max-cosine centroid (cross-checked against a numpy
+    recompute over the collected small fixture)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    cen, inertias = vector.train_ivf_centroids(
+        emb, num_centroids=8, iters=3, track_inertia=True
+    )
+    assert len(inertias) == 3
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-9, inertias
+
+    unit = vector._unit_rows(cen)
+    assigned = vector._nearest_cells(
+        emb, unit, 1, "vec_id", "embedding", "vec_id", with_sim=True
+    ).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    assert len(assigned) == len(vecs)
+    for r in assigned:
+        sims = unit @ (vecs[r["vec_id"]] / np.linalg.norm(vecs[r["vec_id"]]))
+        assert abs(sims.max() - r["sim"]) < 1e-9
+        assert sims[r["cell"]] >= sims.max() - 1e-9
+
+
+def test_kmeans_untracked_return_shape_unchanged(spark):
+    """track_inertia defaults off and keeps the bare-matrix return
+    (the IVF call sites rely on it)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    cen = vector.train_ivf_centroids(emb, num_centroids=4, iters=1)
+    assert getattr(cen, "shape", None) == (4, 64)
