@@ -458,3 +458,103 @@ def pack_chunks(
         out_col,
         F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span statistics: the fraction of a
+    document's word ``n``-gram positions whose n-gram occurs more than
+    once in the corpus (any document, any position — including a second
+    position in the same document).
+
+    The distributable approximation of exact-substring training-data
+    dedup (Lee et al., ACL 2022, "Deduplicating Training Data Makes
+    Language Models Better" builds a corpus suffix array; a word-n-gram
+    positional multiset catches the same boilerplate/templated spans as
+    n grows): high ``dup_frac`` documents are the near-verbatim
+    repeats worth dropping or down-weighting.
+
+    Scale shape: one corpus scan explodes positional n-grams which are
+    IMMEDIATELY hashed to 8-byte keys (the gram text never shuffles);
+    one groupBy(hash) builds the global span-frequency table with
+    map-side partial aggregation, one hash-keyed join classifies each
+    position, one groupBy(id) folds to per-document stats. Short docs
+    (< n tokens) contribute their single sub-n-gram remainder, so every
+    non-empty document gets a row.
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    spans = (
+        base.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size("__t") - (n - 1), F.lit(1)),
+                    ),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("__t", i, n))
+                    ),
+                )
+            ).alias("__h"),
+        )
+        # Two consumers (frequency table + classification join) —
+        # checkpoint so the scan+explode runs once.
+        .localCheckpoint(eager=False)
+    )
+    freq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        spans.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("__cnt") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_k: int = 20
+) -> DataFrame:
+    """One BPE-training pair-count step at the character level: the
+    ``top_k`` most frequent adjacent character pairs across the corpus,
+    weighted by word frequency — the statistic each merge round of
+    byte-pair-encoding tokenizer training (Sennrich et al., ACL 2016)
+    maximizes.
+
+    Scale shape — the WordPiece/BPE counting trick: the corpus scan
+    reduces to a VOCABULARY-sized word-frequency table first (one
+    groupBy with partial aggregation), and pair enumeration runs over
+    distinct words weighted by their counts — O(vocab × word-length)
+    rows instead of O(corpus tokens). Ties at the ``top_k`` boundary
+    break lexicographically, so the cut is deterministic; the top-k is
+    a TakeOrderedAndProject, never a global sort.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "__c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("__c").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(top_k)
+    )

@@ -623,3 +623,34 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
     )
     return pairs
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: each vector is scaled by
+    ``127 / max|x_i|`` and rounded, the standard storage/bandwidth
+    compression for ANN corpora (4× smaller than float32; dot products
+    run in int arithmetic with one final rescale). Keeps ``scale_col``
+    so ``q / scale`` reconstructs within half a quantization step
+    (``max|x| / 254``) per component.
+
+    Pure row-local JVM expressions — no UDF, no shuffle, codegen'd;
+    rounding is the engine-portable ``floor(x·s + 0.5)`` (half toward
+    +inf in both Spark and DuckDB, so results are bit-identical across
+    engines). Zero vectors quantize to zeros under a guarded scale.
+    """
+    mx = F.array_max(
+        F.transform(vec_col, lambda v: F.abs(v.cast("double")))
+    )
+    sc = F.lit(127.0) / F.greatest(mx, F.lit(1e-30))
+    out = df.withColumn(scale_col, sc)
+    q = F.transform(
+        vec_col,
+        lambda v: F.floor(v.cast("double") * F.col(scale_col) + F.lit(0.5))
+        .cast("int"),
+    )
+    return out.withColumn(q_col, q)

@@ -156,9 +156,18 @@ _DRIVER_CHECKED = (
 
 # Queries whose implementation or oracle changed after (or whose driver
 # row was red in) their last driver check — they need a fresh row,
-# right after the never-checked group. Empty as of r05: every r04-era
-# change was re-verified green in the r04 window.
-_CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
+# right after the never-checked group. r05: the exact-Jaccard pair
+# path moved its candidate dedup after the verify filter (same
+# results, new plan), so every consumer of ngram_jaccard_pairs gets a
+# fresh driver row.
+_CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
+    {
+        "ngram_jaccard_pairs",
+        "near_dup_clusters",
+        "minhash_recall_check",
+        "corpus_curation_funnel",
+    }
+)
 
 
 def _last_checked_round(name: str) -> int:
@@ -6295,4 +6304,134 @@ def q_kmeans_cluster_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_dup == 0).alias("one_cell_per_vector"),
         F.lit(n_not_argmax == 0).alias("argmax_cosine_ok"),
         F.lit(monotone).alias("inertia_monotone_ok"),
+    )
+
+
+@_register(
+    "dup_span_report",
+    f"""
+    WITH g AS (
+      SELECT d.doc_id, array_to_string(t[i+1:i+8], ' ') AS s
+      FROM (SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents) d,
+           UNNEST(range(greatest(len(t) - 7, 1))) AS u(i)
+    ),
+    c AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           floor(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+                 / count(*) * 10000 + 0.5000005) / 10000 AS dup_frac
+    FROM g JOIN c USING (s)
+    GROUP BY doc_id
+    """,
+    doc="Duplicated-span report: per document, the fraction of word "
+    "8-gram positions whose 8-gram occurs more than once in the "
+    "corpus — the distributable stand-in for exact-substring dedup "
+    "(Lee et al., ACL 2022): high-dup_frac docs are near-verbatim "
+    "template repeats worth dropping before training. Positional "
+    "8-grams hash to 8-byte keys before ANY shuffle (gram text never "
+    "moves); one partial-agg groupBy builds the global span-frequency "
+    "table, one hash join classifies positions, one groupBy(doc_id) "
+    "folds to stats. The oracle recomputes every count on the raw "
+    "gram strings.",
+)
+def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_ops.dup_span_stats(docs, "doc_id", "text", n=8)
+    return stats.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        _r4(F.col("n_dup_spans") / F.col("n_spans")).alias("dup_frac"),
+    )
+
+
+@_register(
+    "bpe_pair_step",
+    f"""
+    WITH w AS (
+      SELECT unnest({_ORACLE_TOKENS}) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1),
+    p AS (
+      SELECT substring(w, i, 2) AS pair, c
+      FROM wc, UNNEST(range(1, length(w))) AS u(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY 1
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    doc="One BPE-training pair-count round (Sennrich et al., ACL "
+    "2016): the 20 most frequent adjacent character pairs, weighted "
+    "by word frequency — what each tokenizer merge step maximizes. "
+    "Scale shape is the WordPiece counting trick: the corpus reduces "
+    "to a vocabulary-sized word-frequency table first (partial-agg "
+    "groupBy), and pair enumeration runs over DISTINCT words x their "
+    "counts — O(vocab x word-length), independent of corpus size. "
+    "Deterministic lexicographic tie-break at the k boundary; top-k "
+    "is a TakeOrderedAndProject, never a global sort.",
+)
+def q_bpe_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bpe_pair_counts(docs, "text", top_k=20)
+
+
+@_register(
+    "int8_quantize_check",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             127.0 / greatest(
+               list_max(list_transform(embedding, x -> abs(x))), 1e-30
+             ) AS sc
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(list_min(list_transform(embedding,
+                 x -> floor(x * sc + 0.5))) AS INTEGER) AS q_min,
+           CAST(list_max(list_transform(embedding,
+                 x -> floor(x * sc + 0.5))) AS INTEGER) AS q_max,
+           list_max(list_transform(embedding,
+                 x -> abs(x - floor(x * sc + 0.5) / sc)))
+             <= 1.0 / (2 * sc) + 1e-12 AS within_bound
+    FROM s
+    """,
+    doc="Symmetric per-vector int8 quantization contract "
+    "(vector.quantize_int8): quantized components must span at most "
+    "[-127, 127] and reconstruction q/scale must land within half a "
+    "quantization step of every original component. Row-local "
+    "codegen'd expressions, zero shuffles; rounding uses the "
+    "engine-portable floor(x*s + 0.5), so the oracle recomputes the "
+    "EXACT same integers — at 100 TB this is the 4x ANN-corpus "
+    "compression pass that runs as a pure map over the embedding "
+    "table.",
+)
+def q_int8_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = vector.quantize_int8(emb, "embedding", q_col="q", scale_col="sc")
+    recon_err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "q",
+            lambda x, qv: F.abs(
+                x.cast("double") - qv.cast("double") / F.col("sc")
+            ),
+        )
+    )
+    return qd.select(
+        "vec_id",
+        F.array_min("q").cast("int").alias("q_min"),
+        F.array_max("q").cast("int").alias("q_max"),
+        (
+            recon_err <= F.lit(1.0) / (F.lit(2.0) * F.col("sc")) + F.lit(1e-12)
+        ).alias("within_bound"),
     )

@@ -369,3 +369,99 @@ def test_register_views_enables_raw_sql(spark):
         "ON n_regionkey = r_regionkey"
     ).collect()[0].n
     assert n == 25
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span stats, BPE pair counting, int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_stats_flags_planted_duplicate_span(spark):
+    span = "one two three four five six seven eight"
+    rows = [
+        (1, f"{span} tail words here alpha beta"),
+        (2, f"prefix tokens go {span} and more"),
+        (3, "completely different words with no shared span at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in text.dup_span_stats(df, "doc_id", "text", n=8).collect()
+    }
+    # Doc1/doc2 share exactly the planted 8-gram (one position each);
+    # doc3 shares nothing.
+    assert got[1][1] == 1 and got[2][1] == 1
+    assert got[3] == (got[3][0], 0)
+    # Position counts: len(tokens) - 7 spans per doc (13 tokens each).
+    assert got[1][0] == 13 - 7 and got[2][0] == 13 - 7
+
+
+def test_dup_span_stats_counts_within_doc_repeats(spark):
+    span = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, f"{span} x y z {span}")], "doc_id long, text string"
+    )
+    r = text.dup_span_stats(df, "doc_id", "text", n=8).first()
+    # The planted 8-gram occurs at two positions of the SAME doc —
+    # both positions are duplicated spans.
+    assert r.n_dup_spans >= 2
+
+
+def test_bpe_pair_counts_matches_hand_count(spark):
+    # "abab" x3 + "ba" x1: pairs ab(2/word x3=6), ba(1x3 + 1 = 4)
+    df = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab ba")], "id long, text string"
+    )
+    got = {
+        r.pair: r.n_occurrences
+        for r in text.bpe_pair_counts(df, "text", top_k=10).collect()
+    }
+    assert got == {"ab": 6, "ba": 4}
+
+
+def test_bpe_pair_counts_deterministic_tie_break(spark):
+    df = spark.createDataFrame([(1, "xy qr xy qr ab")], "id long, text string")
+    rows = text.bpe_pair_counts(df, "text", top_k=2).collect()
+    # qr/xy tie at 2 > ab at 1; lexicographic tie-break keeps qr, xy.
+    assert [(r.pair, r.n_occurrences) for r in rows] == [
+        ("qr", 2),
+        ("xy", 2),
+    ]
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    qd = vector.quantize_int8(emb).select(
+        "vec_id",
+        "scale",
+        F.array_min("q").alias("qmin"),
+        F.array_max("q").alias("qmax"),
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                "q",
+                lambda x, qv: F.abs(
+                    x.cast("double") - qv.cast("double") / F.col("scale")
+                ),
+            )
+        ).alias("err"),
+    )
+    rows = qd.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert -127 <= r.qmin <= r.qmax <= 127
+        assert r.err <= 1.0 / (2 * r.scale) + 1e-12
+
+
+def test_quantize_int8_zero_vector_safe(spark):
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in vector.quantize_int8(df).collect()}
+    assert rows[1].q == [0, 0, 0]
+    assert rows[2].q == [64, -127, 32]
