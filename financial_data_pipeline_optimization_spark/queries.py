@@ -6435,3 +6435,311 @@ def q_int8_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             recon_err <= F.lit(1.0) / (F.lit(2.0) * F.col("sc")) + F.lit(1e-12)
         ).alias("within_bound"),
     )
+
+
+# ===========================================================================
+# Round 5 additions: phrase mining, gaps-and-islands, co-occurrence
+# lift, embedding-cluster cohesion.
+# ===========================================================================
+
+
+@_register(
+    "pmi_bigram_phrases",
+    f"""
+    WITH toks AS (SELECT {_ORACLE_TOKENS} AS t FROM documents),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cw
+      FROM (SELECT unnest(t) AS w FROM toks) u WHERE w <> '' GROUP BY 1
+    ),
+    big AS (
+      SELECT t[i+1] AS w1, t[i+2] AS w2
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2 AND t[1] <> ''
+    ),
+    bigc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+      FROM big GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(sum(cw) AS DOUBLE) AS nt FROM uni),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS mb FROM big)
+    SELECT w1, w2, cab,
+           floor(ln(cab * nt * nt / (mb * a.cw * b.cw)) * 10000
+                 + 0.5000005) / 10000 AS pmi
+    FROM bigc JOIN uni a ON bigc.w1 = a.w
+              JOIN uni b ON bigc.w2 = b.w
+              CROSS JOIN n CROSS JOIN m
+    WHERE cab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="PMI phrase mining (word2phrase, Mikolov et al. NeurIPS 2013): "
+    "adjacent-token pairs scored by pointwise mutual information "
+    "ln(P(ab)/(P(a)P(b))) to surface collocations worth merging into "
+    "single tokens before tokenizer training. One tokenize pass feeds "
+    "both tables: unigram counts (token-keyed groupBy) and positional "
+    "bigram counts (row-local transform, pair-keyed groupBy); the two "
+    "corpus totals ride as broadcast scalars, and the bigram→unigram "
+    "joins shuffle only vocabulary-sized count tables — document text "
+    "never crosses the wire. PMI is computed from exact integer counts "
+    "on both engines, so the float is bit-identical pre-rounding. At "
+    "100 TB the shuffles are O(vocab + bigram-vocab), both heavy-tail "
+    "bounded by the cab >= 5 support floor applied before the joins.",
+)
+def q_pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(text_ops.tokens(F.col("text")).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    t = F.col("t")
+    big = (
+        toks.where((F.size(t) >= 2) & (F.element_at(t, 1) != ""))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bigc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 5)
+    )
+    nt = uni.agg(F.sum("cw").cast("double").alias("nt"))
+    mb = big.agg(F.count(F.lit(1)).cast("double").alias("mb"))
+    a = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
+    b = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))
+    pmi = F.log(
+        F.col("cab") * F.col("nt") * F.col("nt")
+        / (F.col("mb") * F.col("ca") * F.col("cb"))
+    )
+    return (
+        bigc.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(mb))
+        .select("w1", "w2", "cab", _r4(pmi).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@_register(
+    "order_streak_islands",
+    """
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS mi
+      FROM orders
+    ),
+    isl AS (
+      SELECT o_custkey,
+             mi - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY mi) AS grp
+      FROM m
+    ),
+    streaks AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS streak_len
+      FROM isl GROUP BY o_custkey, grp
+    )
+    SELECT streak_len,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM streaks GROUP BY streak_len
+    ORDER BY streak_len
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive active months "
+    "per customer via the classic row_number-difference grouping (a "
+    "run of consecutive month indexes has constant mi - row_number), "
+    "folded to a streak-length histogram. Everything shuffles on "
+    "o_custkey once (the distinct, the window, and the island groupBy "
+    "all share the key, so the exchange is reused), then one tiny "
+    "histogram agg. The month-index arithmetic is integer-exact on "
+    "both engines. At 100 TB: per-customer windows over at most "
+    "#distinct-months rows, no global sort until the final "
+    "histogram-sized ORDER BY.",
+)
+def q_order_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("mi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    isl = m.select(
+        "o_custkey", (F.col("mi") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = isl.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("streak_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("streak_len")
+    )
+
+
+@_register(
+    "market_basket_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, n_both,
+           floor(n_both * n_orders / (fa.c * fb.c) * 10000
+                 + 0.5000005) / 10000 AS lift
+    FROM pairs JOIN freq fa ON pairs.part_a = fa.l_partkey
+               JOIN freq fb ON pairs.part_b = fb.l_partkey
+               CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Market-basket co-occurrence with lift (association-rule "
+    "screening): distinct (order, part) pairs self-joined on the order "
+    "key with part_a < part_b, pair counts floored at support 3 "
+    "BEFORE the frequency joins, lift = P(ab)/(P(a)P(b)) from exact "
+    "integer counts (bit-identical across engines pre-rounding). The "
+    "self-join shuffles both sides on the order key once and emits "
+    "at most items-per-order-choose-2 rows per order — bounded "
+    "fan-out, no cartesian risk; the lift joins touch only the "
+    "support-filtered pair table against the part-keyed frequency "
+    "table. The same shape computes token/document co-occurrence "
+    "matrices for corpus PMI at 100 TB.",
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    lift = F.col("n_both") * F.col("n_orders") / (F.col("ca") * F.col("cb"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "n_both", _r4(lift).alias("lift"))
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@_register(
+    "label_centroid_cohesion",
+    """
+    WITH pos AS (
+      SELECT label, i, CAST(e AS DOUBLE) AS v
+      FROM (SELECT label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    cen AS (
+      SELECT label, list(c ORDER BY i) AS centroid
+      FROM (SELECT label, i, avg(v) AS c FROM pos GROUP BY 1, 2)
+      GROUP BY label
+    ),
+    cosv AS (
+      SELECT e.label, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    cen.centroid) AS cos
+      FROM embeddings e JOIN cen USING (label)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(avg(cos) * 10000 + 0.5000005) / 10000 AS mean_cos,
+           floor(min(cos) * 10000 + 0.5000005) / 10000 AS min_cos
+    FROM cosv GROUP BY label ORDER BY label
+    """,
+    doc="Embedding-cluster cohesion report: per-label mean vector "
+    "(posexplode → (label, position) partial-avg — the shuffle carries "
+    "label x dim x partitions rows, never whole vectors), then each "
+    "vector's cosine to its own label centroid via row-local zip_with "
+    "fold against the label-keyed centroid join, folded to per-label "
+    "mean/min cohesion. This is the semantic-outlier screening "
+    "primitive for embedding-clustered training data (low min_cos "
+    "labels contain mislabeled or junk members). Cross-engine floats: "
+    "centroid averages and cosines involve float summation, so "
+    "outputs are label-level aggregates rounded at 1e-4 — two orders "
+    "above cross-engine reduction-order noise. At 100 TB the only "
+    "vector-sized shuffle is the one centroid join, label-keyed.",
+)
+def q_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode("embedding").alias("i", "e")
+    ).select("label", "i", F.col("e").cast("double").alias("v"))
+    cen = (
+        pos.groupBy("label", "i")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "c"))
+            ).alias("__ic")
+        )
+        .select(
+            "label",
+            F.transform(F.col("__ic"), lambda s: s.getField("c")).alias(
+                "centroid"
+            ),
+        )
+    )
+    joined = emb.join(cen, "label")
+    cos = vector.dot(
+        F.col("embedding"), F.col("centroid")
+    ) / (
+        vector.l2_norm(F.col("embedding")) * vector.l2_norm(F.col("centroid"))
+    )
+    per_vec = joined.select("label", "vec_id", cos.alias("cos"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            _r4(F.avg("cos")).alias("mean_cos"),
+            _r4(F.min("cos")).alias("min_cos"),
+        )
+        .orderBy("label")
+    )
