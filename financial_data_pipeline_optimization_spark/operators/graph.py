@@ -32,9 +32,16 @@ Scale mechanics this encodes:
   iteration k's plan contains k nested joins and the driver's
   optimizer/DAG work grows quadratically (the classic iterative-
   algorithm failure mode);
-- convergence is one bounded action per round: a 2-scalar fingerprint
-  ``(edge_count, xxhash64-sum)`` — the edge set is a fixpoint of
-  large∘small exactly when the fingerprint stops changing;
+- convergence is one bounded action per round, and it is DIRECT: the
+  fixpoint of large∘small is exactly a star forest pointing at
+  component minima, so the loop probes "no source repeats AND no dest
+  is also a source" (one keyed agg + one semi-join, both on the same
+  ``s`` key the stars already shuffle on) instead of comparing edge
+  fingerprints across rounds. A fingerprint compare needs one EXTRA
+  full star round just to observe that nothing changed; the structural
+  probe fires on the converged set itself — for the quasi-clique
+  graphs near-dup detection emits (diameter ~1, one round to
+  converge) that halves the round count;
 - at the fixpoint the edge set IS the answer: ``(node, component-min)``
   stars. No label table is ever maintained.
 """
@@ -93,10 +100,10 @@ def connected_components(
 
     Returns ``(node, component)`` for every node that appears in an
     edge. Raises if the loop hits ``max_iter`` without converging.
-    Convergence needs one round to reach the fixpoint plus one to
-    observe it, and O(log n) rounds total even on path graphs — so a
-    non-convergence here means the input is pathological, not that
-    more iterations would help.
+    O(log n) rounds even on path graphs, and convergence is observed
+    ON the converged round (structural star-forest probe, not a
+    cross-round fingerprint compare) — so a non-convergence here means
+    the input is pathological, not that more iterations would help.
 
     ``stats``: optional dict; on return ``stats["rounds"]`` holds the
     number of large∘small rounds executed (used by the round-count
@@ -118,7 +125,6 @@ def connected_components(
     )
     e = base.where(F.col("s") != F.col("d"))
 
-    prev_fp = None
     for rounds in range(1, max_iter + 1):
         sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         e = (
@@ -126,16 +132,24 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)  # truncate per-round lineage
         )
-        # One action per round: a 2-scalar fingerprint of the edge set.
-        # bit_xor, not sum: ANSI mode makes a 64-bit sum overflow, and
-        # the edge set is distinct so xor never self-cancels a dup.
-        fp = tuple(
-            e.agg(
-                F.count(F.lit(1)),
-                F.expr("bit_xor(xxhash64(s, d))"),
-            ).first()
+        # Convergence probe, one action: every round's output is a set
+        # of (member > center) edges, and it is THE fixpoint star
+        # forest iff no member repeats (each node points at one center)
+        # and no center is itself a member of another star (no chains).
+        # Both probes key on ``s`` — the same key the star rounds
+        # shuffle on — and short-circuit via isEmpty's LIMIT-1.
+        dup_src = (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
         )
-        if fp == prev_fp:
+        chained = e.select(F.col("d").alias("s")).join(
+            e.select("s"), "s", "left_semi"
+        )
+        violations = dup_src.select(F.lit(1).alias("v")).unionAll(
+            chained.select(F.lit(1).alias("v"))
+        )
+        if violations.isEmpty():
             if stats is not None:
                 stats["rounds"] = rounds
             # Fixpoint edges are (node, component-min) stars; nodes
@@ -148,7 +162,6 @@ def connected_components(
                     F.coalesce(F.col("d"), F.col("n")).alias(out_label),
                 )
             )
-        prev_fp = fp
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -35,7 +35,13 @@ def test_cycle_and_duplicate_edges(spark):
 
 
 def test_non_convergence_raises(spark):
-    df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    # A 5-node path still has source/dest chaining after one
+    # large∘small round (a 3-node path converges in one — the
+    # structural probe sees the star immediately), so max_iter=1
+    # must raise.
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
 
