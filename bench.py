@@ -64,6 +64,12 @@ HEADLINE = [
     "pagerank_3iter",
     "triangle_count_order_bursts",
     "bm25_topk_docs",
+    # r5 late additions: vocabulary-keyed PMI phrase mining (two fat
+    # count shuffles) and cluster-representative election (the full
+    # pair→CC→window dedup chain — strictly heavier than
+    # near_dup_clusters, so it tracks the end-to-end dedup cost).
+    "pmi_bigram_phrases",
+    "cluster_representatives",
 ]
 
 

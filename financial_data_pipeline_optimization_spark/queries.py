@@ -6727,7 +6727,11 @@ def q_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    joined = emb.join(cen, "label")
+    # The centroid table is label-cardinality x dim — bounded by the
+    # label vocabulary, not the corpus — so it broadcasts and the
+    # vector column never enters an Exchange (gated in
+    # tests/test_plan_quality.py).
+    joined = emb.join(F.broadcast(cen), "label")
     cos = vector.dot(
         F.col("embedding"), F.col("centroid")
     ) / (
@@ -6742,4 +6746,169 @@ def q_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.min("cos")).alias("min_cos"),
         )
         .orderBy("label")
+    )
+
+
+@_register(
+    "cluster_representatives",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+    ),
+    sym AS (SELECT a AS s, b AS d FROM pairs
+            UNION SELECT b AS s, a AS d FROM pairs),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    labels AS (
+      SELECT doc.doc_id,
+             CAST(COALESCE(l.component, doc.doc_id) AS BIGINT)
+               AS cluster_id,
+             doc.n_chars
+      FROM documents doc
+      LEFT JOIN (SELECT s AS node, least(s, min(d)) AS component
+                 FROM reach GROUP BY s) l
+        ON doc.doc_id = l.node
+    ),
+    sized AS (
+      SELECT cluster_id, doc_id, n_chars,
+             count(*) OVER (PARTITION BY cluster_id) AS nm,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labels
+    )
+    SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+           doc_id AS rep_doc_id, CAST(n_chars AS BIGINT) AS rep_chars
+    FROM sized WHERE nm >= 2 AND rn = 1 ORDER BY cluster_id
+    """,
+    doc="Keep-best dedup policy on transitive near-dup clusters: for "
+    "every multi-member cluster, elect the representative the corpus "
+    "KEEPS — longest document, doc_id tiebreak — instead of the "
+    "arbitrary min-id the raw cluster labels imply. This is the "
+    "last step of the near-dedup stage in a curation pipeline "
+    "(clusters → one survivor each). One cluster-keyed exchange "
+    "serves both window functions (member count and rank share the "
+    "partition key); the oracle recomputes clusters with a recursive "
+    "CTE and the same election. At 100 TB the added cost over "
+    "near_dup_clusters is a single window over (cluster_id)-keyed "
+    "label rows — document text never moves.",
+)
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cl = dedup.near_dup_clusters(docs, "doc_id", "text", n=2, min_jaccard=0.8)
+    j = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wo = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = j.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.count(F.lit(1)).over(w).alias("nm"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    return (
+        ranked.where((F.col("nm") >= 2) & (F.col("rn") == 1))
+        .select(
+            "cluster_id",
+            F.col("nm").cast("long").alias("n_members"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("long").alias("rep_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@_register(
+    "mixture_budget_plan",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter({_ORACLE_TOKENS}, x -> x <> '')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS t,
+             sum(sqrt(CAST(n_tokens AS DOUBLE))) AS wsum
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(0.5 * t * sqrt(CAST(n_tokens AS DOUBLE)) / wsum)
+             AS target_tokens,
+           floor(0.5 * t * sqrt(CAST(n_tokens AS DOUBLE)) / wsum
+                 / n_tokens * 10000 + 0.5000005) / 10000
+             AS repeat_factor,
+           least(1.0, floor(0.5 * t * sqrt(CAST(n_tokens AS DOUBLE)) / wsum
+                            / n_tokens * 10000 + 0.5000005) / 10000)
+             AS sample_rate
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Data-mixture budget plan (sqrt-rebalanced, the standard "
+    "heavy-tail flattening between proportional and uniform; cf. "
+    "multilingual sampling in XLM-R and the Pile's source weights): "
+    "given a token budget of 50% of the corpus, allocate each source "
+    "target_tokens proportional to sqrt(its token count), express it "
+    "as a repeat_factor (>1 = upsample epochs) and a capped "
+    "sample_rate consumable by deterministic hash sampling "
+    "(operators.sampling). One tokenize scan folds to a "
+    "source-keyed aggregate; the two corpus totals ride as one "
+    "broadcast scalar row. All floats derive from exact integer "
+    "counts, so both engines compute bit-identical doubles "
+    "pre-rounding. At 100 TB this plan step is what turns corpus "
+    "stats into the sampling knobs of the final training mix.",
+)
+def q_mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(text_ops.tokens("text"), lambda x: x != ""))
+    per = (
+        docs.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)  # totals derive from these rows
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("t"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("wsum"),
+    )
+    target = (
+        F.lit(0.5) * F.col("t")
+        * F.sqrt(F.col("n_tokens").cast("double")) / F.col("wsum")
+    )
+    rf = _r4(target / F.col("n_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(target).cast("double").alias("target_tokens"),
+            rf.alias("repeat_factor"),
+            F.least(F.lit(1.0), rf).alias("sample_rate"),
+        )
+        .orderBy("source")
     )

@@ -432,3 +432,66 @@ def test_salted_join_spreads_planted_skew_and_aqe_marks_it(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _exchange_output_names(df):
+    """(exchange_node, child output column names) for every Exchange in
+    the post-EnsureRequirements plan; asserts the plan HAS exchanges so
+    no caller can pass vacuously."""
+    exchanges = [
+        n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
+    ]
+    assert exchanges, "plan has no Exchange node — wrong query?"
+    out = []
+    for ex in exchanges:
+        child = ex.children().apply(0)
+        cols = child.output()
+        out.append(
+            (ex, [cols.apply(i).name() for i in range(cols.length())])
+        )
+    return out
+
+
+def test_pmi_never_shuffles_documents(spark):
+    """pmi_bigram_phrases' exchanges may carry only token / pair /
+    count rows — document text must never enter an Exchange (the
+    tokenize + bigram build are row-local; only vocabulary-sized
+    tables shuffle)."""
+    df = SPECS["pmi_bigram_phrases"].spark(spark, SF_SMOKE)
+    for ex, names in _exchange_output_names(df):
+        assert "text" not in names, (ex.nodeName(), names)
+
+
+def test_centroid_cohesion_never_shuffles_vectors(spark):
+    """label_centroid_cohesion: the posexplode side shuffles (label,
+    position, value) scalars and the centroid table broadcasts, so the
+    embedding array column must never enter an Exchange."""
+    df = SPECS["label_centroid_cohesion"].spark(spark, SF_SMOKE)
+    for ex, names in _exchange_output_names(df):
+        assert "embedding" not in names, (ex.nodeName(), names)
+
+
+def test_basket_lift_has_no_cartesian_product(spark):
+    """market_basket_lift's scalar total joins must plan as broadcast
+    nested-loop joins against one-row aggregates, never a
+    CartesianProduct; the pair self-join must be an equi-join on the
+    order key."""
+    df = SPECS["market_basket_lift"].spark(spark, SF_SMOKE)
+    nodes = [n.nodeName() for n in _walk(_spark_plan(df))]
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
+
+
+def test_streak_islands_reuses_custkey_partitioning(spark):
+    """order_streak_islands: the month-distinct, the island window and
+    the per-customer streak groupBy must share the customer-keyed
+    exchange (HashPartitioning(custkey) satisfies the (custkey, grp)
+    clustering), so the whole query costs at most 4 exchanges: the
+    (custkey, mi) distinct, the custkey window, the histogram
+    aggregate, and the final range sort."""
+    df = SPECS["order_streak_islands"].spark(spark, SF_SMOKE)
+    exchanges = [
+        n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
+    ]
+    assert exchanges, "plan has no Exchange node — wrong query?"
+    assert len(exchanges) <= 4, [n.toString()[:80] for n in exchanges]
