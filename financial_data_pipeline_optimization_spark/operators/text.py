@@ -558,3 +558,113 @@ def bpe_pair_counts(
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(top_k)
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The full Gopher quality-rule signal set (Rae et al. 2021,
+    appendix A1.1), one row-local projection — no explode, no shuffle;
+    every signal is a higher-order-function fold over the whitespace
+    word list or the newline line list:
+
+    - ``n_words`` / ``mean_word_len`` — raw whitespace-split words;
+    - ``symbol_word_ratio`` — '#' and '...' occurrences per word;
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting
+      with a bullet mark / ending with an ellipsis;
+    - ``alpha_word_frac`` — words containing at least one letter;
+    - ``n_stop_hits`` — how many of the 8 canonical English stopwords
+      appear at least once.
+
+    Thresholding is the caller's policy (see the
+    ``gopher_quality_flags`` query for the published cutoffs); the
+    stats layer stays policy-free so the same scan feeds audits.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    hash_count = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    dots_count = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* ")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...")
+            | F.rtrim(l).endswith("…"),
+        )
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    low_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(low_words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    mean_wl = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        ((hash_count + dots_count) / F.greatest(n_words, F.lit(1))).alias(
+            "symbol_word_ratio"
+        ),
+        (bullet / F.greatest(n_lines, F.lit(1))).alias("bullet_line_frac"),
+        (ellipsis / F.greatest(n_lines, F.lit(1))).alias(
+            "ellipsis_line_frac"
+        ),
+        (alpha_words / F.greatest(n_words, F.lit(1))).alias(
+            "alpha_word_frac"
+        ),
+        stop_hits.cast("long").alias("n_stop_hits"),
+    )
+
+
+def c4_line_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4 line-level cleaning signals (Raffel et al. 2020, §2.2): a
+    line is KEPT when it has >= 5 whitespace words and ends in terminal
+    punctuation; a document survives when >= 3 lines are kept, it does
+    not mention 'lorem ipsum', and it contains no curly brace. One
+    row-local projection (line list folds), no shuffle; returns the
+    per-document evidence plus the ``keep`` verdict so audits and the
+    filter share a scan."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _kept(l):
+        stripped = F.trim(l)
+        n_w = F.size(F.filter(F.split(stripped, r"\s+"), lambda w: w != ""))
+        last = F.substring(F.rtrim(l), -1, 1)
+        return (n_w >= 5) & last.isin(".", "!", "?", '"', "'")
+
+    kept = F.filter(lines, _kept)
+    n_kept = F.size(kept)
+    lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    brace = F.contains(t, F.lit("{"))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.aggregate(
+            kept, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+        ).alias("kept_chars"),
+        lorem.alias("has_lorem"),
+        brace.alias("has_brace"),
+        ((n_kept >= 3) & ~lorem & ~brace).alias("keep"),
+    )

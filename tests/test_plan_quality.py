@@ -495,3 +495,15 @@ def test_streak_islands_reuses_custkey_partitioning(spark):
     ]
     assert exchanges, "plan has no Exchange node — wrong query?"
     assert len(exchanges) <= 4, [n.toString()[:80] for n in exchanges]
+
+
+@pytest.mark.parametrize("name", ["gopher_quality_flags", "c4_line_filter"])
+def test_scan_speed_filters_have_zero_exchanges(spark, name):
+    """The Gopher and C4 quality gates are single row-local projections
+    — any Exchange in their plan means a fold regressed into an
+    explode+aggregate."""
+    df = SPECS[name].spark(spark, SF_SMOKE)
+    exchanges = [
+        n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
+    ]
+    assert not exchanges, [n.toString()[:80] for n in exchanges]

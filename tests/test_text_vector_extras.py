@@ -465,3 +465,51 @@ def test_quantize_int8_zero_vector_safe(spark):
     rows = {r.vec_id: r for r in vector.quantize_int8(df).collect()}
     assert rows[1].q == [0, 0, 0]
     assert rows[2].q == [64, -127, 32]
+
+
+def test_gopher_quality_stats_signals(spark):
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the cat sat on the mat and that dog ran off with it be of"),
+        (2, ""),  # empty text: no words, no crash, keep=False downstream
+        (3, "- bullet one\n- bullet two\nplain line..."),
+        (4, "#### #### #### symbols"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in text_ops.gopher_quality_stats(df, "doc_id", "text").collect()
+    }
+    assert got[1].n_words == 15
+    assert got[1].n_stop_hits >= 5
+    assert got[2].n_words == 0 and got[2].mean_word_len == 0.0
+    assert abs(got[3].bullet_line_frac - 2 / 3) < 1e-9
+    assert abs(got[3].ellipsis_line_frac - 1 / 3) < 1e-9
+    # 12 '#' chars over 4 words -> symbol ratio 3.0
+    assert abs(got[4].symbol_word_ratio - 3.0) < 1e-9
+    assert got[4].alpha_word_frac == 0.25
+
+
+def test_c4_line_stats_rules(spark):
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    keeper = "\n".join(
+        ["this line has five words.", "and this one also qualifies!",
+         "a third good line ends here?", "short."]
+    )
+    rows = [
+        (1, keeper),
+        (2, "only two good lines here sadly.\nanother fine line is kept."),
+        (3, keeper + "\nlorem ipsum dolor"),
+        (4, keeper + "\njson { blob }"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in text_ops.c4_line_stats(df, "doc_id", "text").collect()
+    }
+    assert got[1].keep and got[1].n_kept_lines == 3
+    assert not got[2].keep and got[2].n_kept_lines == 2
+    assert not got[3].keep and got[3].has_lorem
+    assert not got[4].keep and got[4].has_brace
