@@ -6490,11 +6490,17 @@ def q_pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(text_ops.tokens(F.col("text")).alias("t"))
+    # Both count tables are CHECKPOINTED because each is consumed more
+    # than once (uni feeds the two frequency joins AND the corpus
+    # total; the unfiltered bigram counts feed the support filter AND
+    # the bigram total). Without the checkpoints every consumer
+    # re-runs the tokenize+explode corpus scan — 5 scans instead of 2.
     uni = (
         toks.select(F.explode("t").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)
     )
     t = F.col("t")
     big = (
@@ -6512,13 +6518,14 @@ def q_pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
-    bigc = (
+    bigc_all = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cab"))
-        .where(F.col("cab") >= 5)
+        .localCheckpoint(eager=False)
     )
+    bigc = bigc_all.where(F.col("cab") >= 5)
     nt = uni.agg(F.sum("cw").cast("double").alias("nt"))
-    mb = big.agg(F.count(F.lit(1)).cast("double").alias("mb"))
+    mb = bigc_all.agg(F.sum("cab").cast("double").alias("mb"))
     a = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
     b = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))
     pmi = F.log(
@@ -6638,7 +6645,14 @@ def q_order_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # Checkpointed: the distinct item set feeds four consumers (both
+    # self-join sides, the part frequencies, the order total) — one
+    # scan+distinct instead of four.
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     n = items.agg(
         F.countDistinct("l_orderkey").cast("double").alias("n_orders")
