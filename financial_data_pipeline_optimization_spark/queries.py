@@ -7060,3 +7060,91 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return text_ops.c4_line_stats(docs, "doc_id", "text")
+
+
+@_register(
+    "near_decontaminate_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    c_sh AS (SELECT * FROM sh WHERE doc_id % 20 <> 7),
+    b_sh AS (SELECT * FROM sh WHERE doc_id % 20 = 7),
+    c_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+             FROM c_sh GROUP BY 1),
+    b_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+             FROM b_sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_id AS cid, b.doc_id AS bid, count(*) AS i
+      FROM c_sh c JOIN b_sh b ON c.s = b.s
+      GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT cid, bid,
+             CAST(i AS DOUBLE) / (ca.sz + cb.sz - i) AS jac
+      FROM inter
+      JOIN c_sz ca ON cid = ca.doc_id
+      JOIN b_sz cb ON bid = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / (ca.sz + cb.sz - i) >= 0.8
+    )
+    SELECT cid AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_matched_bench,
+           floor(max(jac) * 10000 + 0.5000005) / 10000 AS max_jaccard
+    FROM matched GROUP BY cid ORDER BY doc_id
+    """,
+    doc="Near-duplicate decontamination report: corpus documents whose "
+    "bigram-set Jaccard against ANY benchmark document (every 20th "
+    "doc as the stand-in eval set) reaches 0.8 — the FUZZY "
+    "decontamination pass run alongside exact n-gram overlap "
+    "(operators.dedup.decontaminate) because light paraphrases evade "
+    "exact n-gram membership. Dataflow is the bipartite twin of "
+    "ngram_jaccard_pairs: both sides shingle row-locally and hash to "
+    "8 bytes, the inverted-index join keys on the shingle hash, "
+    "intersection counts aggregate on (corpus, bench) pairs, and the "
+    "size join applies the threshold — document text never shuffles. "
+    "At 100 TB the benchmark side is a fixed eval set (thousands of "
+    "docs), so its shingle table broadcasts and the corpus-side cost "
+    "is one scan + one (hash)-keyed aggregation.",
+)
+def q_near_decontaminate_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        dedup.with_shingles(
+            docs.select("doc_id", "text"), "text", n=2, out_col="sh"
+        )
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .localCheckpoint(eager=False)  # feeds both sides + both sizes
+    )
+    c_sh = sh.where(F.col("doc_id") % 20 != 7)
+    b_sh = sh.where(F.col("doc_id") % 20 == 7).select(
+        F.col("doc_id").alias("bid"), "h"
+    )
+    c_sz = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ca"))
+    b_sz = b_sh.groupBy("bid").agg(F.count(F.lit(1)).alias("cb"))
+    inter = (
+        c_sh.join(b_sh, "h")
+        .groupBy("doc_id", "bid")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("ca") + F.col("cb") - F.col("i"))
+    matched = (
+        inter.join(c_sz, "doc_id")
+        .join(b_sz, "bid")
+        .where(jac >= 0.8)
+        .select("doc_id", "bid", jac.alias("jac"))
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_bench"),
+            _r4(F.max("jac")).alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
