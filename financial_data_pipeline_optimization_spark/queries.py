@@ -7148,3 +7148,182 @@ def q_near_decontaminate_report(
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(max(o_orderdate) AS DATE) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(o_totalprice) AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    cut AS (
+      SELECT quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med,
+             quantile_cont(CAST(last_order - DATE '1992-01-01' AS DOUBLE),
+                           0.5) AS r_med
+      FROM rfm
+    )
+    SELECT
+      CASE WHEN CAST(last_order - DATE '1992-01-01' AS DOUBLE) > r_med
+           THEN 'recent' ELSE 'stale' END AS recency_band,
+      CASE WHEN frequency > f_med THEN 'frequent' ELSE 'occasional' END
+        AS frequency_band,
+      CASE WHEN monetary > m_med THEN 'high_value' ELSE 'low_value' END
+        AS monetary_band,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      floor(avg(monetary) * 100 + 0.50005) / 100 AS avg_monetary
+    FROM rfm CROSS JOIN cut
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: one customer-keyed aggregate "
+    "builds (recency, frequency, monetary), the three median cutoffs "
+    "ride as ONE broadcast scalar row (exact percentile via "
+    "quantile_cont on the customer-sized aggregate — never a global "
+    "ntile window, which would funnel the corpus through one "
+    "partition), and banding is a row-local CASE. Recency is banded "
+    "on integer days-since-epoch so the median compare is "
+    "engine-exact; the only float output is rounded. The "
+    "aggregate-then-broadcast-cutoffs shape is how every quantile "
+    "segmentation should run at 100 TB.",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").cast("double").alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("last_order"), F.lit("1992-01-01"))
+            .cast("double")
+            .alias("r_days"),
+            "frequency",
+            "monetary",
+        )
+        .localCheckpoint(eager=False)  # feeds the cutoffs AND the bands
+    )
+    cut = rfm.agg(
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+        F.expr("percentile(r_days, 0.5)").alias("r_med"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cut))
+        .select(
+            F.when(F.col("r_days") > F.col("r_med"), "recent")
+            .otherwise("stale")
+            .alias("recency_band"),
+            F.when(F.col("frequency") > F.col("f_med"), "frequent")
+            .otherwise("occasional")
+            .alias("frequency_band"),
+            F.when(F.col("monetary") > F.col("m_med"), "high_value")
+            .otherwise("low_value")
+            .alias("monetary_band"),
+            "monetary",
+        )
+        .groupBy("recency_band", "frequency_band", "monetary_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r2(F.avg("monetary")).alias("avg_monetary"),
+        )
+        .orderBy("recency_band", "frequency_band", "monetary_band")
+    )
+
+
+@_register(
+    "price_quantity_ols",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(l_quantity AS DOUBLE)) AS sx,
+             sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+             sum(CAST(l_quantity AS DOUBLE)
+                 * CAST(l_extendedprice AS DOUBLE)) AS sxy,
+             sum(CAST(l_quantity AS DOUBLE)
+                 * CAST(l_quantity AS DOUBLE)) AS sxx
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000
+                 + 0.5000005) / 10000 AS slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n * 100 + 0.50005) / 100 AS intercept
+    FROM s ORDER BY l_returnflag
+    """,
+    doc="Grouped least-squares regression (extendedprice ~ quantity "
+    "per return flag) as a PURE AGGREGATION: slope and intercept "
+    "derive from the five classic sufficient statistics (n, Σx, Σy, "
+    "Σxy, Σx²), so the whole fit is one partial-aggregated groupBy — "
+    "the map-side combine does almost all the work and only five "
+    "doubles per group cross the wire. This sufficient-statistics "
+    "shape is how ANY moment-based model (OLS, variance, covariance, "
+    "Naive Bayes counts) trains at 100 TB; there is no iterative "
+    "pass and no driver math beyond the final expression.",
+)
+def q_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        _r4(slope).alias("slope"),
+        _r2(intercept).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+@_register(
+    "lineitem_corr_matrix",
+    """
+    SELECT
+      floor(corr(CAST(l_quantity AS DOUBLE),
+                 CAST(l_extendedprice AS DOUBLE)) * 10000
+            + 0.5000005) / 10000 AS qty_price,
+      floor(corr(CAST(l_quantity AS DOUBLE),
+                 CAST(l_discount AS DOUBLE)) * 10000
+            + 0.5000005) / 10000 AS qty_discount,
+      floor(corr(CAST(l_extendedprice AS DOUBLE),
+                 CAST(l_tax AS DOUBLE)) * 10000
+            + 0.5000005) / 10000 AS price_tax
+    FROM lineitem
+    """,
+    doc="Pairwise correlation matrix over fact measures in ONE scan: "
+    "each corr is a five-statistic streaming aggregate "
+    "(map-side-combined), all pairs share the scan, and the result "
+    "is a single row — the feature-correlation screening step before "
+    "any model training, at pure aggregation cost. Rounded at 1e-4: "
+    "correlation divides large near-cancelling sums, where "
+    "cross-engine reduction order costs ~1e-12 relative.",
+)
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("double")
+    pd_ = F.col("l_extendedprice").cast("double")
+    dd = F.col("l_discount").cast("double")
+    td = F.col("l_tax").cast("double")
+    return li.agg(
+        _r4(F.corr(qd, pd_)).alias("qty_price"),
+        _r4(F.corr(qd, dd)).alias("qty_discount"),
+        _r4(F.corr(pd_, td)).alias("price_tax"),
+    )
