@@ -78,3 +78,39 @@ def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
             f"uniqueness violated for key {list(keys)}; "
             f"first offenders: {[tuple(r)[:-1] for r in dupes]}"
         )
+
+
+def observed_quality(
+    df: DataFrame,
+    name: str = "quality",
+    *,
+    not_null: Sequence[str] = (),
+    non_negative: Sequence[str] = (),
+):
+    """Attach ZERO-COST data-quality metrics to a DataFrame via Spark's
+    ``Observation`` API: row count, per-column null counts, per-column
+    negative counts — accumulated DURING whatever action the caller
+    runs next, with no second scan. This is the scale-correct form of
+    the reference's post-hoc guard queries: at 100 TB a separate
+    ``count()``/``filter().count()`` validation pass re-reads the
+    input, while observed metrics ride the write for free.
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER an action. Metrics keys:
+    ``n_rows``, ``nulls_<col>``, ``neg_<col>``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"nulls_{c}"
+            )
+        )
+    for c in non_negative:
+        metrics.append(
+            F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"neg_{c}")
+        )
+    return df.observe(obs, *metrics), obs

@@ -213,3 +213,22 @@ def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
     a = sorted(map(tuple, orders.select("o_orderkey", "o_totalprice").collect()))
     b = sorted(map(tuple, read_orc(spark, path, ["o_orderkey", "o_totalprice"]).collect()))
     assert a == b
+
+
+def test_observed_quality_rides_the_action(spark, tmp_path):
+    """observed_quality's metrics must be collected by the WRITE itself
+    (no second scan): after one parquet write action, the observation
+    holds row/null/negative counts."""
+    from financial_data_pipeline_optimization_spark.operators import checks
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -4.0)], "id long, v double"
+    )
+    observed, obs = checks.observed_quality(
+        df, not_null=["v"], non_negative=["v"]
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["nulls_v"] == 1
+    assert got["neg_v"] == 1
