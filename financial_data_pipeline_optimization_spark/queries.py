@@ -7327,3 +7327,116 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.corr(qd, dd)).alias("qty_discount"),
         _r4(F.corr(pd_, td)).alias("price_tax"),
     )
+
+
+def _leakage_safe_split_sql() -> str:
+    from financial_data_pipeline_optimization_spark.operators.sampling import hex_threshold
+
+    t_train = hex_threshold(0.8)
+    t_val = hex_threshold(0.9)
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+    ),
+    sym AS (SELECT a AS s, b AS d FROM pairs
+            UNION SELECT b AS s, a AS d FROM pairs),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    labels AS (
+      SELECT doc.doc_id,
+             CAST(COALESCE(l.component, doc.doc_id) AS BIGINT)
+               AS cluster_id
+      FROM documents doc
+      LEFT JOIN (SELECT s AS node, least(s, min(d)) AS component
+                 FROM reach GROUP BY s) l
+        ON doc.doc_id = l.node
+    ),
+    assigned AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                       < '{t_train}' THEN 'train'
+                  WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                       < '{t_val}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM labels
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           (SELECT count(DISTINCT cluster_id) FROM assigned)
+             = (SELECT sum(nc) FROM (
+                  SELECT count(DISTINCT cluster_id) AS nc
+                  FROM assigned GROUP BY split))
+             AS no_cluster_spans_splits
+    FROM assigned GROUP BY split ORDER BY split
+    """
+
+
+@_register(
+    "leakage_safe_split",
+    _leakage_safe_split_sql(),
+    doc="Leakage-safe train/val/test assignment: the split key is the "
+    "near-dup CLUSTER id, not the document id — a document and its "
+    "near-duplicates always land in the same split, so eval can never "
+    "score a paraphrase of a training document (the cross-split "
+    "contamination mode that per-doc hashing CANNOT prevent). "
+    "Composition: near_dup_clusters → md5 hex-threshold split on "
+    "cluster_id (operators.sampling.with_split, engine-portable) → "
+    "per-split counts plus the in-plan invariant that the distinct "
+    "cluster total equals the per-split sum (a cluster never spans "
+    "splits — true by construction since split is a function of "
+    "cluster_id, verified anyway). The oracle recomputes clusters "
+    "with a recursive CTE and the same md5 thresholds.",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    cl = dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8
+    ).localCheckpoint(eager=False)  # feeds per-split agg + global total
+    assigned = sampling.with_split(
+        cl, ["cluster_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    total = cl.agg(
+        F.countDistinct("cluster_id").alias("__total_clusters")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__sum_nc",
+            F.sum("n_clusters").over(Window.partitionBy()),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            (F.col("__total_clusters") == F.col("__sum_nc")).alias(
+                "no_cluster_spans_splits"
+            ),
+        )
+        .orderBy("split")
+    )
