@@ -668,3 +668,105 @@ def c4_line_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         brace.alias("has_brace"),
         ((n_kept >= 3) & ~lorem & ~brace).alias("keep"),
     )
+
+
+def _merge_pair_fold(syms, a: str, b: str):
+    """Greedy left-to-right merge of adjacent pair ``(a, b)`` in a
+    symbol array, as one row-local ``aggregate`` fold with a
+    (out, pending) struct accumulator: 'aaa' with pair (a,a) →
+    [aa, a]; 'aaaa' → [aa, aa] — exactly the merge BPE training
+    applies (Sennrich et al., ACL 2016). No symbol is ever the empty
+    string, so '' is a safe no-pending sentinel."""
+    empty = F.array().cast("array<string>")
+    return F.aggregate(
+        syms,
+        F.struct(empty.alias("out"), F.lit("").alias("pend")),
+        lambda acc, x: F.when(
+            (acc.pend == a) & (x == b),
+            F.struct(
+                F.concat(acc.out, F.array(F.lit(a + b))).alias("out"),
+                F.lit("").alias("pend"),
+            ),
+        )
+        .when(
+            acc.pend == "",
+            F.struct(acc.out.alias("out"), x.alias("pend")),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc.out, F.array(acc.pend)).alias("out"),
+                x.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(acc.pend == "", acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.pend))
+        ),
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, rounds: int = 3
+) -> DataFrame:
+    """Distributed BPE tokenizer training: run ``rounds`` merge
+    iterations and return the learned merge table
+    ``(round, sym_a, sym_b, merged, pair_count)``.
+
+    Scale shape: the ONLY corpus-scale work is the initial
+    word-frequency aggregation (one partial-agg groupBy). Every round
+    after that operates on the VOCABULARY table — adjacent-pair
+    enumeration is a row-local transform over each word's symbol
+    array weighted by word frequency, the argmax pair is one bounded
+    driver action (a 1-row ordered limit, the same justified pattern
+    as IVF centroid training), and the merge itself is a row-local
+    fold (:func:`_merge_pair_fold`). Per-round lineage is truncated
+    with ``localCheckpoint`` exactly like the other iterative
+    operators (graph, IVF). Ties break by (count desc, pair lexico),
+    so the learned merges are deterministic across engines and runs.
+    """
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for r in range(1, rounds + 1):
+        s = F.col("syms")
+        pairs = vocab.where(F.size(s) >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("a"),
+                        F.element_at(s, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((r, top["a"], top["b"], top["a"] + top["b"], top["c"]))
+        vocab = vocab.select(
+            "freq", _merge_pair_fold(F.col("syms"), top["a"], top["b"]).alias("syms")
+        ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "round int, sym_a string, sym_b string, merged string, "
+        "pair_count long",
+    )

@@ -7440,3 +7440,96 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB twin of operators.text.bpe_train_merges: per
+    round, count adjacent symbol pairs over the vocab (weighted by
+    word frequency), take the (count desc, pair lexico) argmax, then
+    apply the GREEDY left-to-right merge relationally — match
+    positions, gaps-and-islands run grouping, keep even offsets
+    within each run (exactly what the engine's left fold does on
+    'aaa' → [aa, a]), rebuild each word's symbol list with merged
+    tokens substituted and right-halves dropped."""
+    blocks = []
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+    p{r} AS (
+      SELECT word, freq, u.i AS p, syms[u.i+1] AS a, syms[u.i+2] AS b
+      FROM v{r}, UNNEST(range(len(syms)-1)) AS u(i)
+      WHERE len(syms) >= 2
+    ),
+    pc{r} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS c
+              FROM p{r} GROUP BY 1, 2),
+    top{r} AS (SELECT a, b, c FROM pc{r} ORDER BY c DESC, a, b LIMIT 1),
+    m{r} AS (SELECT p.word, p.p FROM p{r} p, top{r} t
+             WHERE p.a = t.a AND p.b = t.b),
+    sel{r} AS (
+      SELECT word, p FROM (
+        SELECT word, p, p - min(p) OVER (PARTITION BY word, grp) AS off
+        FROM (SELECT word, p,
+                     p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p)
+                       AS grp
+              FROM m{r}))
+      WHERE off % 2 = 0
+    ),
+    allpos{r} AS (
+      SELECT word, freq, u.i AS p, syms[u.i+1] AS s
+      FROM v{r}, UNNEST(range(len(syms))) AS u(i)
+    ),
+    v{r+1} AS (
+      SELECT a.word, any_value(a.freq) AS freq,
+             list(CASE WHEN sp.p IS NOT NULL
+                       THEN (SELECT t.a || t.b FROM top{r} t)
+                       ELSE a.s END ORDER BY a.p) AS syms
+      FROM allpos{r} a
+      LEFT JOIN sel{r} sp ON a.word = sp.word AND a.p = sp.p
+      LEFT JOIN sel{r} sm ON a.word = sm.word AND a.p = sm.p + 1
+      WHERE sm.p IS NULL
+      GROUP BY a.word
+    )""")
+    finals = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({r} AS INT) AS round, a AS sym_a, b AS sym_b,
+           a || b AS merged, c AS pair_count FROM top{r}"""
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_ORACLE_TOKENS}) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    v1 AS (
+      SELECT word, freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> word[i]) AS syms
+      FROM words
+    ),{','.join(blocks)}
+{finals}
+    ORDER BY round
+    """
+
+
+@_register(
+    "bpe_merge_rounds",
+    _bpe_oracle_sql(3),
+    doc="Distributed BPE tokenizer training, 3 merge rounds "
+    "(operators.text.bpe_train_merges; Sennrich et al. ACL 2016): "
+    "returns the learned merge table (round, pair, merged token, "
+    "pair count). The only corpus-scale work is the initial "
+    "word-frequency aggregate; every round then runs on the "
+    "VOCABULARY table — pair counts are a row-local transform "
+    "weighted by word freq, the argmax is one bounded 1-row driver "
+    "action (the IVF-centroid pattern), and the greedy merge is a "
+    "row-local (out, pending) fold. The oracle replays training "
+    "relationally: same counts, same (count desc, lexico) tiebreak, "
+    "and the greedy merge expressed as gaps-and-islands even-offset "
+    "selection over match positions — proving the fold's semantics, "
+    "not just its outputs. At 100 TB rounds cost O(vocab), not "
+    "O(corpus).",
+)
+def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bpe_train_merges(docs, "text", rounds=3)

@@ -513,3 +513,39 @@ def test_c4_line_stats_rules(spark):
     assert not got[2].keep and got[2].n_kept_lines == 2
     assert not got[3].keep and got[3].has_lorem
     assert not got[4].keep and got[4].has_brace
+
+
+def test_bpe_merge_fold_is_greedy_left_to_right(spark):
+    from pyspark.sql import functions as F
+
+    from financial_data_pipeline_optimization_spark.operators.text import _merge_pair_fold
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "a"]), (2, ["a", "a", "a", "a"]),
+         (3, ["x", "a", "a", "y"]), (4, ["a"])],
+        "id long, syms array<string>",
+    )
+    got = {
+        r.id: r.m
+        for r in df.select(
+            "id", _merge_pair_fold(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got[1] == ["aa", "a"]
+    assert got[2] == ["aa", "aa"]
+    assert got[3] == ["x", "aa", "y"]
+    assert got[4] == ["a"]
+
+
+def test_bpe_train_learns_textbook_merges(spark):
+    from financial_data_pipeline_optimization_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new")],
+        "id long, text string",
+    )
+    out = [
+        (r.round, r.merged, r.pair_count)
+        for r in t.bpe_train_merges(df, "text", rounds=2).collect()
+    ]
+    assert out == [(1, "lo", 5), (2, "low", 5)]
