@@ -7533,3 +7533,64 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return text_ops.bpe_train_merges(docs, "text", rounds=3)
+
+
+@_register(
+    "multi_horizon_features",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                  AS BIGINT) AS d,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER w30 AS BIGINT) AS n_orders_30d,
+           CAST(count(*) OVER w90 AS BIGINT) AS n_orders_90d,
+           CAST(count(*) OVER w365 AS BIGINT) AS n_orders_365d,
+           floor(sum(price) OVER w365 * 100 + 0.50005) / 100
+             AS revenue_365d
+    FROM o
+    WINDOW
+      w30 AS (PARTITION BY o_custkey ORDER BY d
+              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW),
+      w90 AS (PARTITION BY o_custkey ORDER BY d
+              RANGE BETWEEN 89 PRECEDING AND CURRENT ROW),
+      w365 AS (PARTITION BY o_custkey ORDER BY d
+               RANGE BETWEEN 364 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Feature-store style multi-horizon trailing aggregates: for "
+    "every order, the same customer's order count over trailing "
+    "30/90/365-day windows plus trailing-year revenue — the "
+    "point-in-time-correct feature shape ML training joins against "
+    "(no leakage: each row sees only history up to itself). All four "
+    "features are RANGE-frame windows over ONE customer-keyed "
+    "exchange (same partition key, same sort — Spark computes all "
+    "horizons in a single Window operator chain without re-shuffling). "
+    "Day arithmetic is integer (days since epoch), so frames are "
+    "engine-exact; only the revenue float is rounded. At 100 TB this "
+    "shape replaces the N-self-joins a naive feature backfill runs.",
+)
+def q_multi_horizon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("d"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    base = Window.partitionBy("o_custkey").orderBy("d")
+    w30 = base.rangeBetween(-29, 0)
+    w90 = base.rangeBetween(-89, 0)
+    w365 = base.rangeBetween(-364, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w30).alias("n_orders_30d"),
+        F.count(F.lit(1)).over(w90).alias("n_orders_90d"),
+        F.count(F.lit(1)).over(w365).alias("n_orders_365d"),
+        _r2(F.sum("price").over(w365)).alias("revenue_365d"),
+    )

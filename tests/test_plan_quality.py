@@ -507,3 +507,15 @@ def test_scan_speed_filters_have_zero_exchanges(spark, name):
         n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
     ]
     assert not exchanges, [n.toString()[:80] for n in exchanges]
+
+
+def test_multi_horizon_windows_share_one_exchange(spark):
+    """All three trailing-horizon range frames partition and sort the
+    same way, so the whole feature query must cost exactly ONE
+    customer-keyed exchange — a second Exchange means a frame spec
+    drifted and Spark re-shuffled per horizon."""
+    df = SPECS["multi_horizon_features"].spark(spark, SF_SMOKE)
+    exchanges = [
+        n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
+    ]
+    assert len(exchanges) == 1, [n.toString()[:80] for n in exchanges]
