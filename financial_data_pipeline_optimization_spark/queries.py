@@ -7594,3 +7594,165 @@ def q_multi_horizon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w365).alias("n_orders_365d"),
         _r2(F.sum("price").over(w365)).alias("revenue_365d"),
     )
+
+
+@_register(
+    "event_rate_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, h, c,
+             avg(CAST(c AS DOUBLE)) OVER w AS mu,
+             stddev_samp(CAST(c AS DOUBLE)) OVER w AS sd,
+             count(*) OVER w AS n_hist
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS hour_ts, c AS n_events,
+           floor((c - mu) / sd * 10000 + 0.5000005) / 10000 AS zscore
+    FROM scored
+    WHERE n_hist >= 12 AND sd > 0 AND abs((c - mu) / sd) > 3
+    ORDER BY event_type, hour_ts
+    """,
+    doc="Event-rate anomaly detection: hourly counts per event type, "
+    "each hour z-scored against its own trailing 24-hour window "
+    "(PRECEDING-only frame — point-in-time correct, an hour never "
+    "scores against itself or the future), flag |z| > 3 with a "
+    "12-hour minimum history so cold starts don't alert. The raw "
+    "event stream folds to the hour×type table in one partial-agg "
+    "groupBy; the window then runs over that TINY aggregate, keyed "
+    "by event_type — this aggregate-then-window layering is the only "
+    "shape that survives 100 TB of events, and it is exactly how the "
+    "streaming twin would run on watermarked tumbling windows. "
+    "Counts are integers; mean/std divide exact sums, rounded 1e-4.",
+)
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    cd = F.col("c").cast("double")
+    scored = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.avg(cd).over(w).alias("mu"),
+        F.stddev_samp(cd).over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("c") - F.col("mu")) / F.col("sd")
+    return (
+        scored.where(
+            (F.col("n_hist") >= 12) & (F.col("sd") > 0) & (F.abs(z) > 3)
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            F.col("c").alias("n_events"),
+            _r4(z).alias("zscore"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+@_register(
+    "gopher_keep_rate_by_source",
+    """
+    WITH base AS (
+      SELECT source,
+             list_filter(string_split_regex(text, '\\s+'),
+                         w -> w <> '') AS words,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents
+    ),
+    sig AS (
+      SELECT source,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words,
+                  w -> length(w))), 0) AS DOUBLE)
+               / greatest(len(words), 1) AS mwl,
+             (CAST(length(text) - length(replace(text, '#', ''))
+                   AS DOUBLE)
+              + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / greatest(len(words), 1) AS swr,
+             CAST(len(list_filter(lines,
+                  l -> starts_with(ltrim(l), '- ')
+                    OR starts_with(ltrim(l), '* ')
+                    OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+               / greatest(len(lines), 1) AS blf,
+             CAST(len(list_filter(lines,
+                  l -> ends_with(rtrim(l), '...')
+                    OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+               / greatest(len(lines), 1) AS elf,
+             CAST(len(list_filter(words,
+                  w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+               / greatest(len(words), 1) AS awf,
+             CAST(len(list_intersect(
+                  list_distinct(list_transform(words, w -> lower(w))),
+                  ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stop_hits
+      FROM base
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND mwl >= 3 AND mwl <= 10 AND swr <= 0.1
+                 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8
+                 AND n_stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           floor(avg(CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND mwl >= 3 AND mwl <= 10 AND swr <= 0.1
+                 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8
+                 AND n_stop_hits >= 2 THEN 1.0 ELSE 0.0 END) * 10000
+                 + 0.5000005) / 10000 AS keep_rate
+    FROM sig GROUP BY source ORDER BY source
+    """,
+    doc="Corpus-governance rollup: per-source document counts, Gopher "
+    "keep counts and keep rate — the dashboard that decides which "
+    "ingest sources are worth their storage before any expensive "
+    "dedup runs. One scan: the row-local gopher_quality_stats "
+    "projection folds straight into a source-keyed partial aggregate "
+    "(no per-doc rows survive the map side). Keep verdicts are "
+    "integer-ratio exact; only the rate is rounded.",
+)
+def q_gopher_keep_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = text_ops.gopher_quality_stats(
+        docs.select(F.col("source").alias("doc_key"), "text"),
+        "doc_key",
+        "text",
+    )
+    keep = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return (
+        sig.select(F.col("doc_key").alias("source"), keep.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("k").cast("int")).cast("long").alias("n_keep"),
+            _r4(F.avg(F.col("k").cast("double"))).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
