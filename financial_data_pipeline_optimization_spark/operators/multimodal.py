@@ -488,3 +488,86 @@ def frame_sample_stub(
         ).alias("frame_index"),
         "meta",
     )
+
+
+#: Output schema of the BMP resizer: same (asset_id, payload) contract
+#: as the synthetic builders — the resized payload is itself a
+#: byte-valid 24-bit BMP, so it feeds straight back into
+#: ``extract_features(decode_fn='bmp')``.
+BMP_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_bmp_assets(
+    assets: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL (pure-NumPy) nearest-neighbor BMP resize inside the same
+    ``mapInPandas`` shape as :func:`extract_features`: decode the
+    24-bit payload, index-map rows/cols (``src = (dst * src_len) //
+    dst_len``, operating in file row order — source and destination
+    are both bottom-up BMPs so orientation is preserved), re-encode
+    with correct 4-byte row padding and headers. This retires the
+    former ``resize_stub`` metadata-only path for the BMP codec: the
+    payload transform is real and round-trips through the decoder.
+    Blobs never leave executors; per-batch work is vectorized numpy."""
+    import struct
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:2] != b"BM":
+                    raise ValueError(f"asset {aid}: not a BMP payload")
+                (offset,) = struct.unpack("<I", buf[10:14])
+                hdr_size, w, h, _, bpp = struct.unpack("<IiiHH", buf[14:30])
+                if hdr_size < 40 or bpp != 24:
+                    raise ValueError(f"asset {aid}: unsupported BMP")
+                h = abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                px = (
+                    np.frombuffer(
+                        buf[offset : offset + stride * h], dtype=np.uint8
+                    )
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)
+                )
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                out = px[ri][:, ci, :].reshape(out_h, out_w * 3)
+                ostride = (out_w * 3 + 3) // 4 * 4
+                padded = np.zeros((out_h, ostride), dtype=np.uint8)
+                padded[:, : out_w * 3] = out
+                data = padded.tobytes()
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0,
+                        len(data), 2835, 2835, 0, 0,
+                    )
+                )
+                ids.append(int(aid))
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    out = assets.select("asset_id", "payload").mapInPandas(
+        _resize, schema=BMP_RESIZE_SCHEMA
+    )
+    return out.select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit(out_w).cast("int").alias("width"),
+            F.lit(out_h).cast("int").alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

@@ -7756,3 +7756,49 @@ def q_gopher_keep_rate_by_source(
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "multimodal_bmp_resize_check",
+    """
+    WITH oi AS (SELECT i FROM generate_series(0, 3) t(i)),
+         oj AS (SELECT j FROM generate_series(0, 7) t(j)),
+         oc AS (SELECT c FROM generate_series(0, 2) t(c)),
+    per AS (
+      SELECT d.doc_id,
+             (d.doc_id * 31
+              + ((t.i * (3 + d.doc_id % 7)) // 4)
+                * ((4 + d.doc_id % 13) * 3)
+              + ((u.j * (4 + d.doc_id % 13)) // 8) * 3
+              + v.c) % 256 AS px
+      FROM documents d, oi t, oj u, oc v
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(24 AS INT) AS bits_per_pixel,
+           CAST(32 AS BIGINT) AS n_pixels,
+           CAST(sum(px) AS BIGINT) AS sum_pixel
+    FROM per GROUP BY doc_id
+    """,
+    doc="REAL image transform contract: synthetic 24-bit BMPs are "
+    "nearest-neighbor resized to 8x4 by the pure-NumPy codec "
+    "(operators.multimodal.resize_bmp_assets — decode, index-map "
+    "src = (dst * src_len) // dst_len, re-encode with row padding), "
+    "then the RESIZED payload is re-decoded by the BMP feature "
+    "extractor. The oracle recomputes the exact resized pixel-byte "
+    "sum arithmetically from the generating formula + the same "
+    "index map — a wrong stride, orientation flip, or off-by-one in "
+    "the NN mapping changes sum_pixel and fails the hash. This "
+    "closes the decode → transform → re-encode → decode loop with "
+    "blobs never leaving executors.",
+)
+def q_multimodal_bmp_resize_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_bmp_assets(docs, "doc_id")
+    resized = multimodal.resize_bmp_assets(assets, out_w=8, out_h=4)
+    return multimodal.extract_features(resized, decode_fn="bmp")

@@ -175,3 +175,26 @@ def test_resize_and_frame_sample_stubs(assets):
     )
     per_asset = frames.groupBy("asset_id").count().select("count").distinct()
     assert [r["count"] for r in per_asset.collect()] == [3]  # frames 0,10,20
+
+
+def test_bmp_resize_roundtrips_through_decoder(spark):
+    """resize_bmp_assets must emit byte-valid BMPs whose re-decoded
+    dimensions match the target and whose pixels are the NN-mapped
+    source pixels (checked via exact sum on a 2x downsample of an
+    even-sized source)."""
+    import numpy as np
+
+    from financial_data_pipeline_optimization_spark.operators import multimodal as mm
+
+    # doc_id=48: w = 4 + 48%13 = 13, h = 3 + 48%7 = 9
+    df = spark.createDataFrame([(48,)], "doc_id long")
+    assets = mm.synthetic_bmp_assets(df, "doc_id")
+    resized = mm.resize_bmp_assets(assets, out_w=3, out_h=3)
+    feat = mm.extract_features(resized, decode_fn="bmp").collect()[0]
+    assert (feat.width, feat.height, feat.n_pixels) == (3, 3, 9)
+    w, h, aid = 13, 9, 48
+    k = np.arange(w * h * 3, dtype=np.int64)
+    px = ((aid * 31 + k) % 256).reshape(h, w, 3)
+    ri = (np.arange(3) * h) // 3
+    ci = (np.arange(3) * w) // 3
+    assert feat.sum_pixel == int(px[ri][:, ci, :].sum())
