@@ -234,7 +234,6 @@ def minhash_lsh_pairs(
     verify join is a narrow map. Disable to keep the plan fully lazy
     (e.g. under a streaming source).
     """
-    rows_per_band = num_hashes // bands
     base = with_minhash_signature(
         with_shingles(_spread(df.select(id_col, text_col), id_col), text_col,
                       n=shingle_n),
@@ -246,17 +245,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "__id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col("minhash")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
+            _band_hashes(F.col("minhash"), num_hashes, bands)
         ).alias("band", "band_hash"),
     )
     left = banded.alias("l")
@@ -665,4 +654,113 @@ def decontaminate(
         contaminated,
         corpus[id_col] == contaminated["__cid"],
         "left_anti",
+    )
+
+
+def _band_hashes(minhash_col, num_hashes: int, bands: int):
+    """One 64-bit hash per LSH band (row-local): xxhash64 over the
+    band's signature slice."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                *[
+                    minhash_col[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE signature store for incremental near-dup
+    detection: ``(bands_df, sets_df)`` where ``bands_df`` is
+    ``(id, band, band_hash)`` (the LSH index — ``bands`` rows × 20
+    bytes per doc) and ``sets_df`` is ``(id, sh_hashes)`` (the hashed
+    shingle set for exact-Jaccard verification). Both derive from one
+    row-local signature pass; both are documents-free, so the store a
+    100 TB pipeline keeps hot is a few hundred bytes per doc. Write
+    them partitioned/bucketed by their join keys and every future
+    batch joins against the store instead of re-scanning the corpus
+    (the MinHash signatures are row-local, so a doc's store rows never
+    change as the corpus grows)."""
+    base = with_minhash_signature(
+        with_shingles(
+            _spread(df.select(id_col, text_col), id_col),
+            text_col,
+            n=shingle_n,
+        ),
+        num_hashes=num_hashes,
+    )
+    bands_df = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            _band_hashes(F.col("minhash"), num_hashes, bands)
+        ).alias("band", "band_hash"),
+    )
+    sets_df = base.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("sh_hashes"),
+    )
+    return bands_df, sets_df
+
+
+def incremental_near_dups(
+    new_store: tuple[DataFrame, DataFrame],
+    old_store: tuple[DataFrame, DataFrame],
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an EXISTING signature
+    store (both from :func:`minhash_store`): the production shape for
+    continuous ingestion — never recluster the world, join the new
+    batch's bands against the stored index. Returns
+    ``(new_id, old_id, jaccard_sim)``.
+
+    Because signatures and band hashes are row-local, incremental
+    detection is EXACTLY equivalent to batch detection restricted to
+    cross-batch pairs (pinned in tests/test_dedup.py): full-corpus
+    pairs = old-batch pairs ∪ new-batch pairs ∪ this join's output.
+    Cost: the new batch's bands (tiny) shuffle against the stored
+    index on (band, band_hash) — with the store bucketed on that key,
+    only the new batch moves."""
+    nb, ns = new_store
+    ob, os_ = old_store
+    candidates = (
+        nb.alias("n")
+        .join(
+            ob.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("o.id").alias("old_id")
+        )
+        .distinct()
+    )
+    return (
+        candidates.join(
+            ns.select(F.col("id").alias("new_id"), F.col("sh_hashes").alias("__na")),
+            "new_id",
+        )
+        .join(
+            os_.select(F.col("id").alias("old_id"), F.col("sh_hashes").alias("__oa")),
+            "old_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            jaccard(F.col("__na"), F.col("__oa")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= min_jaccard)
     )

@@ -78,3 +78,42 @@ def test_exact_dedup_idempotent(spark):
     once = dedup.exact_dedup(docs, ["text"], "doc_id")
     twice = dedup.exact_dedup(once, ["text"], "doc_id")
     assert once.count() == twice.count()
+
+
+def test_incremental_near_dups_equals_batch_restricted(spark):
+    """Incremental dedup (new batch vs stored signatures) must be
+    EXACTLY the batch result restricted to cross-batch pairs:
+    full-corpus LSH pairs = old-only pairs ∪ new-only pairs ∪
+    incremental pairs. Holds exactly because signatures and band
+    hashes are row-local (a doc's store rows don't depend on the rest
+    of the corpus)."""
+    from financial_data_pipeline_optimization_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    def pairs(df):
+        return {
+            (min(r.a, r.b), max(r.a, r.b))
+            for r in dedup.minhash_lsh_pairs(
+                df, "doc_id", "text", shingle_n=2, min_jaccard=0.8
+            ).collect()
+        }
+
+    full = pairs(docs)
+    old_only = pairs(old)
+    new_only = pairs(new)
+    inc = {
+        (min(r.new_id, r.old_id), max(r.new_id, r.old_id))
+        for r in dedup.incremental_near_dups(
+            dedup.minhash_store(new, "doc_id", "text", shingle_n=2),
+            dedup.minhash_store(old, "doc_id", "text", shingle_n=2),
+            min_jaccard=0.8,
+        ).collect()
+    }
+    assert full, "planted near-dups should produce pairs"
+    assert inc, "cross-batch near-dups should exist in planted data"
+    assert full == old_only | new_only | inc
