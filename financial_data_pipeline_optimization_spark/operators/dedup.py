@@ -554,6 +554,7 @@ def near_dup_clusters(
     min_jaccard: float = 0.8,
     max_iter: int = 25,
     pair_source: str = "exact",
+    carry_cols: Sequence[str] = (),
     **lsh_kwargs,
 ) -> DataFrame:
     """Transitive near-duplicate clusters: similarity pairs →
@@ -603,10 +604,14 @@ def near_dup_clusters(
     comp = connected_components(
         pairs.select("a", "b"), "a", "b", max_iter=max_iter
     )
-    ids = df.select(F.col(id_col))
+    # ``carry_cols`` ride along on the one label join (consumers like
+    # representative election would otherwise join the corpus a second
+    # time just to recover a metadata column).
+    ids = df.select(F.col(id_col), *[F.col(c) for c in carry_cols])
     return ids.join(comp, ids[id_col] == comp["node"], "left").select(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        *[F.col(c) for c in carry_cols],
     )
 
 

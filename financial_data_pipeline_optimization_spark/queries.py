@@ -6827,8 +6827,10 @@ def q_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    cl = dedup.near_dup_clusters(docs, "doc_id", "text", n=2, min_jaccard=0.8)
-    j = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    j = dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8,
+        carry_cols=["n_chars"],
+    )
     w = Window.partitionBy("cluster_id")
     wo = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     ranked = j.select(

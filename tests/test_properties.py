@@ -419,3 +419,33 @@ def test_connected_components_matches_union_find(edges):
     for n in parent:
         expect[n] = roots[find(n)]
     assert got == expect
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("b", "c"), ("c", "a")]),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merge_fold_matches_python_reference(syms, pair):
+    """The JVM (out, pending) fold must equal the textbook greedy
+    left-to-right BPE merge for arbitrary symbol sequences, including
+    overlapping runs."""
+    from pyspark.sql import functions as F
+
+    from financial_data_pipeline_optimization_spark.operators.text import _merge_pair_fold
+
+    a, b = pair
+    expect, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            expect.append(a + b)
+            i += 2
+        else:
+            expect.append(syms[i])
+            i += 1
+    df = SPARK.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(
+        _merge_pair_fold(F.col("syms"), a, b).alias("m")
+    ).collect()[0].m
+    assert got == expect, (syms, pair, got, expect)
