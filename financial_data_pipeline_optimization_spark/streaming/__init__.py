@@ -10,6 +10,7 @@ semantics (SURVEY.md §7.4).
 """
 
 from financial_data_pipeline_optimization_spark.streaming.ops import (
+    foreach_batch_near_dup_filter,
     foreach_batch_upsert,
     read_stream_parquet,
     running_counts_stateful,
@@ -23,6 +24,7 @@ from financial_data_pipeline_optimization_spark.streaming.ops import (
 )
 
 __all__ = [
+    "foreach_batch_near_dup_filter",
     "foreach_batch_upsert",
     "read_stream_parquet",
     "running_counts_stateful",

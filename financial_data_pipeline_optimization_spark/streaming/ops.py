@@ -299,3 +299,82 @@ def stream_static_enrich(
     adds zero exchanges to the streaming plan.
     """
     return stream.join(F.broadcast(dim), on=key_col, how=how)
+
+
+def foreach_batch_near_dup_filter(
+    clean_path: str,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.8,
+    shingle_n: int = 3,
+):
+    """Returns a ``foreachBatch`` function implementing STREAMING
+    near-duplicate filtering against a persisted signature store —
+    the continuous-ingestion form of corpus dedup: per micro-batch,
+
+    1. build the batch's MinHash store (``dedup.minhash_store`` —
+       band index + hashed shingle sets, row-local, documents-free);
+    2. drop batch docs that near-duplicate the EXISTING store
+       (``dedup.incremental_near_dups`` — band equi-join, verified
+       Jaccard) or an earlier doc in the same batch
+       (``minhash_lsh_pairs`` on the batch, keep the lower id);
+    3. append survivors to ``clean_path`` and ONLY the survivors'
+       signature rows to ``store_path``.
+
+    The store grows by O(surviving docs) per epoch and is the only
+    state — no reclustering, no corpus rescan; with the store bucketed
+    on (band, band_hash) only the micro-batch shuffles. Incremental ≡
+    batch-restricted semantics are pinned in tests/test_dedup.py; the
+    end-to-end streaming run is pinned in tests/test_streaming.py.
+    """
+
+    def _filter(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from financial_data_pipeline_optimization_spark.operators import dedup
+        from financial_data_pipeline_optimization_spark.sources import (
+            read_parquet_if_exists,
+        )
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).localCheckpoint(
+            eager=True  # the batch is consumed 4x below; pin it once
+        )
+        nb, ns = dedup.minhash_store(
+            batch, id_col, text_col, shingle_n=shingle_n
+        )
+        nb = nb.localCheckpoint(eager=False)
+        ns = ns.localCheckpoint(eager=False)
+
+        dup_ids = None
+        old_b = read_parquet_if_exists(spark, f"{store_path}/bands")
+        if old_b is not None:
+            old_s = spark.read.parquet(f"{store_path}/sets")
+            cross = dedup.incremental_near_dups(
+                (nb, ns), (old_b, old_s), min_jaccard=min_jaccard
+            )
+            dup_ids = cross.select(F.col("new_id").alias(id_col)).distinct()
+        # in-batch near-dups: keep the lower id of every verified pair
+        in_batch = (
+            dedup.minhash_lsh_pairs(
+                batch, id_col, text_col,
+                shingle_n=shingle_n, min_jaccard=min_jaccard,
+            )
+            .select(F.greatest("a", "b").alias(id_col))
+            .distinct()
+        )
+        dup_ids = (
+            in_batch if dup_ids is None else dup_ids.union(in_batch)
+        ).distinct().localCheckpoint(eager=False)
+
+        survivors = batch.join(dup_ids, id_col, "left_anti")
+        survivors.write.mode("append").parquet(clean_path)
+        nb.join(dup_ids, nb["id"] == dup_ids[id_col], "left_anti").write.mode(
+            "append"
+        ).parquet(f"{store_path}/bands")
+        ns.join(dup_ids, ns["id"] == dup_ids[id_col], "left_anti").write.mode(
+            "append"
+        ).parquet(f"{store_path}/sets")
+
+    return _filter

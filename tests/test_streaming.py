@@ -345,3 +345,71 @@ def test_stream_static_enrich_matches_batch(spark, events_stream_dir):
     assert {(r.category, r.n) for r in got} == {
         (r.category, r["count"]) for r in batch
     }
+
+
+def test_stream_near_dup_filter_matches_batch_dedup(spark, tmp_path):
+    """Streaming near-dup filtering (foreach_batch_near_dup_filter)
+    over two landed batches must keep exactly the docs a BATCH LSH
+    dedup over the full corpus keeps (survivor = no verified pair to a
+    lower id / earlier batch) — the streaming twin of the incremental
+    ≡ batch identity pinned in tests/test_dedup.py."""
+    from financial_data_pipeline_optimization_spark.operators import dedup
+    from financial_data_pipeline_optimization_spark.schemas import TESTDATA  # noqa: F401
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    clean = str(tmp_path / "clean")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    sink = streaming.foreach_batch_near_dup_filter(
+        clean, store, "doc_id", "text", min_jaccard=0.8, shingle_n=2
+    )
+    schema = docs.schema
+    for batch in (b1, b2):
+        batch.write.mode("append").parquet(landing)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(landing)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    kept = {
+        r.doc_id for r in spark.read.parquet(clean).collect()
+    }
+
+    # batch-expected survivors: drop a doc iff it has a verified pair
+    # to a doc in an earlier batch, or to a lower id in its own batch
+    pairs = [
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8
+        ).collect()
+    ]
+    # Replicate the filter's semantics exactly: docs are considered in
+    # (batch, id) order and a doc is dropped iff it pairs with a doc
+    # that itself SURVIVED (the store holds only survivors' rows, so
+    # chains A~B~C keep C when B was dropped for A but C~A is false).
+    batch_of = {r.doc_id: r.doc_id % 2 for r in docs.collect()}
+    survivors = set()
+    dropped = set()
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for d in sorted(batch_of, key=lambda d: (batch_of[d], d)):
+        if any(
+            n in survivors for n in adj.get(d, ())
+        ):
+            dropped.add(d)
+        else:
+            survivors.add(d)
+    assert kept == survivors
