@@ -96,3 +96,40 @@ def finalize_metrics(
             F.col(f"{m}__max").alias(f"{m}_max"),
         ]
     return state.select(*cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table: one full
+    outer join on the key, each row classified ``added`` / ``removed``
+    / ``changed`` / ``unchanged`` (changed = any compare column
+    differs, null-safely). This is the load-audit primitive behind
+    CDC validation, SCD backfills, and "what did this rerun change" —
+    one key-partitioned shuffle each side, no collect. Returns
+    ``(*keys, change_type)``; callers aggregate or filter."""
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, change.alias("change_type"))

@@ -199,3 +199,80 @@ def histogram_quantile(
         .drop("bucket")
     )
     return first
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    hex_digits: int = 3,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) built
+    RELATIONALLY: ``depth`` independent hash rows × 16^hex_digits
+    buckets, where bucket ``i`` of a key is an md5 hex prefix of
+    ``'{i}:{key}'`` (md5 so a DuckDB oracle reproduces every bucket
+    bit-for-bit). Returns the MERGEABLE sketch table
+    ``(d, bucket, c)`` — at most depth × width rows regardless of
+    input size; partial aggregation does the heavy lifting map-side,
+    and sketches of different partitions/days merge by keyed sum.
+    """
+    key = F.col(key_col).cast("string")
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), key)),
+                            1,
+                            hex_digits,
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("x")
+    ).select("x.d", "x.bucket")
+    return rows.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    hex_digits: int = 3,
+) -> DataFrame:
+    """Frequency estimates from a :func:`cm_sketch` table: for each
+    query key, min over the depth rows of its bucket counters — the
+    CM guarantee is ``estimate >= true count`` always (no hash can
+    undercount) with overestimate bounded by N/width in expectation.
+    The join touches ``depth`` sketch rows per key; the sketch side
+    is bounded so it broadcasts."""
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), key)),
+                            1,
+                            hex_digits,
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select(key_col, "x.d", "x.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate"))
+    )

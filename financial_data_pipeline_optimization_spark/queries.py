@@ -7804,3 +7804,227 @@ def q_multimodal_bmp_resize_check(
     assets = multimodal.synthetic_bmp_assets(docs, "doc_id")
     resized = multimodal.resize_bmp_assets(assets, out_w=8, out_h=4)
     return multimodal.extract_features(resized, decode_fn="bmp")
+
+
+@_register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                  THEN 'unchanged' ELSE 'changed' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY change_type ORDER BY change_type
+    """,
+    doc="Snapshot diff audit (operators.incremental.snapshot_diff): "
+    "yesterday's load (orders before 1997) vs today's (orders before "
+    "1998, with a planted status mutation on every 97th key) — one "
+    "key-partitioned full outer join classifies every key "
+    "added/removed/changed/unchanged with null-safe column compares, "
+    "folded to the audit histogram. This is the 'what did this rerun "
+    "change' primitive behind CDC validation and SCD backfills; at "
+    "100 TB it is one co-partitioned shuffle per side and the planted "
+    "mutation proves the changed-detection path end to end.",
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import incremental
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = (
+        orders.where(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    diff = incremental.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change_type")
+    )
+
+
+@_register(
+    "cm_sketch_check",
+    """
+    WITH exact AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
+      FROM lineitem GROUP BY 1
+      ORDER BY exact_count DESC, l_partkey LIMIT 10
+    ),
+    probes AS (
+      SELECT e.l_partkey, e.exact_count, t.i AS d,
+             substring(md5(concat(t.i, ':',
+                       CAST(e.l_partkey AS VARCHAR))), 1, 3) AS bucket
+      FROM exact e, generate_series(0, 3) t(i)
+    ),
+    sk AS (
+      SELECT i AS d,
+             substring(md5(concat(i, ':',
+                       CAST(l_partkey AS VARCHAR))), 1, 3) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem, generate_series(0, 3) t(i)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.l_partkey, any_value(p.exact_count) AS exact_count,
+             min(COALESCE(sk.c, 0)) AS cm_estimate
+      FROM probes p LEFT JOIN sk USING (d, bucket)
+      GROUP BY p.l_partkey
+    )
+    SELECT l_partkey, exact_count, cm_estimate,
+           cm_estimate >= exact_count AS no_underestimate
+    FROM est ORDER BY exact_count DESC, l_partkey
+    """,
+    doc="Count-min sketch contract (operators.sketch.cm_sketch / "
+    "cm_estimate; Cormode-Muthukrishnan 2005): a 4x4096 relational "
+    "sketch over lineitem part keys — at most depth x width rows "
+    "survive the partial agg no matter the input size, and "
+    "partition/day sketches merge by keyed sum — probed for the 10 "
+    "most frequent parts. The oracle rebuilds the identical sketch "
+    "(md5 hex-prefix buckets, engine-portable) and the driver hash "
+    "pins every estimate; the no_underestimate column is the CM "
+    "guarantee (min over rows can never undercount). Integer-only.",
+)
+def q_cm_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "l_partkey")
+        .limit(10)
+        .localCheckpoint(eager=False)  # feeds probes + final join
+    )
+    sk = sketch.cm_sketch(li, "l_partkey", depth=4, hex_digits=3)
+    est = sketch.cm_estimate(
+        sk, exact.select("l_partkey"), "l_partkey", depth=4, hex_digits=3
+    )
+    return (
+        exact.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_count")).alias(
+                "no_underestimate"
+            ),
+        )
+        .orderBy(F.col("exact_count").desc(), "l_partkey")
+    )
+
+
+@_register(
+    "flag_propagation_near_dups",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+    ),
+    sym AS (SELECT a AS s, d FROM (SELECT a, b AS d FROM pairs) x(a, d)
+            UNION SELECT b AS s, a AS d FROM pairs),
+    seeds AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 0),
+    hop1 AS (
+      SELECT DISTINCT sym.d AS doc_id
+      FROM sym JOIN seeds ON sym.s = seeds.doc_id
+    ),
+    hop2 AS (
+      SELECT DISTINCT sym.d AS doc_id
+      FROM sym JOIN hop1 ON sym.s = hop1.doc_id
+    ),
+    lab AS (
+      SELECT doc_id, 0 AS hop FROM seeds
+      UNION ALL SELECT doc_id, 1 FROM hop1
+      UNION ALL SELECT doc_id, 2 FROM hop2
+    )
+    SELECT doc_id, CAST(min(hop) AS INT) AS hop
+    FROM lab GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Seeded flag propagation over the near-duplicate graph: docs "
+    "flagged by an upstream signal (every 31st doc as the stand-in "
+    "seed set — in production, known-spam / known-benchmark / "
+    "known-toxic ids) spread their flag to near-duplicates within 2 "
+    "hops, labeling each reached doc with its minimum hop distance. "
+    "This is the semi-supervised corpus-labeling primitive: a cheap "
+    "seed list plus the similarity graph recovers paraphrase "
+    "families that evade per-doc classifiers. Two unrolled "
+    "edge-join rounds (BFS frontier joins, each one keyed shuffle of "
+    "id pairs) — for unbounded-depth closure use "
+    "near_dup_clusters' O(log n) star rounds instead; bounded-hop "
+    "propagation is the right tool when flags should NOT cross an "
+    "entire weakly-connected mega-cluster.",
+)
+def q_flag_propagation_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text", n=2,
+        min_jaccard=0.8,
+    ).select("a", "b")
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)  # frontier joins reuse the edge set
+    seeds = docs.where(F.col("doc_id") % 31 == 0).select("doc_id")
+    hop1 = (
+        sym.join(seeds, sym["a"] == seeds["doc_id"])
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    hop2 = (
+        sym.join(hop1, sym["a"] == hop1["doc_id"])
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    lab = (
+        seeds.select("doc_id", F.lit(0).alias("hop"))
+        .unionAll(hop1.select("doc_id", F.lit(1).alias("hop")))
+        .unionAll(hop2.select("doc_id", F.lit(2).alias("hop")))
+    )
+    return (
+        lab.groupBy("doc_id")
+        .agg(F.min("hop").cast("int").alias("hop"))
+        .orderBy("doc_id")
+    )
