@@ -654,3 +654,57 @@ def quantize_int8(
         .cast("int"),
     )
     return out.withColumn(q_col, q)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_cells: int = 10,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding corpus with spherical k-means, then compare pairs ONLY
+    within each cluster cell — semantic near-duplicates concentrate in
+    cells, so the quadratic comparison is confined to cell-sized
+    blocks instead of the corpus. Complementary to
+    :func:`embedding_near_dup_pairs`' hyperplane buckets: random
+    hyperplanes can split a dense semantic cluster across buckets,
+    trained centroids by construction do not split what they model.
+    Returns ``(a, b, cosine_sim, cell)`` with ``a < b``.
+
+    Scale shape: centroid training is bounded driver work
+    (``train_ivf_centroids``), assignment is one Arrow-matmul scan,
+    and the self-join shuffles each row once on its cell key;
+    identical vectors always share a cell (same cosines → same
+    argmax under the deterministic tie-break), so EXACT duplicates
+    are never missed — the recall floor the contract query pins."""
+    cen_unit = _unit_rows(
+        train_ivf_centroids(df, num_cells, train_iters, id_col, vec_col)
+    )
+    cells = (
+        _nearest_cells(df, cen_unit, 1, id_col, vec_col, "__id")
+        .select("__id", F.col("__v").alias("__dv"), "cell")
+        .withColumn("__n", l2_norm(F.col("__dv")))
+        .localCheckpoint(eager=False)  # both self-join sides reuse it
+    )
+    return (
+        cells.alias("x")
+        .join(
+            cells.alias("y"),
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("a"),
+            F.col("y.__id").alias("b"),
+            (
+                dot(F.col("x.__dv"), F.col("y.__dv"))
+                / (F.col("x.__n") * F.col("y.__n"))
+            ).alias("cosine_sim"),
+            F.col("x.cell").alias("cell"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -8028,3 +8028,102 @@ def q_flag_propagation_near_dups(
         .agg(F.min("hop").cast("int").alias("hop"))
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "semdedup_check",
+    """
+    SELECT (SELECT CAST(count(*) AS BIGINT)
+            FROM embeddings x JOIN embeddings y
+              ON x.embedding = y.embedding AND x.vec_id < y.vec_id)
+             AS n_exact_dup_pairs,
+           TRUE AS exact_pairs_all_found,
+           TRUE AS pairs_verified
+    """,
+    doc="SemDeDup contract (operators.vector.semantic_dedup_pairs; "
+    "Abbas et al. 2023): spherical-k-means cells confine the "
+    "quadratic cosine comparison to cell-sized blocks. The oracle "
+    "counts EXACT duplicate vector pairs in SQL (identical float "
+    "arrays); the driver-checked flags pin (a) every exact pair "
+    "appears in the SemDeDup output — identical vectors share an "
+    "argmax cell under the deterministic tie-break, so the recall "
+    "floor is structural, and (b) every emitted pair's cosine, "
+    "independently recomputed from the RAW embeddings via a zip_with "
+    "fold (not the join's dot), reaches the 0.95 threshold. The "
+    "complementary hyperplane-bucket variant is "
+    "embedding_near_dup_check; SemDeDup exists because random "
+    "hyperplanes can split a dense semantic cluster across buckets.",
+)
+def q_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = vector.semantic_dedup_pairs(emb, threshold=0.95).localCheckpoint(
+        eager=False
+    )
+
+    exact = (
+        emb.alias("x")
+        .join(
+            emb.alias("y"),
+            (F.col("x.embedding") == F.col("y.embedding"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+        )
+    )
+    n_exact = exact.count()
+    n_missing = exact.join(pairs, ["a", "b"], "left_anti").count()
+
+    # Independent verification: recompute each pair's cosine from the
+    # raw embedding arrays with zip_with folds (no shared subtree with
+    # the operator's dot-product join).
+    def raw(side):
+        return emb.select(
+            F.col("vec_id").alias(side),
+            F.col("embedding").alias(f"__e_{side}"),
+        )
+
+    dd = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x
+    )
+    rechecked = (
+        pairs.join(raw("a"), "a")
+        .join(raw("b"), "b")
+        .select(
+            (
+                dd(
+                    F.zip_with(
+                        "__e_a",
+                        "__e_b",
+                        lambda p, q: p.cast("double") * q.cast("double"),
+                    )
+                )
+                / (
+                    F.sqrt(
+                        dd(
+                            F.transform(
+                                "__e_a",
+                                lambda p: p.cast("double") * p.cast("double"),
+                            )
+                        )
+                    )
+                    * F.sqrt(
+                        dd(
+                            F.transform(
+                                "__e_b",
+                                lambda q: q.cast("double") * q.cast("double"),
+                            )
+                        )
+                    )
+                )
+            ).alias("__cos")
+        )
+    )
+    n_below = rechecked.filter(F.col("__cos") < 0.95 - 1e-9).count()
+    return emb.agg(
+        F.lit(n_exact).cast("long").alias("n_exact_dup_pairs"),
+        F.lit(n_missing == 0).alias("exact_pairs_all_found"),
+        F.lit(n_below == 0).alias("pairs_verified"),
+    )
