@@ -8127,3 +8127,94 @@ def q_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_missing == 0).alias("exact_pairs_all_found"),
         F.lit(n_below == 0).alias("pairs_verified"),
     )
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, t.w
+      FROM (SELECT doc_id, lang,
+                   list_filter({_ORACLE_TOKENS}, x -> x <> '') AS tt
+            FROM documents) d,
+           UNNEST(d.tt) AS t(w)
+    ),
+    uc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_en
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
+             CAST(sum(c_en) AS DOUBLE) AS n_en,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM uc
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             avg(ln((uc.c_en + 1) / (tot.n_en + tot.v))
+                 - ln((uc.c_all + 1) / (tot.n_all + tot.v))) AS wt
+      FROM toks t JOIN uc USING (w) CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           floor(wt * 10000 + 0.5000005) / 10000 AS dsir_weight
+    FROM scored ORDER BY dsir_weight DESC, doc_id LIMIT 20
+    """,
+    doc="DSIR importance weights (Xie et al., 'Data Selection for "
+    "Language Models via Importance Resampling', NeurIPS 2023), "
+    "unigram variant: per document, the mean log-likelihood ratio "
+    "between a TARGET-domain LM (English docs as the stand-in "
+    "target) and the full-corpus LM, both add-one-smoothed unigram "
+    "models trained in the SAME token-keyed aggregate (one pass "
+    "computes c_all and c_en per token). High-weight docs read like "
+    "the target domain and get sampled into the mix. Shuffles: one "
+    "vocab-keyed count, one (doc, token)->vocab hash join, one "
+    "doc-keyed fold — documents never move, the two LM totals ride "
+    "as one broadcast scalar row, and the top-20 is a "
+    "TakeOrderedAndProject on the ROUNDED weight (floats from exact "
+    "integer counts; only the per-doc mean's summation order is "
+    "engine-dependent, far below the 1e-4 rounding).",
+)
+def q_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(text_ops.tokens("text"), lambda x: x != "")
+        ).alias("w"),
+    )
+    uc = (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.count_if(F.col("lang") == "en").alias("c_en"),
+        )
+        .localCheckpoint(eager=False)  # feeds the join AND the totals
+    )
+    tot = uc.agg(
+        F.sum("c_all").cast("double").alias("n_all"),
+        F.sum("c_en").cast("double").alias("n_en"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    term = F.log(
+        (F.col("c_en") + 1) / (F.col("n_en") + F.col("v"))
+    ) - F.log((F.col("c_all") + 1) / (F.col("n_all") + F.col("v")))
+    return (
+        toks.join(uc, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            _r4(F.avg(term)).alias("dsir_weight"),
+        )
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(20)
+    )
