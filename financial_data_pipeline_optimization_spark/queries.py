@@ -8218,3 +8218,80 @@ def q_dsir_importance_weights(
         .orderBy(F.col("dsir_weight").desc(), "doc_id")
         .limit(20)
     )
+
+
+@_register(
+    "zipf_fit_tokens",
+    f"""
+    WITH uc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_ORACLE_TOKENS}) AS w FROM documents) t
+      WHERE w <> '' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+      FROM uc
+    ),
+    pts AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE r <= 500
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000
+                 + 0.5000005) / 10000 AS zipf_slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n * 10000 + 0.5000005) / 10000 AS zipf_intercept
+    FROM s
+    """,
+    doc="Zipf-law fit over the token frequency distribution: OLS of "
+    "ln(freq) on ln(rank) for the top-500 vocabulary (natural text "
+    "slopes near -1; synthetic/templated or boilerplate-heavy corpora "
+    "deviate hard — a one-number corpus-health diagnostic). One "
+    "vocab-keyed count, a window over the VOCAB table only (never "
+    "the corpus), and the same five-sufficient-statistics regression "
+    "as price_quantity_ols folded to a single row. Ranks and counts "
+    "are integers, so the log points are bit-identical across "
+    "engines; the fit is rounded at 1e-4.",
+)
+def q_zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    uc = (
+        docs.select(F.explode(text_ops.tokens("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Top-500 FIRST as a TakeOrderedAndProject (scale-safe partial
+    # top-k — never a global single-partition rank window over the
+    # whole vocabulary), then the rank window runs over 500 rows.
+    top = uc.orderBy(F.col("c").desc(), "w").limit(500)
+    w = Window.orderBy(F.col("c").desc(), "w")
+    pts = top.select(
+        "c", F.row_number().over(w).alias("r")
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        _r4(slope).alias("zipf_slope"),
+        _r4(intercept).alias("zipf_intercept"),
+    )
