@@ -519,3 +519,15 @@ def test_multi_horizon_windows_share_one_exchange(spark):
         n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
     ]
     assert len(exchanges) == 1, [n.toString()[:80] for n in exchanges]
+
+
+@pytest.mark.parametrize(
+    "name", ["dsir_importance_weights", "zipf_fit_tokens",
+             "gopher_keep_rate_by_source"]
+)
+def test_corpus_scoring_never_shuffles_text(spark, name):
+    """Corpus-scoring queries shuffle token/count/signal rows only —
+    the document text column must never enter an Exchange."""
+    df = SPECS[name].spark(spark, SF_SMOKE)
+    for ex, names in _exchange_output_names(df):
+        assert "text" not in names, (name, ex.nodeName(), names)
