@@ -708,3 +708,100 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed Gram matrix ``G = Σ_rows v vᵀ`` of an embedding
+    column, returned as ``(i, j, gv)`` with 1-based dimension indices.
+
+    This is the sufficient statistic for every second-moment method
+    over embeddings — PCA / top-component power iteration, whitening,
+    linear probes: the corpus is reduced to a d×d matrix in ONE scan
+    and never touched again. Each Arrow batch contributes a
+    partition-local ``XᵀX`` (one float64 matmul), so only d² doubles
+    per partition cross the wire and the shuffle reduces
+    partitions·d² rows to d² — the same map-side-combine shape as
+    ``price_quantity_ols``, just matrix-valued. Elements are cast
+    float32→float64 BEFORE multiplying, matching an oracle that
+    casts then multiplies.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [
+                    np.asarray(a, dtype=np.float64)
+                    for a in pdf[vec_col]
+                ]
+            )
+            G = X.T @ X
+            acc = G if acc is None else acc + G
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "gv": acc.ravel(),
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(part, "i int, j int, gv double")
+        .groupBy("i", "j")
+        .agg(F.sum("gv").alias("gv"))
+    )
+
+
+def power_iteration_top_component(
+    gram: DataFrame, dim: int, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy power iteration for the dominant eigenvector of a d×d Gram
+    table ``(i, j, gv)``. Returns ``(v, lam)``: ``v`` = ``(vi, val)``
+    unit eigenvector estimate after ``iters`` rounds from the uniform
+    start vector, ``lam`` = 1-row ``(nm)`` — ‖G·v_{k-1}‖, the Rayleigh
+    estimate of λ₁.
+
+    All model-side work happens on d-row / d²-row tables (the Gram is
+    the only corpus-derived input), so every join below broadcasts and
+    the whole iteration is driver-free and lazy — the IVF-centroid
+    pattern without even the bounded collect. ``localCheckpoint`` per
+    round keeps the plan linear in ``iters``.
+    """
+    g = gram.localCheckpoint(eager=False)  # reused by every round
+    v = None
+    lam = None
+    for _ in range(iters):
+        if v is None:
+            mv = g.groupBy("i").agg(
+                (F.sum(F.col("gv")) / float(math.sqrt(dim))).alias("mv")
+            )
+        else:
+            mv = (
+                g.join(F.broadcast(v), g["j"] == v["vi"])
+                .groupBy("i")
+                .agg(F.sum(F.col("gv") * F.col("val")).alias("mv"))
+            )
+        lam = mv.agg(
+            F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("nm")
+        )
+        v = (
+            mv.crossJoin(F.broadcast(lam))
+            .select(
+                F.col("i").alias("vi"),
+                (F.col("mv") / F.col("nm")).alias("val"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v, lam

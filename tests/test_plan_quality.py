@@ -531,3 +531,51 @@ def test_corpus_scoring_never_shuffles_text(spark, name):
     df = SPECS[name].spark(spark, SF_SMOKE)
     for ex, names in _exchange_output_names(df):
         assert "text" not in names, (name, ex.nodeName(), names)
+
+
+def test_entropy_filter_never_shuffles_text(spark):
+    """The char-class entropy gate is a row-local projection; the only
+    Exchange allowed is the final doc_id range sort, which must carry
+    (doc_id, entropy, keep) — never the text column."""
+    df = SPECS["entropy_quality_filter"].spark(spark, SF_SMOKE)
+    for ex, names in _exchange_output_names(df):
+        assert "text" not in names, (ex.nodeName(), names)
+
+
+def test_interval_overlap_joins_on_bucket_key(spark):
+    """The grid-bucketed interval join must plan as an EQUI-join on the
+    week-cell key (hash or sort-merge) — a nested-loop join means the
+    bucket key fell out and the plan regressed to the quadratic
+    inequality shape the bucketing exists to avoid."""
+    df = SPECS["interval_overlap_weekly"].spark(spark, SF_SMOKE)
+    nodes = [n.nodeName() for n in _walk(_executed_plan(df))]
+    assert not any(
+        "NestedLoop" in n or "CartesianProduct" in n for n in nodes
+    ), nodes
+    assert any(
+        "ShuffledHashJoin" in n or "SortMergeJoin" in n
+        or "BroadcastHashJoin" in n
+        for n in nodes
+    ), nodes
+
+
+def test_logistic_steps_shuffle_only_scalars(spark):
+    """Three gradient steps + the accuracy eval: every Exchange in the
+    plan must be a single-partition scalar exchange (partial-aggregate
+    rows or the broadcast of a 1-row weight table) — the feature table
+    itself is never repartitioned."""
+    df = SPECS["logistic_quality_steps"].spark(spark, SF_SMOKE)
+    for n in _walk(_executed_plan(df)):
+        if "Exchange" in n.nodeName() and "Broadcast" not in n.nodeName():
+            assert "SinglePartition" in n.toString().split("\n")[0], (
+                n.toString()[:120]
+            )
+
+
+def test_pca_gram_is_the_only_corpus_stage(spark):
+    """Power iteration must run entirely on d/d²-row tables: no
+    Exchange in the plan may carry the embedding vector column — the
+    corpus leaves the scan only as partition-local Gram partials."""
+    df = SPECS["pca_top_component"].spark(spark, SF_SMOKE)
+    for ex, names in _exchange_output_names(df):
+        assert "embedding" not in names, (ex.nodeName(), names)
