@@ -8817,3 +8817,214 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_abs_2",
         "v_abs_3",
     )
+
+
+# ===========================================================================
+# Dataset QA: distribution drift and label agreement (r5b).
+# ===========================================================================
+
+
+@_register(
+    "psi_drift_by_priority",
+    """
+    WITH ref AS (
+      SELECT o_orderpriority AS pri, o_totalprice AS p FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    cur AS (
+      SELECT o_orderpriority AS pri, o_totalprice AS p FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    edges AS (
+      SELECT pri,
+             quantile_cont(p, [0.25, 0.5, 0.75]) AS qs
+      FROM ref GROUP BY 1
+    ),
+    rb AS (
+      SELECT r.pri,
+             len(list_filter(e.qs, q -> q <= r.p)) AS bin
+      FROM ref r JOIN edges e ON r.pri = e.pri
+    ),
+    cb AS (
+      SELECT c.pri,
+             len(list_filter(e.qs, q -> q <= c.p)) AS bin
+      FROM cur c JOIN edges e ON c.pri = e.pri
+    ),
+    rc AS (
+      SELECT pri, bin, CAST(count(*) AS DOUBLE) AS n FROM rb
+      GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT pri, bin, CAST(count(*) AS DOUBLE) AS n FROM cb
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT rc.pri, rc.bin,
+             rc.n / sum(rc.n) OVER (PARTITION BY rc.pri) AS pr,
+             cc.n / sum(cc.n) OVER (PARTITION BY cc.pri) AS pc,
+             rc.n AS nr, cc.n AS nc
+      FROM rc JOIN cc ON rc.pri = cc.pri AND rc.bin = cc.bin
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(sum(nr) AS BIGINT) AS n_ref,
+           CAST(sum(nc) AS BIGINT) AS n_cur,
+           floor(sum((pc - pr) * ln(pc / pr)) * 10000 + 0.5000005)
+             / 10000 AS psi
+    FROM tot GROUP BY 1 ORDER BY 1
+    """,
+    doc="Population-stability-index drift monitor: quartile bin edges "
+    "are fit on the REFERENCE period (pre-1994) per priority class, "
+    "both periods are binned against those frozen edges, and "
+    "PSI = Σ(p_cur−p_ref)·ln(p_cur/p_ref) flags the classes whose "
+    "price distribution moved (>0.1 investigate, >0.25 act — the "
+    "standard monitoring rule). The production gate that catches "
+    "upstream data changes before a model retrain ingests them. "
+    "Scale shape: edges are a per-group percentile aggregate "
+    "(bounded: groups × 3 doubles) broadcast back; binning is a "
+    "row-local array filter; everything after is arithmetic on the "
+    "4-bins-per-group count table. Two corpus scans, no corpus "
+    "shuffle beyond the two partial-aggregated counts.",
+)
+def q_psi_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("p"),
+        (F.col("o_orderdate") < split).alias("is_ref"),
+    )
+    edges = (
+        base.where("is_ref")
+        .groupBy("pri")
+        .agg(
+            F.expr(
+                "percentile(p, array(0.25D, 0.5D, 0.75D))"
+            ).alias("qs")
+        )
+    )
+    binned = base.join(F.broadcast(edges), "pri").select(
+        "pri",
+        "is_ref",
+        F.size(
+            F.filter("qs", lambda qv: qv <= F.col("p"))
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("pri", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("double")
+        .alias("nr"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+        .cast("double")
+        .alias("nc"),
+    )
+    wpri = Window.partitionBy("pri")
+    prop = cnt.select(
+        "pri",
+        "nr",
+        "nc",
+        (F.col("nr") / F.sum("nr").over(wpri)).alias("pr"),
+        (F.col("nc") / F.sum("nc").over(wpri)).alias("pc"),
+    )
+    return (
+        prop.groupBy(F.col("pri").alias("o_orderpriority"))
+        .agg(
+            F.sum("nr").cast("long").alias("n_ref"),
+            F.sum("nc").cast("long").alias("n_cur"),
+            _r4(
+                F.sum(
+                    (F.col("pc") - F.col("pr"))
+                    * F.log(F.col("pc") / F.col("pr"))
+                )
+            ).alias("psi"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _kappa_oracle() -> str:
+    pred_cte = _lang_id_oracle().strip().rstrip()
+    # Reuse the lang-id oracle verbatim as a subquery so the agreement
+    # numbers can never drift from the lang_id_heuristic contract.
+    return f"""
+    WITH pred AS ({pred_cte}),
+    j AS (
+      SELECT d.lang AS truth, p.lang_pred AS guess
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
+    po AS (
+      SELECT sum(CASE WHEN truth = guess THEN 1.0 ELSE 0.0 END)
+             / (SELECT n FROM n) AS po
+      FROM j
+    ),
+    tm AS (SELECT truth AS k, count(*) AS c FROM j GROUP BY 1),
+    gm AS (SELECT guess AS k, count(*) AS c FROM j GROUP BY 1),
+    pe AS (
+      SELECT sum(CAST(tm.c AS DOUBLE) * gm.c)
+             / ((SELECT n FROM n) * (SELECT n FROM n)) AS pe
+      FROM tm JOIN gm ON tm.k = gm.k
+    )
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_docs,
+           floor(po.po * 10000 + 0.5000005) / 10000 AS po,
+           floor(pe.pe * 10000 + 0.5000005) / 10000 AS pe,
+           floor((po.po - pe.pe) / (1 - pe.pe) * 10000 + 0.5000005)
+             / 10000 AS kappa
+    FROM po, pe
+    """
+
+
+@_register(
+    "lang_agreement_kappa",
+    None,  # patched below: the oracle embeds _lang_id_oracle()
+    doc="Cohen's κ between the stored language label and the stopword "
+    "lang-id heuristic — the chance-corrected agreement score used "
+    "to audit noisy labels and weak annotators before training on "
+    "them (κ≈0 means the cheap signal is guessing; κ>0.6 means the "
+    "label column is learnable from text alone). Computed from the "
+    "bounded class×class confusion table: one corpus pass builds "
+    "per-doc predictions (row-local marker intersection), one "
+    "aggregate reduces to ≤6×6 joint counts, and κ's marginals are "
+    "arithmetic on that tiny table — agreement at 100 TB costs one "
+    "scan + one 36-row shuffle.",
+)
+def q_lang_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    j = text_ops.with_lang_id(docs, "text").select(
+        F.col("lang").alias("truth"), F.col("lang_pred").alias("guess")
+    )
+    cm = (
+        j.groupBy("truth", "guess")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=False)  # n, po, and both marginals
+    )
+    n = cm.agg(F.sum("c").alias("n"))
+    po = cm.crossJoin(F.broadcast(n)).agg(
+        (
+            F.sum(F.when(F.col("truth") == F.col("guess"), F.col("c")))
+            / F.first("n")
+        ).alias("po"),
+        F.first("n").alias("n"),
+    )
+    tm = cm.groupBy("truth").agg(F.sum("c").alias("tc"))
+    gm = cm.groupBy("guess").agg(F.sum("c").alias("gc"))
+    pe = (
+        tm.join(gm, tm["truth"] == gm["guess"])
+        .agg(F.sum(F.col("tc") * F.col("gc")).alias("s"))
+        .crossJoin(F.broadcast(n))
+        .select((F.col("s") / (F.col("n") * F.col("n"))).alias("pe"))
+    )
+    return po.crossJoin(F.broadcast(pe)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        _r4(F.col("po")).alias("po"),
+        _r4(F.col("pe")).alias("pe"),
+        _r4(
+            (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))
+        ).alias("kappa"),
+    )
+
+
+for _i, _s in enumerate(_REGISTRY):
+    if _s.name == "lang_agreement_kappa" and _s.oracle is None:
+        _REGISTRY[_i] = QuerySpec(_s.name, _s.spark, _kappa_oracle(), _s.doc)

@@ -153,3 +153,23 @@ def test_k_anonymity_arithmetic(spark):
 def test_r5b_registered_with_oracle(name):
     specs = {s.name: s for s in q.registry()}
     assert name in specs and specs[name].oracle is not None
+
+
+def test_psi_nonnegative_and_counts_partition_orders(spark):
+    out = q.q_psi_drift_by_priority(spark, SF_CORRECTNESS).collect()
+    orders = load_table(spark, SF_CORRECTNESS, "orders")
+    assert len(out) == 5
+    # Every PSI term (p_cur−p_ref)·ln(p_cur/p_ref) has matching signs,
+    # so the index is nonnegative by construction.
+    assert all(r["psi"] >= 0.0 for r in out)
+    assert sum(r["n_ref"] + r["n_cur"] for r in out) == orders.count()
+
+
+def test_kappa_consistent_with_confusion_matrix(spark):
+    out = q.q_lang_agreement_kappa(spark, SF_CORRECTNESS).collect()[0]
+    assert 0.0 <= out["po"] <= 1.0 and 0.0 <= out["pe"] <= 1.0
+    assert out["kappa"] <= 1.0
+    # κ must reproduce from its own published po/pe (self-consistency
+    # of the emitted row, independent of either engine's internals).
+    expect = (out["po"] - out["pe"]) / (1.0 - out["pe"])
+    assert abs(out["kappa"] - expect) < 2e-4
