@@ -70,6 +70,11 @@ HEADLINE = [
     # near_dup_clusters, so it tracks the end-to-end dedup cost).
     "pmi_bigram_phrases",
     "cluster_representatives",
+    # r5b additions: the Gram-matrix spectral path (Arrow matmul scan
+    # + lazy power iteration) and the grid-bucketed interval join —
+    # two new physical shapes worth a round-over-round trend line.
+    "pca_top_component",
+    "interval_overlap_weekly",
 ]
 
 
