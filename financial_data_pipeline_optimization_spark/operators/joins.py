@@ -357,3 +357,64 @@ def blocked_fuzzy_pairs(
         .filter(dist <= max_distance)
         .select("a_id", "b_id", dist.alias("edit_distance"))
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    cell: int = 7,
+) -> DataFrame:
+    """Join every pair of overlapping integer intervals
+    (``a.start <= b.end AND b.start <= a.end``, ends inclusive)
+    WITHOUT the quadratic inequality cross join that predicate
+    naively plans as.
+
+    Grid-bucketing: each interval explodes to the ``cell``-width grid
+    cells it covers, cells equi-join (the shuffle key is an 8-byte
+    cell id — never the payload), the true overlap predicate filters
+    within cells, and each pair is emitted EXACTLY once by keeping
+    only the first cell both intervals cover (``cell ==
+    max(bucket(a.start), bucket(b.start))``) — a counting trick that
+    replaces a global ``distinct`` over the pair set. Replication is
+    ``1 + span/cell`` rows per interval; pick ``cell`` near the
+    typical span to bound both replication and per-cell population.
+    Skewed (very long) intervals fan out across many cells rather
+    than concentrating one; AQE rebalances hot cells.
+
+    Column names of ``a`` and ``b`` must be disjoint. Works for
+    negative coordinates (floor-toward-−∞ bucketing).
+    """
+    overlap_names = set(a.columns) & set(b.columns)
+    if overlap_names:
+        raise ValueError(
+            f"a/b column names must be disjoint, both have: "
+            f"{sorted(overlap_names)}"
+        )
+
+    def cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / cell), F.floor(F.col(e) / cell)
+                )
+            ),
+        )
+
+    first_shared = F.greatest(
+        F.floor(F.col(a_start) / cell), F.floor(F.col(b_start) / cell)
+    )
+    return (
+        cells(a, a_start, a_end)
+        .join(cells(b, b_start, b_end), "__cell")
+        .where(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("__cell") == first_shared)
+        )
+        .drop("__cell")
+    )

@@ -8353,32 +8353,12 @@ def q_interval_overlap_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a = wins("1-URGENT", "a").withColumn(
-        "bk",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("asd") / 7),
-                F.floor((F.col("asd") + 3) / 7),
-            )
-        ),
+        "aed", F.col("asd") + 3
     )
-    b = wins("2-HIGH", "b").withColumn(
-        "bk",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("bsd") / 7),
-                F.floor((F.col("bsd") + 3) / 7),
-            )
-        ),
-    )
-    first_shared = F.greatest(
-        F.floor(F.col("asd") / 7), F.floor(F.col("bsd") / 7)
-    )
+    b = wins("2-HIGH", "b").withColumn("bed", F.col("bsd") + 3)
     return (
-        a.join(b, "bk")
-        .where(
-            (F.col("asd") <= F.col("bsd") + 3)
-            & (F.col("bsd") <= F.col("asd") + 3)
-            & (F.col("bk") == first_shared)
+        joins.interval_overlap_join(
+            a, b, "asd", "aed", "bsd", "bed", cell=7
         )
         .groupBy(
             F.floor(F.col("asd") / 7).cast("long").alias("wk_bucket")

@@ -449,3 +449,42 @@ def test_bpe_merge_fold_matches_python_reference(syms, pair):
         _merge_pair_fold(F.col("syms"), a, b).alias("m")
     ).collect()[0].m
     assert got == expect, (syms, pair, got, expect)
+
+
+#: (start, length) integer intervals, negative coordinates included so
+#: the floor-toward-−∞ bucketing is exercised.
+INTERVALS = st.lists(
+    st.tuples(st.integers(-30, 30), st.integers(0, 12)),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(a=INTERVALS, b=INTERVALS, cell=st.integers(1, 9))
+@SET
+def test_interval_overlap_join_matches_naive(a, b, cell):
+    """Grid-bucketed overlap join ≡ the naive inequality join for any
+    interval sets and any cell width — pair-exact (the first-shared-
+    cell dedup must emit each overlapping pair exactly once), spans
+    both shorter and longer than the cell, negative coordinates."""
+    adf = SPARK.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(a)],
+        "aid long, as1 long, ae1 long",
+    )
+    bdf = SPARK.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(b)],
+        "bid long, bs1 long, be1 long",
+    )
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in joins.interval_overlap_join(
+            adf, bdf, "as1", "ae1", "bs1", "be1", cell=cell
+        ).collect()
+    )
+    expect = sorted(
+        (ai, bi)
+        for ai, (as_, al) in enumerate(a)
+        for bi, (bs_, bl) in enumerate(b)
+        if as_ <= bs_ + bl and bs_ <= as_ + al
+    )
+    assert got == expect
