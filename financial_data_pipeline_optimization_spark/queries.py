@@ -60,98 +60,44 @@ def _register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# Names that already have a green driver-side CORRECTNESS_r01.json row.
-# The round-1 driver checked exactly the first 50 registry entries, so
-# ``registry()`` surfaces the not-yet-driver-checked queries first; the
-# r01-checked set keeps its relative order at the tail. Once every name
-# has a driver row this reordering becomes a no-op in effect.
-_DRIVER_CHECKED_R01 = frozenset(
-    {
-        "flagship_monthly_segment_revenue", "temporal_derive", "cast_project",
-        "fillna_outer_join", "dedup_keep_latest", "anti_join_new_keys",
-        "upsert_merge", "lookup_join_dim", "union_sort", "stable_id",
-        "group_agg_pricing_summary", "topk_orders", "window_rank_in_nation",
-        "window_moving_avg", "window_lag_returns", "rollup_region_nation",
-        "cube_status_priority", "set_intersect", "set_except",
-        "semi_join_big_spenders", "distinct_agg", "pivot_status_by_priority",
-        "star_join_revenue_by_region", "json_extract_agg",
-        "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
-        "asof_join_last_view", "range_join_followers", "text_stats",
-        "token_count_bpe_ish", "lang_id_heuristic", "doc_fingerprint",
-        "quality_filter", "exact_dedup_docs", "ngram_jaccard_pairs",
-        "knn_brute_force", "approx_aggregates",
-        "string_functions", "math_functions",
-        "conditional_functions", "array_functions", "full_outer_join",
-        "cross_join_dims",
-        # r01 also recorded rows-only checks for minhash_lsh_pairs,
-        # simhash_pairs, knn_lsh, knn_ivf, embedding_near_dup and
-        # multimodal_features; those names are retired from the
-        # registry in favor of their oracle-paired *_check contract
-        # twins (see the near-dup section below).
-    }
-)
+# Driver-check history, parsed from the CORRECTNESS_r*.json artifacts
+# the driver writes to the repo root each round. Every green row
+# (rows+schema+hash match, no err) records "this name was verified in
+# round N"; the registry() ordering below rotates the driver's bounded
+# 50-name window onto (1) names with no row yet, then (2) names whose
+# plan changed since their last row, then (3) everything else,
+# oldest-verified first — so every query gets re-proven on a bounded
+# cadence without hand-maintaining per-round name lists.
 
+def _driver_check_history() -> dict[str, int]:
+    """name -> most recent round with a fully-green driver row."""
+    import json
+    import re as _re
+    from pathlib import Path
 
-# The round-2/3 driver runs checked exactly this 50-name prefix (the
-# CORRECTNESS_r02.json keys; r03 re-checked the identical set).
-_DRIVER_CHECKED_R02 = frozenset(
-    {
-        "collect_sorted_list", "conditional_aggregates",
-        "corpus_top_bigrams", "data_quality_profile", "date_arithmetic",
-        "decontaminate_vs_benchmark", "deterministic_sample",
-        "exact_percentiles", "finance_ema", "finance_max_drawdown",
-        "finance_ohlc_bars", "finance_returns",
-        "finance_rolling_volatility", "finance_rsi",
-        "finance_sma_bollinger", "finance_vwap", "finance_zscore",
-        "gopher_repetition_filter", "having_filter", "histogram_buckets",
-        "in_subquery", "line_dedup_docs", "map_functions",
-        "near_dup_clusters", "referential_orphans",
-        "scalar_subquery_ratio", "sql_correlated_exists",
-        "sql_grouping_sets", "stats_aggregates", "stratified_topn_orders",
-        "text_clean_redact", "tfidf_top_terms", "tpch_q10_returned_items",
-        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_volume_customer", "tpch_q19_disjunctive",
-        "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume", "tpch_q6_revenue_forecast",
-        "tpch_q7_volume_shipping", "tpch_q8_market_share",
-        "train_test_split", "unpivot_metrics", "window_analytics",
-        "window_distribution", "window_range_frame",
-    }
-)
-
-# The round-4 driver window (CORRECTNESS_r04.json keys): the 24
-# never-before-checked names plus re-checks of every name listed in the
-# r04 _CHANGED_SINCE_CHECK set — all green.
-_DRIVER_CHECKED_R04 = frozenset(
-    {
-        "approx_aggregates", "asof_join_last_view", "asof_join_nearest_view",
-        "cast_project", "chunk_documents", "chunk_documents_tokens",
-        "contamination_report", "corpus_curation_funnel",
-        "corpus_mixture_report", "cross_source_dup_matrix",
-        "embedding_near_dup_check", "events_hourly_profile",
-        "exact_dedup_docs", "finance_rolling_median",
-        "flagship_monthly_segment_revenue", "forward_fill_gaps",
-        "funnel_conversion", "hash_topn_docs", "histogram_order_totals",
-        "hll_distinct_rollup", "key_skew_profile", "knn_ivf_recall_check",
-        "knn_lsh_recall_check", "map_functions", "minhash_recall_check",
-        "multimodal_features_check", "order_to_ship_lag_percentiles",
-        "pack_chunks_bins", "range_join_followers", "retention_cohorts",
-        "rollup_time_hierarchy", "scd2_apply_customers",
-        "session_window_agg", "simhash_planted_check", "skew_salted_join",
-        "sql_recursive_cte", "stable_id", "stratified_rebalance_docs",
-        "temporal_derive", "tpch_q11_important_stock",
-        "tpch_q12_ship_delay_priority", "tpch_q16_supplier_part_counts",
-        "tpch_q20_dominant_suppliers", "tpch_q21_waiting_suppliers",
-        "tpch_q22_global_sales_opportunity", "tpch_q4_order_priority",
-        "tpch_q9_product_profit", "unigram_logprob_score",
-        "vocab_coverage", "weighted_sample_docs",
-    }
-)
-
-_DRIVER_CHECKED = (
-    _DRIVER_CHECKED_R01 | _DRIVER_CHECKED_R02 | _DRIVER_CHECKED_R04
-)
+    root = Path(__file__).resolve().parents[1]
+    hist: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                hist[name] = max(hist.get(name, 0), rnd)
+    return hist
 
 
 # Queries whose implementation or oracle changed after (or whose driver
@@ -170,18 +116,6 @@ _CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 )
 
 
-def _last_checked_round(name: str) -> int:
-    """Most recent driver round that recorded a green row for ``name``
-    (r03 re-checked exactly the r02 window, so r02 names report 3)."""
-    if name in _DRIVER_CHECKED_R04:
-        return 4
-    if name in _DRIVER_CHECKED_R02:
-        return 3
-    if name in _DRIVER_CHECKED_R01:
-        return 1
-    return 0
-
-
 def registry() -> list[QuerySpec]:
     """All registered queries, never-driver-checked names first, then
     changed-since-last-check names, then the already-checked tail
@@ -190,24 +124,27 @@ def registry() -> list[QuerySpec]:
 
     The driver's correctness sweep takes a 50-name prefix, so this
     ordering rotates its window onto the queries with no current row,
-    then the ones whose last green row is the most rounds of refactoring
-    old (VERDICT r4 #3: the r01-era names) — every query gets re-proven
-    on a bounded cadence instead of coasting on a stale row.
+    then the ones whose last green row is the most rounds of
+    refactoring old — every query gets re-proven on a bounded cadence
+    instead of coasting on a stale row. History comes straight from
+    the driver's own CORRECTNESS artifacts, so the rotation needs no
+    per-round maintenance (and degrades to definition order when the
+    artifacts are absent).
     """
-    fresh = [s for s in _REGISTRY if s.name not in _DRIVER_CHECKED]
+    hist = _driver_check_history()
+    fresh = [s for s in _REGISTRY if s.name not in hist]
     changed = [
         s
         for s in _REGISTRY
-        if s.name in _DRIVER_CHECKED and s.name in _CHANGED_SINCE_CHECK
+        if s.name in hist and s.name in _CHANGED_SINCE_CHECK
     ]
     rest = sorted(
         (
             s
             for s in _REGISTRY
-            if s.name in _DRIVER_CHECKED
-            and s.name not in _CHANGED_SINCE_CHECK
+            if s.name in hist and s.name not in _CHANGED_SINCE_CHECK
         ),
-        key=lambda s: _last_checked_round(s.name),
+        key=lambda s: hist[s.name],
     )
     return fresh + changed + rest
 
