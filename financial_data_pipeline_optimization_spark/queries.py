@@ -102,17 +102,25 @@ def _driver_check_history() -> dict[str, int]:
 
 # Queries whose implementation or oracle changed after (or whose driver
 # row was red in) their last driver check — they need a fresh row,
-# right after the never-checked group. r05: the exact-Jaccard pair
-# path moved its candidate dedup after the verify filter (same
-# results, new plan), so every consumer of ngram_jaccard_pairs gets a
-# fresh driver row.
-_CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
-    {
-        "ngram_jaccard_pairs",
-        "near_dup_clusters",
-        "minhash_recall_check",
-        "corpus_curation_funnel",
-    }
+# right after the never-checked group. PRIORITY-ORDERED: when fresh +
+# changed exceed the driver's 50-name window, the earlier entries here
+# win the remaining slots. r05: the exact-Jaccard pair path moved its
+# candidate dedup after the verify filter (new plan, same results) —
+# ngram_jaccard_pairs and its cluster consumer lead; then the five
+# formerly-VACUOUS checks (their old green rows proved only 0≡0 —
+# every one was rewritten to return non-empty, genuinely-verified
+# results); the two tail names re-consume the changed pair path but
+# were green in r04 on semantics the pair change provably preserves.
+_CHANGED_SINCE_CHECK: tuple[str, ...] = (
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "anti_join_new_keys",
+    "set_except",
+    "referential_orphans",
+    "tpch_q11_important_stock",
+    "tpch_q22_global_sales_opportunity",
+    "minhash_recall_check",
+    "corpus_curation_funnel",
 )
 
 
@@ -133,11 +141,14 @@ def registry() -> list[QuerySpec]:
     """
     hist = _driver_check_history()
     fresh = [s for s in _REGISTRY if s.name not in hist]
-    changed = [
-        s
-        for s in _REGISTRY
-        if s.name in hist and s.name in _CHANGED_SINCE_CHECK
-    ]
+    changed = sorted(
+        (
+            s
+            for s in _REGISTRY
+            if s.name in hist and s.name in _CHANGED_SINCE_CHECK
+        ),
+        key=lambda s: _CHANGED_SINCE_CHECK.index(s.name),
+    )
     rest = sorted(
         (
             s
@@ -341,14 +352,22 @@ def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     """,
     doc="J1/K5: the NOT EXISTS dedup insert (loading.py:159-169) as a "
-    "Spark left-anti join — customers with no orders.",
+    "Spark left-anti join — customers with no orders in the current "
+    "period (churn candidates). The period filter keeps the check "
+    "NON-VACUOUS: every customer has some order in the synthetic "
+    "data, so the unfiltered anti join verified nothing (0≡0); the "
+    "filter is pushed to the orders scan before the anti join.",
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
     return customer.join(
         orders.select(F.col("o_custkey").alias("c_custkey")),
         "c_custkey",
@@ -646,13 +665,19 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey FROM customer
     EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_totalprice > 400000
     """,
-    doc="EXCEPT: the anti-join shape as a set operation.",
+    doc="EXCEPT: the anti-join shape as a set operation — customers "
+    "who never placed a large order. (The big-order filter keeps the "
+    "difference non-empty; the unfiltered version was vacuous since "
+    "every customer has orders.)",
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer").select("c_custkey")
-    ordered = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    ordered = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return customer.exceptAll(ordered).distinct()
 
@@ -3179,20 +3204,37 @@ def q_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "referential_orphans",
     """
-    SELECT l.l_orderkey, l.l_linenumber
-    FROM lineitem l
+    WITH child AS (
+      SELECT CASE WHEN l_orderkey % 997 = 1 THEN -l_orderkey
+                  ELSE l_orderkey END AS l_orderkey,
+             l_linenumber
+      FROM lineitem
+    )
+    SELECT c.l_orderkey, c.l_linenumber
+    FROM child c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_orderkey = l.l_orderkey)
+                      WHERE o.o_orderkey = c.l_orderkey)
     """,
     doc="Referential-integrity check: lineitem rows with no parent "
     "order (left-anti join — the reference's NOT-EXISTS plan shape "
-    "pointed at integrity; empty on consistent data).",
+    "pointed at integrity). The driver tables are consistent, so a "
+    "deterministic corruption (negating every 997th order key) is "
+    "planted FIRST and the check must surface exactly those rows — "
+    "a detection test, not a vacuous 0≡0 pass.",
 )
 def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import checks
 
+    child = _t(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 997 == 1, -F.col("l_orderkey")
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey"),
+        "l_linenumber",
+    )
     return checks.referential_orphans(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber"),
+        child,
         _t(spark, sf_dir, "orders").select("o_orderkey"),
         "l_orderkey",
         "o_orderkey",
@@ -3405,12 +3447,16 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, floor(val*100 + 0.50005)/100 AS part_value
     FROM value_by_part
-    WHERE val > (SELECT SUM(val) * 0.01 FROM value_by_part)
+    WHERE val > (SELECT AVG(val) * 1.2 FROM value_by_part)
     """,
     doc="TPC-H Q11 adapted (no partsupp: per-part value = revenue "
     "through one nation's suppliers instead of supplycost×availqty). "
     "Preserves the HAVING-vs-scalar-subquery-over-the-same-aggregate "
-    "shape; the total is computed once and broadcast.",
+    "shape; the total is computed once and broadcast. The threshold "
+    "is 1.2× the MEAN share rather than TPC-H's fixed fraction: a "
+    "fixed fraction empties as the part count grows with SF (and "
+    "did, at every tested SF — a vacuous 0≡0 check), while "
+    "above-mean is scale-free and always selects the heavy parts.",
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -3429,7 +3475,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = value_by_part.agg(
-        (F.sum("val") * 0.01).alias("threshold")
+        (F.avg("val") * 1.2).alias("threshold")
     )
     return (
         value_by_part.crossJoin(F.broadcast(total))
@@ -3709,13 +3755,17 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM eligible e, avg_bal
     WHERE e.c_acctbal > avg_bal.a
       AND NOT EXISTS
-          (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
+          (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY 1
     """,
     doc="TPC-H Q22 adapted (no c_phone: c_nationkey stands in for the "
     "phone country code). Preserves the scalar-subquery average "
     "threshold, the NOT EXISTS anti-join against orders, and the "
-    "per-code count/sum of rich inactive customers.",
+    "per-code count/sum of rich inactive customers. 'Inactive' is "
+    "no order in the RECENT window (spec Q22's 7-year window in "
+    "spirit): the unwindowed version was vacuous here because every "
+    "customer has lifetime orders.",
 )
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = _t(spark, sf_dir, "customer").filter(
@@ -3724,7 +3774,14 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("a")
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
     return (
         eligible.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
