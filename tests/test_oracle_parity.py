@@ -85,3 +85,19 @@ def test_registry_is_fully_oracle_paired():
     *_check contract twins instead — so a None oracle here means a new
     entry forgot its oracle, not a sanctioned rows-only path."""
     assert not ROWS_ONLY, [s.name for s in ROWS_ONLY]
+
+
+def test_no_oracle_is_vacuously_empty(duck):
+    """A query whose oracle returns 0 rows at sf0.01 'passes' parity by
+    comparing nothing (0≡0) — five checks silently rotted that way in
+    r05 (anti joins over fully-covered keys, thresholds that emptied
+    with scale). Guard: every oracle must produce at least one row on
+    the driver tables, so each green row attests to actual values."""
+    empty = [
+        s.name
+        for s in SPECS
+        if not duck.execute(
+            f"SELECT 1 FROM ({s.oracle}) LIMIT 1"
+        ).fetchall()
+    ]
+    assert not empty, empty
