@@ -165,3 +165,72 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def pagerank_on(
+    edges: DataFrame,
+    iters: int = 3,
+    reset: float = 0.15,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_edges: bool = True,
+    checkpoint_ranks: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge relation with columns
+    ``(src, dst)``. Assumes every node has at least one out-edge and
+    appears as a destination (guaranteed for symmetric edge sets — the
+    near-dup / co-occurrence graphs this engine builds); general
+    directed graphs additionally need dangling-mass redistribution.
+
+    Layout-aware iteration — the 100 TB design point this function
+    exists to encode: per iteration the rank recurrence is one join
+    (edges ⋈ ranks on ``src``) and one aggregation (messages by
+    ``dst``). The join's EDGE side is the scale-killer — re-shuffling
+    the full edge relation every round. Feed this function a table
+    **bucketed by** ``src`` (``sources.bucketing.write_bucketed_table``)
+    with ``checkpoint_edges=False`` and the edge side of every
+    iteration's join reads pre-partitioned files with NO Exchange:
+    only the node-sized rank table moves, plus the map-side-combined
+    message aggregate. ``checkpoint_edges=False`` matters because
+    ``localCheckpoint`` erases the catalog's bucketing metadata — the
+    cache would win back scan cost and lose the exchange elimination.
+
+    For a plain (unbucketed) DataFrame keep ``checkpoint_edges=True``:
+    the graph-build plan then runs once instead of once per iteration.
+
+    ``checkpoint_ranks=False`` keeps the whole iteration chain in one
+    inspectable lazy plan (plan-shape tests); leave it True for real
+    runs — without the per-round truncation the plan nests one join
+    per iteration and driver-side planning grows superlinearly.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    edges_w = edges.join(deg, src)
+    if checkpoint_edges:
+        edges_w = edges_w.localCheckpoint(eager=False)
+    nstats = deg.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranks = deg.crossJoin(F.broadcast(nstats)).select(
+        F.col(src).alias("__node"),
+        (F.lit(1.0) / F.col("__n")).alias("__rank"),
+    )
+    for _ in range(iters):
+        ranks = (
+            edges_w.join(
+                ranks.withColumnRenamed("__node", src), src
+            )
+            .groupBy(dst)
+            .agg(F.sum(F.col("__rank") / F.col("__deg")).alias("__m"))
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                F.col(dst).alias("__node"),
+                (
+                    F.lit(reset) / F.col("__n")
+                    + F.lit(1.0 - reset) * F.col("__m")
+                ).alias("__rank"),
+            )
+        )
+        if checkpoint_ranks:
+            # rank lineage truncation, node-sized
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("__node").alias("node"), F.col("__rank").alias("rank")
+    )

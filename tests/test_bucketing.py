@@ -129,3 +129,82 @@ def test_bucket_pruning_on_key_equality(spark, bucketed_tables):
         assert "SelectedBucketsCount: 1 out of 8" in plan, plan
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def _count_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in plan.nodeName():
+        plan = plan.initialPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.length()):
+            yield from walk(ch.apply(i))
+
+    return sum(
+        1 for n in walk(plan) if "Exchange" in n.nodeName()
+    )
+
+
+def test_bucketed_pagerank_drops_edge_shuffles(spark, tmp_path_factory):
+    """Layout-aware iterative PageRank: with the edge relation bucketed
+    by src, the per-iteration join reads edges pre-partitioned — the
+    full plan must contain strictly fewer Exchanges than the plain-
+    DataFrame run, and identical ranks. This is the iterative-graph
+    version of the fact-to-fact bucketing win: the edge side (the 100TB
+    side) never re-shuffles across iterations, only rank rows move."""
+    from financial_data_pipeline_optimization_spark.operators.graph import pagerank_on
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    base = tmp_path_factory.mktemp("pr_edges")
+    write_bucketed_table(
+        edges, "pr_edges_b", ["src"], 8, path=str(base / "pr_edges_b")
+    )
+    try:
+        bucketed = pagerank_on(
+            spark.table("pr_edges_b"), iters=2, checkpoint_edges=False
+        )
+        plain = pagerank_on(edges, iters=2)
+
+        # Plan probe: per-round localCheckpoint truncates the visible
+        # plan, so inspect an un-truncated 2-iteration chain.
+        n_b = _count_exchanges(
+            pagerank_on(
+                spark.table("pr_edges_b"),
+                iters=2,
+                checkpoint_edges=False,
+                checkpoint_ranks=False,
+            )
+        )
+        n_p = _count_exchanges(
+            pagerank_on(edges, iters=2, checkpoint_ranks=False)
+        )
+        assert n_b < n_p, (n_b, n_p)
+
+        got = {
+            r["node"]: round(r["rank"], 12) for r in bucketed.collect()
+        }
+        want = {
+            r["node"]: round(r["rank"], 12) for r in plain.collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_b")
