@@ -5640,43 +5640,16 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cs.union(
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)  # graph build runs once, not 3x
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=False)  # node-sized; feeds 3 consumers
-    )
-    # Degree rides ON the edge list (one join, done once, checkpointed)
-    # so each iteration is exactly one join + one keyed aggregation —
-    # not the join-ranks + join-degrees + left-join-nodes triple a
-    # naive translation of the recurrence would run 3x.
-    edges_w = edges.join(deg, "src").localCheckpoint(eager=False)
-    nstats = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    ranks = (
-        deg.crossJoin(F.broadcast(nstats))
-        .select(
-            F.col("src").alias("node"),
-            (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
-        )
-    )
-    for _ in range(3):
-        # The symmetric edge set guarantees every node receives mass,
-        # so the aggregate's key set IS the node set — no left join
-        # back to a node list. (A general DIRECTED graph needs that
-        # join plus dangling-mass redistribution.)
-        ranks = (
-            edges_w.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("m"))
-            .crossJoin(F.broadcast(nstats))
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    F.lit(0.15) / F.col("n_nodes")
-                    + F.lit(0.85) * F.col("m")
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)  # truncate per-iteration lineage
-        )
+    # Iteration lives in operators.graph.pagerank_on: degree rides ON
+    # the checkpointed edge list so each round is exactly one join +
+    # one keyed aggregation, and the symmetric edge set guarantees
+    # every node receives mass (no node-list left join, no dangling
+    # redistribution). Feed pagerank_on a src-bucketed TABLE with
+    # checkpoint_edges=False to additionally drop the per-round edge
+    # shuffles (see tests/test_bucketing.py).
+    from financial_data_pipeline_optimization_spark.operators.graph import pagerank_on
+
+    ranks = pagerank_on(edges, iters=3, reset=0.15)
     out = ranks.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
