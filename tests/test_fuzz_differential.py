@@ -1,0 +1,178 @@
+"""Differential query fuzzing: randomly composed filter / join /
+group / aggregate queries executed by BOTH engines.
+
+The oracle-parity suite checks fixed, hand-written query/SQL pairs;
+this harness GENERATES the pair from one shared spec, so it explores
+predicate/aggregate combinations nobody thought to write down —
+null-handling, OR-distribution, type-width, and date-comparison
+semantics divergences between Spark and DuckDB surface here first.
+Hypothesis shrinks any failure to a minimal query spec.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_optimization_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+SET = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bind(spark):
+    global SPARK, DUCK
+    SPARK = spark
+    DUCK = duckdb.connect()
+    for t in ("orders", "customer"):
+        DUCK.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield
+    DUCK.close()
+
+
+#: (spark_column, sql_text) predicate pairs built from shared constants.
+def _predicates():
+    def price(th):
+        return (
+            F.col("o_totalprice") > th,
+            f"o_totalprice > {th}",
+        )
+
+    def priority(p):
+        return (
+            F.col("o_orderpriority") == p,
+            f"o_orderpriority = '{p}'",
+        )
+
+    def modk(k, r):
+        return (
+            F.col("o_custkey") % k == r,
+            f"o_custkey % {k} = {r}",
+        )
+
+    def before(iso):
+        return (
+            F.col("o_orderdate") < F.lit(iso).cast("timestamp"),
+            f"o_orderdate < TIMESTAMP '{iso}'",
+        )
+
+    return st.one_of(
+        st.integers(0, 60).map(lambda i: price(i * 10000)),
+        st.sampled_from(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ).map(priority),
+        st.tuples(st.integers(2, 7), st.integers(0, 1)).map(
+            lambda t: modk(t[0], t[1])
+        ),
+        st.sampled_from(
+            ["1996-01-01", "1998-06-15", "2000-12-31"]
+        ).map(before),
+    )
+
+
+GROUPS = st.sampled_from(
+    [None, "o_orderstatus", "o_orderpriority", "c_mktsegment"]
+)
+
+
+@given(
+    p1=_predicates(),
+    p2=st.one_of(st.none(), _predicates()),
+    conj=st.booleans(),
+    group=GROUPS,
+)
+@SET
+def test_generated_query_matches_duckdb(p1, p2, conj, group):
+    sc1, sql1 = p1
+    where_sql = sql1
+    cond = sc1
+    if p2 is not None:
+        sc2, sql2 = p2
+        op = "AND" if conj else "OR"
+        where_sql = f"({sql1}) {op} ({sql2})"
+        cond = (sc1 & sc2) if conj else (sc1 | sc2)
+
+    odf = load_table(SPARK, SF_SMOKE, "orders")
+    joined = group == "c_mktsegment"
+    if joined:
+        cdf = load_table(SPARK, SF_SMOKE, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        base = odf.join(
+            F.broadcast(cdf),
+            odf["o_custkey"] == cdf["c_custkey"],
+        )
+        from_sql = (
+            "orders JOIN customer ON o_custkey = c_custkey"
+        )
+    else:
+        base = odf
+        from_sql = "orders"
+
+    filtered = base.filter(cond)
+    # Engine-portable cents rounding (Spark HALF_UP vs DuckDB
+    # half-even — see queries._r2).
+    rsum = F.floor(
+        F.sum("o_totalprice") * 100 + F.lit(0.50005)
+    ) / 100
+    if group is None:
+        sdf = filtered.agg(
+            F.count(F.lit(1)).alias("n"),
+            rsum.alias("s"),
+            F.min("o_custkey").alias("mn"),
+            F.max("o_custkey").alias("mx"),
+        )
+        sql = (
+            "SELECT count(*) AS n, "
+            "floor(sum(o_totalprice)*100 + 0.50005)/100 AS s, "
+            "min(o_custkey) AS mn, max(o_custkey) AS mx "
+            f"FROM {from_sql} WHERE {where_sql}"
+        )
+    else:
+        sdf = (
+            filtered.groupBy(group)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                rsum.alias("s"),
+                F.min("o_custkey").alias("mn"),
+                F.max("o_custkey").alias("mx"),
+            )
+            .orderBy(group)
+        )
+        sql = (
+            f"SELECT {group}, count(*) AS n, "
+            "floor(sum(o_totalprice)*100 + 0.50005)/100 AS s, "
+            "min(o_custkey) AS mn, max(o_custkey) AS mx "
+            f"FROM {from_sql} WHERE {where_sql} "
+            f"GROUP BY {group} ORDER BY {group}"
+        )
+
+    got = [tuple(r) for r in sdf.collect()]
+    want = DUCK.execute(sql).fetchall()
+    assert len(got) == len(want), (sql, got, want)
+    for gr, wr in zip(got, want):
+        for a, b in zip(gr, wr):
+            if isinstance(a, float) or isinstance(b, float):
+                if a is None or b is None:
+                    assert a is None and b is None, (sql, gr, wr)
+                else:
+                    assert math.isclose(
+                        float(a), float(b), rel_tol=1e-9, abs_tol=1e-6
+                    ), (sql, gr, wr)
+            else:
+                assert a == b, (sql, gr, wr)
