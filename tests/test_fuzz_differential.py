@@ -176,3 +176,60 @@ def test_generated_query_matches_duckdb(p1, p2, conj, group):
                     ), (sql, gr, wr)
             else:
                 assert a == b, (sql, gr, wr)
+
+
+@given(
+    part=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    k=st.integers(1, 5),
+    use_lag=st.booleans(),
+    p1=_predicates(),
+)
+@SET
+def test_generated_window_query_matches_duckdb(part, k, use_lag, p1):
+    """Window-function differential: top-k per partition by price with
+    a unique-key tiebreak, optionally with lag deltas — ranking-tie
+    and frame semantics are where engines classically diverge."""
+    from pyspark.sql import Window
+
+    sc1, sql1 = p1
+    odf = load_table(SPARK, SF_SMOKE, "orders").filter(sc1)
+    w = Window.partitionBy(part).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    sdf = odf.select(
+        part,
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.floor(
+            (
+                F.col("o_totalprice")
+                - F.coalesce(
+                    F.lag("o_totalprice").over(w), F.lit(0.0)
+                )
+            )
+            * 100
+            + F.lit(0.50005)
+        ).alias("d_cents")
+        if use_lag
+        else F.lit(0).alias("d_cents"),
+    ).filter(F.col("rn") <= k)
+    lag_sql = (
+        "CAST(floor((o_totalprice - coalesce(lag(o_totalprice) OVER "
+        f"(PARTITION BY {part} ORDER BY o_totalprice DESC, o_orderkey), "
+        "0.0)) * 100 + 0.50005) AS BIGINT)"
+        if use_lag
+        else "CAST(0 AS BIGINT)"
+    )
+    sql = f"""
+    SELECT {part}, o_orderkey, rn, d_cents FROM (
+      SELECT {part}, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY {part}
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+               AS rn,
+             {lag_sql} AS d_cents
+      FROM orders WHERE {sql1}
+    ) WHERE rn <= {k}
+    """
+    got = sorted(tuple(r) for r in sdf.collect())
+    want = sorted(tuple(r) for r in DUCK.execute(sql).fetchall())
+    assert got == want, (sql, got[:3], want[:3])
