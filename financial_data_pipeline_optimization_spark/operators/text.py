@@ -26,9 +26,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def tokens(col: Column | str) -> Column:
     """Lowercased word tokens: strip non-word chars, split on whitespace.
-    Mirrors ``operators.dedup._tokens`` and the DuckDB oracle's
-    ``string_split_regex(trim(regexp_replace(lower(x), '[^a-z0-9\\s]',
-    ' ', 'g')), '\\s+')``."""
+    Mirrors ``operators.dedup._tokens`` and the DuckDB oracle
+    ``queries._ORACLE_TOKENS``. The oracle side spells out Java's
+    ``\\s`` set ``[ \\t\\n\\x0b\\f\\r]`` explicitly because RE2's
+    ``\\s`` EXCLUDES ``\\x0b`` — a dialect divergence the differential
+    fuzzer caught (``tests/test_fuzz_differential.py``); Spark-side
+    ``\\s`` is already exactly that set."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(
         F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"

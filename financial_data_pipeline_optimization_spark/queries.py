@@ -121,6 +121,19 @@ _CHANGED_SINCE_CHECK: tuple[str, ...] = (
     "tpch_q22_global_sales_opportunity",
     "minhash_recall_check",
     "corpus_curation_funnel",
+    # r05: oracle whitespace classes rewritten from RE2 `\s` to the
+    # explicit Java `\s` set [ \t\n\x0b\f\r] after the differential
+    # fuzzer caught the dialect divergence (RE2 excludes \x0b); Spark
+    # sides untouched, but the oracle text changed so re-prove.
+    "text_stats",
+    "token_count_bpe_ish",
+    "doc_fingerprint",
+    "quality_filter",
+    "text_clean_redact",
+    "key_skew_profile",
+    "mixture_budget_plan",
+    "gopher_quality_flags",
+    "event_rate_anomalies",
 )
 
 
@@ -1011,7 +1024,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TOKENS = (
     "string_split_regex(trim(regexp_replace(lower(text), "
-    "'[^a-z0-9\\s]', ' ', 'g')), '\\s+')"
+    "'[^a-z0-9 \\t\\n\\x0b\\f\\r]', ' ', 'g')), '[ \\t\\n\\x0b\\f\\r]+')"
 )
 
 
@@ -1023,7 +1036,7 @@ _ORACLE_TOKENS = (
            CAST(length(text) AS INT) AS n_chars_text,
            CAST(len(t) AS INT) AS n_tokens,
            CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
-           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS INT) AS n_punct,
            floor(length(array_to_string(t, ''))/len(t)*10000
                  + 0.5000005)/10000 AS mean_token_len
     FROM toks
@@ -1049,7 +1062,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
-                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT)
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS INT)
              AS n_bpe_ish_tokens
     FROM documents
     """,
@@ -1138,7 +1151,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text) AS nc,
              len({_ORACLE_TOKENS}) AS nt,
              len(list_distinct({_ORACLE_TOKENS})) AS nd,
-             len(regexp_extract_all(text, '[^\\w\\s]')) AS np
+             len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     )
     SELECT doc_id, text, lang, source, n_chars FROM stats
@@ -1165,7 +1178,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_chars FROM (
       SELECT doc_id, n_chars,
              ROW_NUMBER() OVER (
-               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
                ORDER BY doc_id) AS rn
       FROM documents
     ) WHERE rn = 1
@@ -2927,7 +2940,7 @@ def _clean_redact_sql() -> str:
         (r"[\x00-\x1f\x7f]", " "),
     ):
         expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
-    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    expr = f"trim(regexp_replace({expr}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
     for pattern, token in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
     return f"""
@@ -5062,10 +5075,10 @@ def q_finance_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CLEANED = (
     "regexp_replace(regexp_replace(regexp_replace(trim(regexp_replace("
     "regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), "
-    "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')), "
-    "'https?://[^\\s]+', '<URL>', 'g'), "
+    "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), "
+    "'https?://[^ \\t\\n\\x0b\\f\\r]+', '<URL>', 'g'), "
     "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-    "'\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g')"
+    "'\\+?\\d[\\d \\t\\n\\x0b\\f\\r().-]{7,}\\d', '<PHONE>', 'g')"
 )
 
 
@@ -5101,7 +5114,7 @@ _ORACLE_CLEANED = (
              length(text) AS nc,
              len({_ORACLE_TOKENS}) AS nt,
              len(list_distinct({_ORACLE_TOKENS})) AS nd,
-             len(regexp_extract_all(text, '[^\\w\\s]')) AS np
+             len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS np
       FROM lang_keep
     ),
     quality AS (
@@ -5113,7 +5126,7 @@ _ORACLE_CLEANED = (
       SELECT doc_id, text FROM (
         SELECT doc_id, text,
                ROW_NUMBER() OVER (
-                 PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                 PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
                  ORDER BY doc_id) AS rn
         FROM quality
       ) WHERE rn = 1
@@ -5299,7 +5312,7 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     content AS (
       SELECT DISTINCT source,
-             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+             md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS h
       FROM corpus
     )
     SELECT a.source AS source_a, b.source AS source_b,
@@ -6902,7 +6915,7 @@ def q_mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'),
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                          w -> w <> '') AS words,
              string_split(text, chr(10)) AS lines,
              text
@@ -6998,7 +7011,7 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(len(lines) AS BIGINT) AS n_lines,
              list_filter(lines, l ->
-               len(list_filter(string_split_regex(trim(l), '\\s+'),
+               len(list_filter(string_split_regex(trim(l), '[ \\t\\n\\x0b\\f\\r]+'),
                                w -> w <> '')) >= 5
                AND right(rtrim(l), 1) IN ('.', '!', '?', '"', ''''))
                AS kept,
@@ -7639,7 +7652,7 @@ def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
       SELECT source,
-             list_filter(string_split_regex(text, '\\s+'),
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                          w -> w <> '') AS words,
              string_split(text, chr(10)) AS lines,
              text

@@ -233,3 +233,51 @@ def test_generated_window_query_matches_duckdb(part, k, use_lag, p1):
     got = sorted(tuple(r) for r in sdf.collect())
     want = sorted(tuple(r) for r in DUCK.execute(sql).fetchall())
     assert got == want, (sql, got[:3], want[:3])
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_categories=("Cs",),
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_tokenizer_contract_matches_duckdb(texts):
+    """The shared tokenizer twin (operators.text.tokens vs the oracle's
+    string_split_regex expression) underpins ~20 text queries — fuzz it
+    with arbitrary unicode, whitespace runs, emoji, empty strings. Any
+    regex-dialect divergence between Spark's and DuckDB's engines
+    breaks every downstream token count/shingle/LM-score pair, so it
+    must surface HERE, shrunk to a minimal string."""
+    import pandas as pd
+
+    from financial_data_pipeline_optimization_spark.operators.text import tokens
+
+    sdf = SPARK.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["t"])
+        for r in sdf.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    fuzz_docs = pd.DataFrame(  # noqa: F841 — DuckDB reads it by name
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    from financial_data_pipeline_optimization_spark import queries as q
+
+    want = {
+        r[0]: list(r[1])
+        for r in DUCK.execute(
+            f"SELECT doc_id, {q._ORACLE_TOKENS} FROM fuzz_docs"
+        ).fetchall()
+    }
+    assert got == want, {
+        k: (got[k], want[k]) for k in got if got[k] != want[k]
+    }
