@@ -769,3 +769,60 @@ def incremental_near_dups(
         )
         .filter(F.col("jaccard_sim") >= min_jaccard)
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document content novelty against the earlier corpus: for
+    each document, the fraction of its DISTINCT word ``n``-gram
+    shingles that no strictly-earlier document (lower ``id_col``)
+    contains. The incremental-crawl signal of web-corpus pipelines —
+    "how much of this page is new text vs. recombination of content we
+    already hold" — used to down-weight scraped mirrors and SEO spam
+    before any pairwise dedup runs.
+
+    Dataflow: shingle row-locally, hash each shingle to md5 so the
+    shuffle moves 16-byte keys instead of n-word strings, aggregate
+    ``min(id)`` per shingle (the corpus-wide first sighting — one
+    hash-keyed shuffle with map-side partial min), join each
+    (id, shingle-hash) pair back to its first sighting on the same key
+    (AQE picks the strategy; the first-sighting table is the distinct
+    shingle set, never documents), then fold to one row per document.
+    Documents are never shuffled; every moved row is (16-byte hash,
+    id) — pinned by ``tests/test_curation_extras.py``'s Exchange gate,
+    which is also why this operator deliberately skips ``_spread``
+    (its keyed repartition would move whole documents; a caller on a
+    pathological few-files layout can repartition upstream). An md5
+    collision merges two shingles' first sightings — odds ~1e-20 per
+    pair, acceptable for a scoring signal.
+
+    Returns ``(id, n_shingles bigint, n_seen_before bigint,
+    novelty_frac double)`` with the raw double fraction (callers round
+    for cross-engine comparison). ``novelty_frac = 1`` ⇔ every shingle
+    first appears in this document (all of the corpus' earliest
+    documents score 1.0 by construction).
+    """
+    pairs = (
+        with_shingles(df.select(id_col, text_col), text_col, n=n)
+        .select(F.col(id_col), F.explode("shingles").alias("__s"))
+        .select(id_col, F.md5("__s").alias("__h"))
+    )
+    first_seen = pairs.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    return (
+        pairs.join(first_seen, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("__first") < F.col(id_col)).cast("long")
+            ).alias("n_seen_before"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.lit(1.0) - F.col("n_seen_before") / F.col("n_shingles"),
+        )
+    )

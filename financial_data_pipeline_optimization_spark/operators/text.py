@@ -773,3 +773,115 @@ def bpe_train_merges(
         "round int, sym_a string, sym_b string, merged string, "
         "pair_count long",
     )
+
+
+def relative_length_flags(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 98,
+) -> DataFrame:
+    """CCNet-style RELATIVE length filtering (Wenzek et al. 2020): flag
+    each document against its own group's (language's) token-count
+    distribution rather than a global absolute threshold — 30 tokens is
+    short for English prose and normal for a zh headline, so absolute
+    cuts systematically bias multilingual corpora.
+
+    A document is kept iff its token count ``c`` is inside the group's
+    central mass: strictly more than ``lo_pct``% of the group's
+    documents have count ≤ ``c`` AND strictly less than ``hi_pct``% of
+    them have count < ``c``. Both comparisons are pure BIGINT
+    arithmetic (``cum*100 > lo_pct*total``), so the verdicts are
+    bit-identical across engines — no interpolated-percentile floats
+    at the decision boundary.
+
+    Scale shape: the per-document count is a narrow row-local map; the
+    distribution is the aggregate ``(group, count) → n_docs`` table —
+    bounded by #groups × #distinct lengths (thousands of rows at any
+    corpus size), so the cumulative window runs over a TINY aggregate,
+    never over documents; the flags then join back on
+    ``(group, count)`` where the aggregate side broadcasts. This is
+    the aggregate-then-window layering that survives 100 TB — the
+    naive per-document ``percent_rank`` window would sort every
+    document within each group.
+
+    Returns ``(id, group, n_tokens int, keep boolean)``.
+    """
+    from pyspark.sql import Window
+
+    counts = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    hist = counts.groupBy(group_col, "n_tokens").agg(
+        F.count("*").alias("__n")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(group_col)
+    flags = (
+        hist.withColumn("__cum", F.sum("__n").over(w_cum))
+        .withColumn("__tot", F.sum("__n").over(w_tot))
+        .select(
+            group_col,
+            "n_tokens",
+            (
+                (F.col("__cum") * 100 > F.lit(lo_pct) * F.col("__tot"))
+                & (
+                    (F.col("__cum") - F.col("__n")) * 100
+                    < F.lit(hi_pct) * F.col("__tot")
+                )
+            ).alias("keep"),
+        )
+    )
+    return counts.join(
+        F.broadcast(flags), [group_col, "n_tokens"]
+    ).select(id_col, group_col, "n_tokens", "keep")
+
+
+def template_prefix_flags(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Template/boilerplate detection by shared document HEAD: flag
+    documents whose first ``k`` tokens are identical to at least
+    ``min_docs - 1`` other documents from the same source — the cheap
+    tell of templated pages (mail-merge product pages, auto-generated
+    listings, mirrored headers) that near-dup pipelines run as a
+    pre-filter because it is one aggregation instead of a pairwise
+    candidate join.
+
+    Scale shape: the prefix is a row-local map hashed to md5, the
+    profile is one ``(source, prefix-hash)`` partial-agg count of
+    distinct ids — shuffles 16-byte keys only — and the flag joins
+    back on the same key (the profile side is the distinct-prefix set;
+    at web scale it is corpus-sized/doc-length smaller than the corpus
+    and AQE picks the join strategy). Documents never move.
+
+    Returns ``(id, source, is_template boolean)``.
+    """
+    pre = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens(text_col), 1, k))
+        ).alias("__p"),
+    )
+    prof = pre.groupBy(source_col, "__p").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    return pre.join(prof, [source_col, "__p"]).select(
+        id_col,
+        source_col,
+        (F.col("__nd") >= F.lit(min_docs)).alias("is_template"),
+    )

@@ -8988,3 +8988,101 @@ def q_lang_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 for _i, _s in enumerate(_REGISTRY):
     if _s.name == "lang_agreement_kappa" and _s.oracle is None:
         _REGISTRY[_i] = QuerySpec(_s.name, _s.spark, _kappa_oracle(), _s.doc)
+
+
+@_register(
+    "shingle_novelty_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(tk[i+1:i+5], ' ') AS s
+          FROM t, UNNEST(range(greatest(len(tk) - 4, 1))) AS u(i)),
+    fs AS (SELECT s, min(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN fs.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen_before,
+           floor((1 - sum(CASE WHEN fs.first_doc < g.doc_id
+                              THEN 1 ELSE 0 END)::DOUBLE / count(*))
+                 * 10000 + 0.5000005)/10000 AS novelty_frac
+    FROM g JOIN fs USING (s)
+    GROUP BY 1
+    """,
+    doc="Per-document shingle novelty vs the strictly-earlier corpus "
+    "(operators.dedup.shingle_novelty): fraction of a doc's distinct "
+    "5-gram shingles first seen in THIS doc — the incremental-crawl "
+    "mirror/SEO-spam down-weighting signal. One min-per-shingle "
+    "partial agg + same-key join back; every shuffled row is a "
+    "16-byte md5 and an id, documents never move. The oracle "
+    "recomputes first sightings over raw shingle strings, so the "
+    "hashed plan is verified against the unhashed semantics.",
+)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import dedup as dedup_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.shingle_novelty(docs, "doc_id", "text", n=5).select(
+        "doc_id",
+        "n_shingles",
+        "n_seen_before",
+        _r4(F.col("novelty_frac")).alias("novelty_frac"),
+    )
+
+
+@_register(
+    "relative_length_filter",
+    f"""
+    WITH c AS (SELECT doc_id, lang,
+                      CAST(len({_ORACLE_TOKENS}) AS INT) AS n_tokens
+               FROM documents),
+    h AS (SELECT lang, n_tokens, count(*) AS n FROM c GROUP BY 1, 2),
+    f AS (SELECT lang, n_tokens, n,
+                 sum(n) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+                 sum(n) OVER (PARTITION BY lang) AS tot
+          FROM h)
+    SELECT c.doc_id, c.lang, c.n_tokens,
+           (f.cum * 100 > 5 * f.tot
+            AND (f.cum - f.n) * 100 < 98 * f.tot) AS keep
+    FROM c JOIN f USING (lang, n_tokens)
+    """,
+    doc="CCNet-style RELATIVE length gate (operators.text."
+    "relative_length_flags): keep a doc iff its token count sits in "
+    "its own language's central mass (5th..98th percentile by doc "
+    "mass) — absolute length cuts bias multilingual corpora. The "
+    "distribution is the (lang, count)->n aggregate, so the "
+    "cumulative window runs over a TINY table and the verdict joins "
+    "back broadcast; all comparisons are exact BIGINT arithmetic "
+    "(cum*100 > pct*tot), bit-identical across engines.",
+)
+def q_relative_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.relative_length_flags(docs, "doc_id", "lang", "text")
+
+
+@_register(
+    "template_prefix_flags",
+    f"""
+    WITH p AS (SELECT doc_id, source,
+                      array_to_string(({_ORACLE_TOKENS})[1:5], ' ') AS pre
+               FROM documents),
+    g AS (SELECT source, pre, count(DISTINCT doc_id) AS nd
+          FROM p GROUP BY 1, 2)
+    SELECT p.doc_id, p.source, (g.nd >= 2) AS is_template
+    FROM p JOIN g USING (source, pre)
+    """,
+    doc="Shared-head template detection (operators.text."
+    "template_prefix_flags): a doc is templated iff >=2 docs of its "
+    "source open with the identical first-5-token prefix — the cheap "
+    "mail-merge/mirrored-listing pre-filter before any pairwise "
+    "near-dup join. One (source, md5(prefix)) distinct-count partial "
+    "agg + same-key join back; the oracle groups raw prefixes, "
+    "verifying the hashed plan against unhashed semantics.",
+)
+def q_template_prefix_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.template_prefix_flags(
+        docs, "doc_id", "source", "text", k=5, min_docs=2
+    )
