@@ -98,8 +98,17 @@ def exact_dedup(
 
 
 def _tokens(col):
-    """Lowercased word tokens of a text column."""
-    return F.split(F.trim(F.lower(F.regexp_replace(col, r"[^\w\s]", " "))), r"\s+")
+    """Lowercased word tokens of a text column — delegates to the ONE
+    shared tokenizer (``operators.text.tokens``) so dedup, analysis,
+    and every SQL oracle agree on token semantics. This used to be an
+    independent ``[^\\w\\s]`` copy, which kept underscores (Java ``\\w``
+    includes ``_``) while the shared tokenizer and oracles strip them —
+    a divergence the shingle differential fuzzer shrank to the
+    one-character document ``"_"`` (``tests/test_fuzz_differential.py``).
+    """
+    from financial_data_pipeline_optimization_spark.operators.text import tokens
+
+    return tokens(col)
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:

@@ -281,3 +281,129 @@ def test_tokenizer_contract_matches_duckdb(texts):
     assert got == want, {
         k: (got[k], want[k]) for k in got if got[k] != want[k]
     }
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(1, 5),
+)
+@SET
+def test_shingle_contract_matches_duckdb(texts, n):
+    """The shingle twin (operators.dedup.with_shingles vs the oracle's
+    slice/array_to_string expression) underpins every near-dup /
+    decontamination / novelty pair. Fuzz the slice edge cases — docs
+    shorter than n, empty strings, unicode — comparing the DISTINCT
+    shingle SET (order is engine-specific, membership is the
+    contract)."""
+    import pandas as pd
+
+    from financial_data_pipeline_optimization_spark.operators.dedup import (
+        with_shingles,
+    )
+    from financial_data_pipeline_optimization_spark import queries as q
+
+    sdf = SPARK.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in with_shingles(sdf, "text", n=n, out_col="sh").collect()
+    }
+    fuzz_docs = pd.DataFrame(  # noqa: F841 — DuckDB reads it by name
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    want = {
+        r[0]: sorted(r[1])
+        for r in DUCK.execute(
+            f"""
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(greatest(len(tk) - {n - 1}, 1)),
+                     i -> array_to_string(tk[i+1:i+{n}], ' ')))
+            FROM (SELECT doc_id, {q._ORACLE_TOKENS} AS tk FROM fuzz_docs)
+            """
+        ).fetchall()
+    }
+    assert got == want, {
+        k: (got[k], want[k]) for k in got if got[k] != want[k]
+    }
+
+
+@given(
+    dates=st.lists(
+        st.dates(
+            min_value=__import__("datetime").date(1900, 1, 1),
+            max_value=__import__("datetime").date(2100, 12, 28),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(-40, 40),
+)
+@SET
+def test_calendar_derivations_match_duckdb(dates, k):
+    """Calendar-derivation twins (F1-F5 + date arithmetic): weekday
+    numbering, ISO weeks, month-end clamping of add_months, and
+    week-truncation are classic engine-divergence spots; fuzz them on
+    arbitrary dates (leap days, century boundaries) so any drift
+    shrinks to one date instead of surfacing as a far-downstream
+    aggregate mismatch."""
+    import pandas as pd
+
+    sdf = SPARK.createDataFrame(
+        [(i, d) for i, d in enumerate(dates)], "i long, d date"
+    )
+    c = F.col("d")
+    got = {
+        r["i"]: tuple(r)[2:]
+        for r in sdf.select(
+            "i",
+            "d",
+            F.year(c),
+            F.quarter(c),
+            F.month(c),
+            F.dayofmonth(c),
+            F.dayofweek(c),
+            F.weekofyear(c),
+            F.dayofyear(c),
+            F.last_day(c),
+            F.date_trunc("week", c).cast("date"),
+            F.add_months(c, k),
+            F.date_add(c, k),
+            F.date_format(c, "EEEE"),
+        ).collect()
+    }
+    fuzz_dates = pd.DataFrame(  # noqa: F841 — DuckDB reads it by name
+        {"i": range(len(dates)), "d": dates}
+    )
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in DUCK.execute(
+            f"""
+            SELECT i,
+                   CAST(year(d) AS INT),
+                   CAST(quarter(d) AS INT),
+                   CAST(month(d) AS INT),
+                   CAST(dayofmonth(d) AS INT),
+                   CAST(dayofweek(d) + 1 AS INT),
+                   CAST(weekofyear(d) AS INT),
+                   CAST(dayofyear(d) AS INT),
+                   last_day(d),
+                   CAST(date_trunc('week', d) AS DATE),
+                   CAST(d + ({k} * INTERVAL 1 MONTH) AS DATE),
+                   CAST(d + ({k} * INTERVAL 1 DAY) AS DATE),
+                   dayname(d)
+            FROM fuzz_dates
+            """
+        ).fetchall()
+    }
+    assert got == want, {
+        i: (got[i], want[i]) for i in got if got[i] != want[i]
+    }
