@@ -805,3 +805,256 @@ def power_iteration_top_component(
             .localCheckpoint(eager=False)
         )
     return v, lam
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-subspace k-means codebooks for product quantization (Jégou/
+    Douze/Schmid TPAMI 2011 §II): split each unit-normalized vector
+    into ``m`` contiguous subvectors and learn ``k_codes`` centroids
+    per subspace. Returns an ``(m, k_codes, dim/m)`` float64 array.
+
+    Seeds are the ``k_codes`` lowest-id corpus rows' subvectors
+    (deterministic, like ``train_ivf_centroids``). Each Lloyd round is
+    ONE ``mapInPandas`` scan that assigns every row's ``m`` subvectors
+    to their L2-nearest codes and pre-aggregates (sum, count) per
+    (subspace, code) WITHIN the Arrow batch — so the shuffle carries at
+    most ``partitions × m × k_codes`` tiny partial rows and the driver
+    collects the ``m × k_codes`` final sums: corpus rows never shuffle
+    and never reach the driver. At 100 TB you train on a sample and
+    encode the full corpus; both use this path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    seed_rows = (
+        corpus.orderBy(id_col).limit(k_codes).select(vec_col).collect()
+    )
+    seed = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+    seed = seed / np.linalg.norm(seed, axis=1, keepdims=True)
+    dim = seed.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # books[j] : (k_codes, sub) — subspace j's codebook
+    books = np.stack(
+        [seed[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
+    )
+
+    part_schema = StructType(
+        [
+            StructField("sub", IntegerType(), True),
+            StructField("code", IntegerType(), True),
+            StructField("vsum", ArrayType(DoubleType()), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+
+    for _ in range(max(0, iters)):
+        bks = books.copy()
+
+        def partial_sums(batches, bks=bks):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                rows = []
+                for j in range(m):
+                    x = mat[:, j * sub : (j + 1) * sub]  # (n, sub)
+                    # L2-nearest code: argmax <x,c> - |c|^2/2
+                    score = x @ bks[j].T - 0.5 * (bks[j] ** 2).sum(1)
+                    code = np.argmax(score, axis=1)
+                    for c in np.unique(code):
+                        sel = x[code == c]
+                        rows.append(
+                            (j, int(c), sel.sum(0).tolist(), len(sel))
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["sub", "code", "vsum", "n"]
+                )
+
+        agg = (
+            corpus.select(vec_col)
+            .mapInPandas(partial_sums, part_schema)
+            .groupBy("sub", "code")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.col("vsum")[i]).alias(f"s{i}")
+                        for i in range(sub)
+                    ]
+                ).alias("vsum"),
+                F.sum("n").alias("n"),
+            )
+            .collect()  # bounded: ≤ m × k_codes rows of sub doubles
+        )
+        for r in agg:
+            if r["n"]:
+                books[r["sub"], r["code"]] = (
+                    np.asarray(r["vsum"], dtype=np.float64) / r["n"]
+                )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each row as ``m`` small int codes (the compressed corpus
+    representation a PQ deployment PERSISTS: 8 codes ≈ 8 bytes vs a
+    64-float32 embedding's 256 — a ~32× smaller scan for every
+    subsequent query). Row-local ``mapInPandas``; rows are
+    unit-normalized before quantization so ADC inner products
+    approximate cosine."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m, _, sub = books.shape
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField(code_col, ArrayType(IntegerType()), True),
+        ]
+    )
+    half_sq = 0.5 * (books**2).sum(axis=2)  # (m, k_codes)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                codes[:, j] = np.argmax(x @ books[j].T - half_sq[j], axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], code_col: list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC): queries stay
+    exact, the corpus is scored from its codes via per-query lookup
+    tables ``lut[j, c] = <q_j, books[j, c]>`` so each corpus row costs
+    ``m`` table lookups instead of a ``dim``-wide dot product — and,
+    decisively for 100 TB, the scoring scan reads the ~32×-compressed
+    code table, never the embeddings. Returns ``(query_id,
+    neighbor_id, rank, adc_sim)``; ADC sims approximate cosine (rows
+    are unit-normalized before encoding), so ranks are approximate —
+    verify recall against ``brute_force_topk``, as
+    ``knn_pq_recall_check`` does.
+
+    The query side is collected driver-side (bounded by the same
+    small-query-batch contract as ``brute_force_topk``'s arrow path);
+    per-partition local top-k keeps the merge shuffle at
+    O(partitions·k·q).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    books = train_pq_codebooks(
+        corpus, m, k_codes, train_iters, id_col, vec_col
+    )
+    sub = books.shape[2]
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    if q_mat.size:
+        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # luts[q, j, c] = <q_sub_j, books[j, c]>
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    q_mat[:, j * sub : (j + 1) * sub] @ books[j].T
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+        ]
+    )[0] if len(q_ids) else np.zeros((0, m, k_codes))
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[id_col].dataType, True),
+            StructField("neighbor_id", corpus.schema[id_col].dataType, True),
+            StructField("adc_sim", DoubleType(), True),
+        ]
+    )
+    jj = np.arange(m)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty or not len(q_ids):
+                continue
+            ids = pdf[id_col].to_numpy()
+            codes = np.asarray(list(pdf["pq_codes"]), dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                sims = luts[qi][jj, codes].sum(axis=1)  # (n,)
+                sims[ids == qid] = -np.inf
+                take = min(k, len(ids))
+                order = np.lexsort((ids, -sims))[:take]
+                order = order[np.isfinite(sims[order])]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(sims[order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: out_q,
+                    "neighbor_id": out_n,
+                    "adc_sim": out_s,
+                }
+            )
+
+    scored = encoded.mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

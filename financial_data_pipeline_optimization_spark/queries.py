@@ -4248,6 +4248,11 @@ def _knn_recall_query(method: str, floor: float):
             # .05 at 8. Real corpora with true near-neighbors keep
             # more planes.
             approx = vector.lsh_topk(emb, queries_df, k=k, num_planes=4)
+        elif method == "pq":
+            # m=16 subspaces × 16 codes: measured recall .30-.35
+            # across SFs on the near-orthogonal synthetic embeddings
+            # (finer subspaces beat more codes here; deterministic).
+            approx = vector.pq_topk(emb, queries_df, k=k, m=16, k_codes=16)
         else:
             approx = vector.ivf_topk(emb, queries_df, k=k)
         overlap = exact.join(
@@ -4279,6 +4284,25 @@ _REGISTRY.append(
         "(>= 0.2 on the synthetic corpus; the pipeline is fully "
         "deterministic, so this is exact, not flaky). The hash match "
         "proves the approximate path, not just that rows came back.",
+    )
+)
+
+_REGISTRY.append(
+    QuerySpec(
+        "knn_pq_recall_check",
+        _knn_recall_query("pq", 0.2),
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_floor_ok
+        FROM embeddings WHERE vec_id < 8
+        """,
+        "Driver-checkable ANN contract: product-quantization ADC "
+        "top-5 (operators.vector.pq_topk — per-subspace k-means "
+        "codebooks, corpus scored from its ~32x-compressed codes via "
+        "per-query lookup tables) overlaps exact cosine top-5 at the "
+        "aggregate recall floor (>= 0.2; deterministic). The scale "
+        "point: the scoring scan reads m small ints per row, never "
+        "the embedding column.",
     )
 )
 

@@ -258,3 +258,60 @@ def test_kmeans_untracked_return_shape_unchanged(spark):
     emb = load_table(spark, SF_CORRECTNESS, "embeddings")
     cen = vector.train_ivf_centroids(emb, num_centroids=4, iters=1)
     assert getattr(cen, "shape", None) == (4, 64)
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    b1 = vector.train_pq_codebooks(emb, m=8, k_codes=16, iters=1)
+    b2 = vector.train_pq_codebooks(emb, m=8, k_codes=16, iters=1)
+    assert b1.shape == (8, 16, 8)
+    assert (b1 == b2).all(), "codebook training must be deterministic"
+
+
+def test_pq_encode_codes_in_range(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    books = vector.train_pq_codebooks(emb, m=8, k_codes=16, iters=1)
+    rows = vector.pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.pq_codes) == 8
+        assert all(0 <= c < 16 for c in r.pq_codes)
+
+
+def test_pq_adc_approximates_cosine(spark):
+    """ADC scores from 16×16 codes must track true cosine: mean
+    absolute error below 0.2 and positive rank correlation over the
+    scored pairs — the quantitative version of 'approximates'."""
+    import numpy as np
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    approx = {
+        (r.query_id, r.neighbor_id): r.adc_sim
+        for r in vector.pq_topk(emb, q, k=20, m=16, k_codes=16).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in vector.brute_force_topk(emb, q, k=1 << 20).collect()
+    }
+    common = sorted(set(approx) & set(exact))
+    assert len(common) >= 40
+    a = np.asarray([approx[p] for p in common])
+    e = np.asarray([exact[p] for p in common])
+    assert np.abs(a - e).mean() < 0.2, np.abs(a - e).mean()
+    assert np.corrcoef(a, e)[0, 1] > 0.0
+
+
+def test_pq_topk_recall_floor(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in vector.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in vector.pq_topk(emb, q, k=5, m=16, k_codes=16).collect()
+    }
+    nq = q.count()
+    assert len(exact & approx) / (5 * nq) >= 0.2
