@@ -234,3 +234,48 @@ def pagerank_on(
     return ranks.select(
         F.col("__node").alias("node"), F.col("__rank").alias("rank")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over a SYMMETRIC edge relation:
+    each round computes out-degrees (= total degrees when both edge
+    directions are present) and drops every node with degree < ``k``
+    together with its incident edges. After enough rounds the fixpoint
+    is the k-core — the standard spam-farm / low-engagement-node
+    scrub of web-graph pipelines (a page kept alive only by a handful
+    of mutually-linking pages peels away; densely-embedded pages
+    survive).
+
+    Fixed ``rounds`` (not run-to-fixpoint) keeps the whole computation
+    ONE lazy plan with a statically-known shape — no per-round driver
+    actions at all, unlike ``connected_components``' convergence
+    probe; callers needing the exact core iterate until the count is
+    stable. Each round is one degree aggregation plus two semi-joins
+    (src side, dst side), all shuffling on the node key; the edge set
+    only SHRINKS, so per-round cost decays. ``localCheckpoint``
+    truncates lineage between rounds.
+
+    Returns surviving ``(node, degree)`` — degrees as of the LAST
+    peel, i.e. within the (rounds−1)-peeled graph; a converged run
+    has all degrees ≥ k.
+    """
+    e = edges.select(src, dst)
+    for r in range(max(1, rounds)):
+        deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select(src)
+        if r == rounds - 1:
+            return deg.join(keep, src, "left_semi").select(
+                F.col(src).alias("node"),
+                F.col("__deg").cast("long").alias("degree"),
+            )
+        e = (
+            e.join(keep, src, "left_semi")
+            .join(keep.withColumnRenamed(src, dst), dst, "left_semi")
+            .localCheckpoint(eager=False)
+        )

@@ -987,16 +987,32 @@ def pq_topk(
     per-partition local top-k keeps the merge shuffle at
     O(partitions·k·q).
     """
+    books = train_pq_codebooks(
+        corpus, m, k_codes, train_iters, id_col, vec_col
+    )
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+    return _pq_adc_topk(
+        encoded, books, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def _pq_adc_topk(
+    encoded: DataFrame,
+    books,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC scoring of an already-encoded code table against a bounded
+    query batch (shared by :func:`pq_topk` and
+    :func:`pq_search_store`)."""
     import numpy as np
     from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    books = train_pq_codebooks(
-        corpus, m, k_codes, train_iters, id_col, vec_col
-    )
-    sub = books.shape[2]
-    encoded = pq_encode(corpus, books, id_col, vec_col)
-
+    m, k_codes, sub = books.shape
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
@@ -1018,7 +1034,7 @@ def pq_topk(
     out_schema = StructType(
         [
             StructField(query_id_col, queries.schema[id_col].dataType, True),
-            StructField("neighbor_id", corpus.schema[id_col].dataType, True),
+            StructField("neighbor_id", encoded.schema[id_col].dataType, True),
             StructField("adc_sim", DoubleType(), True),
         ]
     )
@@ -1057,4 +1073,68 @@ def pq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def pq_store(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE PQ index: ``(codes_df, books_df)`` where
+    ``codes_df`` is ``(id, pq_codes array<int>)`` — the ~32×-compressed
+    corpus representation — and ``books_df`` is ``(sub int, code int,
+    centroid array<double>)``, the ``m × k_codes`` codebook rows.
+    Write both as parquet and every future query batch searches via
+    :func:`pq_search_store` without touching the embedding column
+    again (the PQ twin of ``dedup.minhash_store``): at 100 TB the hot
+    index is a few bytes per vector plus a codebook that fits in one
+    broadcast.
+
+    Codes are row-local given the codebooks, so a new ingest batch
+    appends its own codes without re-encoding the existing corpus —
+    train once (on a sample), encode forever.
+    """
+    books = train_pq_codebooks(
+        corpus, m, k_codes, train_iters, id_col, vec_col
+    )
+    codes_df = pq_encode(corpus, books, id_col, vec_col)
+    spark = corpus.sparkSession
+    books_df = spark.createDataFrame(
+        [
+            (j, c, books[j, c].tolist())
+            for j in range(m)
+            for c in range(k_codes)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+    return codes_df, books_df
+
+
+def pq_search_store(
+    codes_df: DataFrame,
+    books_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index from :func:`pq_store`.
+    The codebook (``m × k_codes`` rows) is the only thing collected
+    besides the bounded query batch; the scan reads codes only."""
+    import numpy as np
+
+    rows = books_df.collect()  # bounded: m × k_codes centroid rows
+    m = 1 + max(r["sub"] for r in rows)
+    k_codes = 1 + max(r["code"] for r in rows)
+    sub = len(rows[0]["centroid"])
+    books = np.zeros((m, k_codes, sub))
+    for r in rows:
+        books[r["sub"], r["code"]] = r["centroid"]
+    return _pq_adc_topk(
+        codes_df, books, queries, k, id_col, vec_col, query_id_col
     )

@@ -195,6 +195,15 @@ def running_counts_stateful(
     State is a single (count, total) pair per key — O(keys) memory,
     which is the boundedness argument at scale (keys must be bounded or
     timeouts must evict; here event_type is a small enum).
+
+    Why not Spark 4's ``transformWithStateInPandas``: its Python
+    runner hard-requires ``google.protobuf`` (state-server wire
+    format), which this container lacks (verified: the streaming
+    runner crashes at init with an ImportError; no-install
+    environment). ``applyInPandasWithState`` covers the same
+    arbitrary-state semantics minus composite state/timers — a
+    deployment with protobuf available can port this processor to the
+    newer API mechanically (ValueState + per-key handleInputRows).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -130,3 +130,36 @@ def test_near_dup_clusters_transitive(spark):
     }
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == 4
+
+
+def test_kcore_peel_cascades_on_path_graph(spark):
+    """A path graph peels from the ends inward at k=2: each round
+    removes exactly the two endpoints, so surviving-node count after
+    r rounds is n - 2(r-1) at return time (degrees are measured
+    before the final peel and filtered >= k) — the multi-round
+    cascade the dense trade-graph query can't exercise."""
+    from financial_data_pipeline_optimization_spark.operators.graph import kcore_peel
+
+    n = 9  # path 0-1-2-...-8
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    for rounds, expect in ((1, 7), (2, 5), (3, 3)):
+        got = sorted(
+            r.node for r in kcore_peel(edges, k=2, rounds=rounds).collect()
+        )
+        lo = rounds - 1
+        assert got == list(range(lo + 1, n - lo - 1)), (rounds, got)
+
+
+def test_kcore_peel_dense_graph_is_stable(spark):
+    """A clique of 5 at k=4 survives any number of rounds with every
+    degree intact — peeling must not erode a true core."""
+    from financial_data_pipeline_optimization_spark.operators.graph import kcore_peel
+
+    nodes = range(5)
+    sym = [(a, b) for a in nodes for b in nodes if a != b]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    rows = kcore_peel(edges, k=4, rounds=3).collect()
+    assert sorted(r.node for r in rows) == list(nodes)
+    assert all(r.degree == 4 for r in rows)

@@ -315,3 +315,34 @@ def test_pq_topk_recall_floor(spark):
     }
     nq = q.count()
     assert len(exact & approx) / (5 * nq) >= 0.2
+
+
+def test_pq_topk_empty_query_side(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = emb.filter(F.col("vec_id") < 0)  # empty
+    assert vector.pq_topk(emb, q, k=3, m=8, k_codes=8).count() == 0
+
+
+def test_pq_store_roundtrip_matches_direct(spark, tmp_path):
+    """Persist the PQ index to parquet, read it back, search — results
+    must equal the direct pq_topk on the same corpus/queries (codes
+    and codebooks are the complete search state)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    direct = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in vector.pq_topk(emb, q, k=4, m=8, k_codes=16).collect()
+    }
+    codes_df, books_df = vector.pq_store(emb, m=8, k_codes=16)
+    codes_df.write.parquet(str(tmp_path / "codes"))
+    books_df.write.parquet(str(tmp_path / "books"))
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in vector.pq_search_store(
+            spark.read.parquet(str(tmp_path / "codes")),
+            spark.read.parquet(str(tmp_path / "books")),
+            q,
+            k=4,
+        ).collect()
+    }
+    assert got == direct
