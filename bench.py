@@ -75,6 +75,11 @@ HEADLINE = [
     # two new physical shapes worth a round-over-round trend line.
     "pca_top_component",
     "interval_overlap_weekly",
+    # r5c additions: corpus-wide shingle first-sighting (hash-keyed
+    # min-agg + join-back — the novelty scoring scan) and the
+    # aggregate-then-window relative length gate.
+    "shingle_novelty_score",
+    "relative_length_filter",
 ]
 
 

@@ -81,3 +81,28 @@ def calendar_columns(date_col: Column | str) -> dict[str, Column]:
         "Quarter": F.quarter(c),
         "Weekday": weekday_name(c),
     }
+
+
+def explode_nonempty(col: Column | str) -> Column:
+    """``explode`` for array expressions that are NON-EMPTY BY
+    CONSTRUCTION (``tokens()`` ≥ ``['']``, ``with_shingles`` ≥ 1,
+    ``transform(sequence(1, greatest(.., 1)))``, …).
+
+    Implemented as ``explode_outer``, because for plain ``explode``
+    Catalyst infers a ``size(<array expr>) > 0`` filter and pushes it
+    below the Generate — substituting the FULL array expression into
+    the filter, which then re-evaluates the whole (often
+    HOF-interpreted) array construction a second time per row, and,
+    once pushed through an Exchange, on the PRE-shuffle partitioning
+    (a single-file corpus = one core doing all the work twice:
+    measured 10 s vs 0.5 s on the sf0.1 shingle table). For a
+    non-empty array the inferred filter can never drop a row, so
+    ``explode_outer`` — which infers nothing — is semantically
+    identical and skips both re-evaluations.
+
+    Precondition: the array is also non-NULL for rows that must
+    survive — on a NULL array ``explode`` drops the row while
+    ``explode_outer`` emits one null row. Do NOT use over arrays that
+    can legitimately be empty (e.g. ``F.filter(...)`` results).
+    """
+    return F.explode_outer(col)

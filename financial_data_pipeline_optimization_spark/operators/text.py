@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from financial_data_pipeline_optimization_spark.functions import explode_nonempty
+
 #: Per-language marker stopwords for the n-gram/stopword language-ID
 #: heuristic. Deliberately tiny and deterministic — a real deployment
 #: would swap in fastText/CLD3 via a Pandas UDF (same plumbing).
@@ -228,7 +230,7 @@ def repetition_stats(
     """
     from financial_data_pipeline_optimization_spark.operators.dedup import with_shingles
 
-    tok = df.select(id_col, F.explode(tokens(text_col)).alias("__tok"))
+    tok = df.select(id_col, explode_nonempty(tokens(text_col)).alias("__tok"))
     tok_agg = (
         tok.groupBy(id_col, "__tok")
         .agg(F.count("*").alias("__c"))
@@ -242,7 +244,7 @@ def repetition_stats(
     big = with_shingles(
         df.select(id_col, text_col), text_col, n=2,
         out_col="__bg", distinct=False,
-    ).select(id_col, F.explode("__bg").alias("__bg"))
+    ).select(id_col, explode_nonempty("__bg").alias("__bg"))
     bg_agg = (
         big.groupBy(id_col, "__bg")
         .agg(F.count("*").alias("__c"))
@@ -494,7 +496,7 @@ def dup_span_stats(
     spans = (
         base.select(
             id_col,
-            F.explode(
+            explode_nonempty(
                 F.transform(
                     F.sequence(
                         F.lit(1),
@@ -862,11 +864,18 @@ def template_prefix_flags(
     candidate join.
 
     Scale shape: the prefix is a row-local map hashed to md5, the
-    profile is one ``(source, prefix-hash)`` partial-agg count of
-    distinct ids — shuffles 16-byte keys only — and the flag joins
-    back on the same key (the profile side is the distinct-prefix set;
-    at web scale it is corpus-sized/doc-length smaller than the corpus
-    and AQE picks the join strategy). Documents never move.
+    profile is one ``(source, prefix-hash)`` partial-agg count —
+    shuffles 16-byte keys only — and the flag joins back on the same
+    key (the profile side is the distinct-prefix set; at web scale it
+    is corpus-sized/doc-length smaller than the corpus and AQE picks
+    the join strategy). Documents never move: the probe side keeps its
+    (id, prefix) rows in place and only the tiny profile exchanges +
+    broadcasts (pinned in ``tests/test_curation_extras.py``).
+
+    Precondition: ``df`` has ONE ROW PER ``id_col`` (the normal corpus
+    shape) — the profile counts rows, not distinct ids, precisely so
+    the aggregation needs no extra distinct exchange; dedup upstream
+    if ids can repeat.
 
     Returns ``(id, source, is_template boolean)``.
     """
@@ -878,7 +887,7 @@ def template_prefix_flags(
         ).alias("__p"),
     )
     prof = pre.groupBy(source_col, "__p").agg(
-        F.count_distinct(F.col(id_col)).alias("__nd")
+        F.count(F.lit(1)).alias("__nd")
     )
     return pre.join(prof, [source_col, "__p"]).select(
         id_col,

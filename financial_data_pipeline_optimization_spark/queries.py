@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from financial_data_pipeline_optimization_spark.functions import portable_id
+from financial_data_pipeline_optimization_spark.functions import explode_nonempty, portable_id
 from financial_data_pipeline_optimization_spark.operators import (
     clean,
     dedup,
@@ -2089,7 +2089,7 @@ def q_corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.with_shingles(
         docs.select("doc_id", "text"), "text", n=2, out_col="sh",
         distinct=False,
-    ).select("doc_id", F.explode(F.col("sh")).alias("bigram"))
+    ).select("doc_id", explode_nonempty(F.col("sh")).alias("bigram"))
     return (
         sh.groupBy("bigram")
         .agg(
@@ -2131,7 +2131,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(text_ops.tokens(F.col("text"))).alias("token")
+        "doc_id", explode_nonempty(text_ops.tokens(F.col("text"))).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("token").agg(
@@ -4623,7 +4623,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(text_ops.tokens("text")).alias("token")
+        explode_nonempty(text_ops.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
@@ -4739,7 +4739,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(text_ops.tokens("text")).alias("token")
+        "doc_id", explode_nonempty(text_ops.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
     # Vocabulary-sized; lazily checkpointed so the corpus total reuses
     # the materialized counts instead of re-scanning + re-exploding the
@@ -4864,7 +4864,7 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.select(F.col(idc), t.alias("t"))
             .select(
                 idc,
-                F.explode(
+                explode_nonempty(
                     F.transform(
                         F.sequence(
                             F.lit(0),
@@ -5555,7 +5555,7 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1, b = 1.2, 0.75
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(text_ops.tokens("text")).alias("token")
+        "doc_id", explode_nonempty(text_ops.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("dl"),
@@ -5770,7 +5770,7 @@ def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bi = (
         filt.filter(F.size("t") >= 2)
-        .select("doc_id", F.explode(bg).alias("b"))
+        .select("doc_id", explode_nonempty(bg).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
     bc = bi.groupBy("w1", "w2").agg(
@@ -6139,7 +6139,7 @@ def q_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     tok = (
-        docs.select(F.explode(text_ops.tokens("text")).alias("token"))
+        docs.select(explode_nonempty(text_ops.tokens("text")).alias("token"))
         .filter(F.col("token") != "")
         .localCheckpoint(eager=False)  # reused: sketch pass + exact pass
     )
@@ -6510,7 +6510,7 @@ def q_pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         toks.where((F.size(t) >= 2) & (F.element_at(t, 1) != ""))
         .select(
-            F.explode(
+            explode_nonempty(
                 F.transform(
                     F.sequence(F.lit(1), F.size(t) - 1),
                     lambda i: F.struct(
@@ -7124,7 +7124,7 @@ def q_near_decontaminate_report(
         dedup.with_shingles(
             docs.select("doc_id", "text"), "text", n=2, out_col="sh"
         )
-        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", explode_nonempty("sh").alias("s"))
         .select("doc_id", F.xxhash64("s").alias("h"))
         .localCheckpoint(eager=False)  # feeds both sides + both sizes
     )
@@ -8267,7 +8267,7 @@ def q_zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     uc = (
-        docs.select(F.explode(text_ops.tokens("text")).alias("w"))
+        docs.select(explode_nonempty(text_ops.tokens("text")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -9109,4 +9109,61 @@ def q_template_prefix_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text_ops.template_prefix_flags(
         docs, "doc_id", "source", "text", k=5, min_docs=2
+    )
+
+
+@_register(
+    "kcore_trade_graph",
+    """
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    e0 AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+    d0 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+    k0 AS (SELECT src FROM d0 WHERE deg >= 16),
+    e1 AS (SELECT e.src, e.dst FROM e0 e
+           JOIN k0 a ON e.src = a.src JOIN k0 b ON e.dst = b.src),
+    d1 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY 1),
+    k1 AS (SELECT src FROM d1 WHERE deg >= 16),
+    e2 AS (SELECT e.src, e.dst FROM e1 e
+           JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+    d2 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1)
+    SELECT src AS node,
+           CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(deg AS BIGINT) AS degree
+    FROM d2 WHERE deg >= 16
+    """,
+    doc="Fixed-round k-core peel (operators.graph.kcore_peel, k=16, "
+    "3 rounds) over the bipartite customer-supplier trade graph — "
+    "the iterative-PEEL graph shape (degree agg + two node-keyed "
+    "semi-joins per round, edge set only shrinks, zero driver "
+    "actions: the whole peel is ONE lazy plan, unlike the "
+    "convergence-probed CC loop). Web-graph pipelines run this as "
+    "the spam-farm/low-engagement scrub. The oracle unrolls the "
+    "same three rounds as chained CTEs.",
+)
+def q_kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import graph as graph_ops
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)  # graph build runs once, not per round
+    core = graph_ops.kcore_peel(edges, k=16, rounds=3)
+    return core.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        "degree",
     )

@@ -56,21 +56,30 @@ def test_shingle_novelty_partial_overlap_fraction(spark):
     assert got[2] == (3, 1)
 
 
-def test_shingle_novelty_never_shuffles_documents(spark):
-    """Every Exchange in the novelty plan carries only (hash, id,
-    aggregate) rows — the text column must never appear in an
-    Exchange input (documents never move)."""
+def test_shingle_novelty_shuffles_text_only_in_spread(spark):
+    """The only Exchange allowed to carry the text column is the one
+    deliberate ``_spread`` repartition (keyed on doc_id, before the
+    shingle map); every shingle-keyed exchange downstream moves only
+    (hash, id, aggregate) rows."""
     df = _docs(spark, [(1, "a b c"), (2, "a b c")])
     out = dedup.shingle_novelty(df, "doc_id", "text", n=2)
+    out.collect()
     exchanges = [
         n for n in _walk(_executed_plan(out)) if "Exchange" in n.nodeName()
     ]
     assert exchanges, "plan has no Exchange node — wrong plan?"
+    with_text = 0
     for ex in exchanges:
         child = ex.children().apply(0)
         out_attrs = child.output()
         names = [out_attrs.apply(i).name() for i in range(out_attrs.length())]
-        assert "text" not in names, (ex.nodeName(), names)
+        head = ex.toString().splitlines()[0]
+        if "text" in names:
+            with_text += 1
+            assert "doc_id" in head and "__h" not in head, head
+        else:
+            continue
+    assert with_text <= 1, f"{with_text} exchanges carried text"
 
 
 def test_relative_length_flags_trim_boundaries(spark):
@@ -134,3 +143,46 @@ def test_template_prefix_flags_source_scoped(spark):
         ).collect()
     }
     assert got == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_relative_length_flags_join_is_broadcast(spark):
+    """The flags join must broadcast the tiny (group, count) verdict
+    table — a sort-merge join here would sort the whole corpus."""
+    from financial_data_pipeline_optimization_spark.sources import load_table
+    from .conftest import SF_CORRECTNESS
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    df = text.relative_length_flags(docs, "doc_id", "lang", "text")
+    df.collect()
+    nodes = [n.nodeName() for n in _walk(_executed_plan(df))]
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n for n in nodes), nodes
+
+
+def test_template_prefix_probe_side_never_shuffles(spark):
+    """Only the (source, prefix-hash) profile may exchange; the probe
+    side's per-document rows stay in place and the join broadcasts.
+    One shuffle total, and no Exchange input carries the text column."""
+    from financial_data_pipeline_optimization_spark.sources import load_table
+    from .conftest import SF_CORRECTNESS
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    df = text.template_prefix_flags(docs, "doc_id", "source", "text")
+    df.collect()
+    plan = _executed_plan(df)
+    shuffles = [
+        n
+        for n in _walk(plan)
+        if n.nodeName().startswith("Exchange")
+        or "ShuffleExchange" in n.nodeName()
+    ]
+    assert len(shuffles) == 1, [n.nodeName() for n in _walk(plan)]
+    for ex in shuffles:
+        out_attrs = ex.children().apply(0).output()
+        names = [
+            out_attrs.apply(i).name() for i in range(out_attrs.length())
+        ]
+        assert "text" not in names, names
+    assert any(
+        "BroadcastHashJoin" in n.nodeName() for n in _walk(plan)
+    )
