@@ -186,3 +186,25 @@ def test_template_prefix_probe_side_never_shuffles(spark):
     assert any(
         "BroadcastHashJoin" in n.nodeName() for n in _walk(plan)
     )
+
+
+def test_no_inferred_size_filter_recomputes_shingles(spark):
+    """Regression gate for the explode() inferred-filter pathology:
+    plain explode makes Catalyst infer size(<array expr>) > 0 and push
+    it below the Generate with the FULL array expression substituted —
+    the shingle construction then runs twice (and, pushed through an
+    Exchange, on the pre-shuffle partitioning: 20× at sf0.1). The
+    shingle/token explode sites use functions.explode_nonempty, so no
+    Filter node in these plans may contain the shingle-builder
+    expression (concat_ws over a slice)."""
+    from .conftest import SF_SMOKE
+    from .test_plan_quality import SPECS
+
+    for name in ("shingle_novelty_score", "corpus_top_bigrams",
+                 "contamination_report", "unigram_logprob_score"):
+        df = SPECS[name].spark(spark, SF_SMOKE)
+        for node in _walk(_executed_plan(df)):
+            if node.nodeName().startswith("Filter"):
+                cond = node.toString().splitlines()[0]
+                assert "concat_ws" not in cond, (name, cond[:200])
+                assert "regexp_replace" not in cond, (name, cond[:200])
