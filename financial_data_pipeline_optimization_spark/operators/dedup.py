@@ -367,14 +367,23 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into ``bands``
     16-bit chunks (pigeonhole: any pair within Hamming distance
     ``bands-1`` shares an exact chunk), bucket-join on chunks, verify
     with ``bit_count(a XOR b) <= max_hamming``. Returns
-    ``(a, b, hamming)`` with ``a < b``."""
+    ``(a, b, hamming)`` with ``a < b``.
+
+    ``materialize_signatures`` (default True) lazily checkpoints the
+    signature table before the self-join — without it BOTH join sides
+    re-run the 64-bit vote aggregate over every document, doubling the
+    dominant cost (the same share-across-join-sides discipline as
+    ``minhash_lsh_pairs``). Disable to keep the plan fully lazy."""
     width = 64 // bands
     base = with_simhash(_spread(df.select(id_col, text_col), id_col), text_col)
+    if materialize_signatures:
+        base = base.localCheckpoint(eager=False)
     banded = base.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),

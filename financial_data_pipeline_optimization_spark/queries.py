@@ -4249,10 +4249,14 @@ def _knn_recall_query(method: str, floor: float):
             # more planes.
             approx = vector.lsh_topk(emb, queries_df, k=k, num_planes=4)
         elif method == "pq":
-            # m=16 subspaces × 16 codes: measured recall .30-.35
-            # across SFs on the near-orthogonal synthetic embeddings
-            # (finer subspaces beat more codes here; deterministic).
-            approx = vector.pq_topk(emb, queries_df, k=k, m=16, k_codes=16)
+            # m=16 subspaces × 16 codes, ONE Lloyd round: measured
+            # recall .30-.45 across SFs on the near-orthogonal
+            # synthetic embeddings (finer subspaces beat more codes,
+            # and a second training round adds a full corpus scan for
+            # zero recall gain here; deterministic).
+            approx = vector.pq_topk(
+                emb, queries_df, k=k, m=16, k_codes=16, train_iters=1
+            )
         else:
             approx = vector.ivf_topk(emb, queries_df, k=k)
         overlap = exact.join(
@@ -4434,7 +4438,9 @@ def q_simhash_planted_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = docs.unionByName(planted)
-    pairs = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=3)
+    pairs = dedup.simhash_pairs(
+        corpus, "doc_id", "text", max_hamming=3
+    ).localCheckpoint(eager=False)  # three consumers below, one run
     planted_pairs = pairs.filter(
         (F.col("b") >= 10_000_000)
         & (F.col("b") - 10_000_000 == F.col("a"))
