@@ -114,3 +114,37 @@ def observed_quality(
             F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"neg_{c}")
         )
     return df.observe(obs, *metrics), obs
+
+
+def expectations_report(
+    df: DataFrame,
+    rules: Sequence[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Declarative expectation suite (the dbt-test / Great-Expectations
+    shape): each rule is ``(name, boolean Column)``; a row VIOLATES a
+    rule when the predicate is false or NULL (three-valued logic made
+    strict — an unknown is a failure, never a silent pass).
+
+    All rules evaluate in ONE aggregate pass over the table — a
+    100-rule suite still costs a single scan with map-side partial
+    aggregation, where one-query-per-rule tooling scans the table once
+    per rule. Returns long-format ``(rule, n_rows, n_violations,
+    passed)``, one row per rule in input order.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            (~F.coalesce(cond, F.lit(False))).cast("long")
+        ).alias(f"__v_{i}")
+        for i, (_, cond) in enumerate(rules)
+    ]
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v_{i}").alias("n_violations"),
+            (F.col(f"__v_{i}") == 0).alias("passed"),
+        )
+        for i, (name, _) in enumerate(rules)
+    ]
+    return row.select(F.inline(F.array(*entries)))

@@ -149,3 +149,107 @@ def funnel_counts(
         "exact_deduped": row["n_exact_deduped"],
         "near_deduped": row["n_near_deduped"],
     }
+
+
+def incremental_ingest(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    min_jaccard: float = 0.8,
+    pair_source: str = "exact",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingestion gate: accept the NEW batch's documents
+    that are neither exact nor near duplicates of the EXISTING corpus
+    — the production corpus-refresh shape (never recluster the world;
+    compare the new batch against what is already held).
+
+    Stages, cheap-first like :func:`curate_corpus`:
+
+    1. **exact cross-batch dedup** — canonical-text fingerprint
+       (``text.with_fingerprint``), anti-join the new batch's
+       fingerprints against the old corpus' distinct fingerprint set
+       (16-byte keys; at scale the old side is the persisted
+       fingerprint column, not a corpus scan);
+    2. **near-dup cross-batch** — ``pair_source='exact'``: exact
+       n-gram Jaccard on the union, keeping only old→new pairs (the
+       oracle-verifiable path); ``pair_source='lsh'``: the
+       ``dedup.minhash_store`` + ``dedup.incremental_near_dups``
+       banded index — the 100 TB path, where only the new batch's
+       band rows shuffle against the stored index (verified-subset
+       equivalence to the exact path is pinned in
+       ``tests/test_dedup.py``).
+
+    Returns ``(accepted, report)``: ``accepted`` is the surviving
+    slice of ``new`` (original columns); ``report`` is one row of
+    stage counts ``(n_old, n_new, n_exact_dup, n_near_dup,
+    n_accepted)`` — each rejection counted at the FIRST stage that
+    catches it, so the counts always sum: ``n_new = n_exact_dup +
+    n_near_dup + n_accepted``.
+    """
+    old_fp = (
+        text.with_fingerprint(old.select(id_col, text_col), text_col)
+        .select("fingerprint")
+        .distinct()
+    )
+    new_fp = text.with_fingerprint(new, text_col)
+    exact_dupes = new_fp.join(old_fp, "fingerprint", "left_semi")
+    survivors = new_fp.join(old_fp, "fingerprint", "left_anti").drop(
+        "fingerprint"
+    )
+
+    if pair_source == "exact":
+        both = old.select(id_col, text_col).unionByName(
+            survivors.select(id_col, text_col)
+        )
+        pairs = dedup.ngram_jaccard_pairs(
+            both, id_col, text_col, n=shingle_n, min_jaccard=min_jaccard
+        )
+        old_ids = old.select(F.col(id_col).alias("__oid"))
+        new_ids = survivors.select(F.col(id_col).alias("__nid"))
+        near_hit_ids = (
+            pairs.join(new_ids, pairs["b"] == new_ids["__nid"], "left_semi")
+            .join(old_ids, pairs["a"] == old_ids["__oid"], "left_semi")
+            .select(F.col("b").alias(id_col))
+            .union(
+                pairs.join(
+                    new_ids, pairs["a"] == new_ids["__nid"], "left_semi"
+                )
+                .join(old_ids, pairs["b"] == old_ids["__oid"], "left_semi")
+                .select(F.col("a").alias(id_col))
+            )
+            .distinct()
+        )
+    elif pair_source == "lsh":
+        new_store = dedup.minhash_store(
+            survivors, id_col, text_col, shingle_n=shingle_n
+        )
+        old_store = dedup.minhash_store(
+            old, id_col, text_col, shingle_n=shingle_n
+        )
+        near_hit_ids = (
+            dedup.incremental_near_dups(
+                new_store, old_store, min_jaccard=min_jaccard
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+    else:
+        raise ValueError(
+            f"pair_source must be 'exact' or 'lsh', got {pair_source!r}"
+        )
+
+    accepted = survivors.join(near_hit_ids, id_col, "left_anti")
+
+    n_old = old.count()
+    n_new = new.count()
+    n_exact = exact_dupes.count()
+    n_near = near_hit_ids.count()
+    spark = new.sparkSession
+    report = spark.createDataFrame(
+        [(n_old, n_new, n_exact, n_near, n_new - n_exact - n_near)],
+        "n_old bigint, n_new bigint, n_exact_dup bigint, "
+        "n_near_dup bigint, n_accepted bigint",
+    )
+    return accepted, report

@@ -9173,3 +9173,121 @@ def q_kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         "degree",
     )
+
+
+@_register(
+    "incremental_ingest_report",
+    f"""
+    WITH fp AS (SELECT doc_id, (doc_id % 5 = 0) AS is_new,
+                       md5(array_to_string({_ORACLE_TOKENS}, ' ')) AS f
+                FROM documents),
+    oldfp AS (SELECT DISTINCT f FROM fp WHERE NOT is_new),
+    exacts AS (SELECT doc_id FROM fp
+               WHERE is_new AND f IN (SELECT f FROM oldfp)),
+    surv AS (SELECT doc_id FROM fp
+             WHERE is_new AND f NOT IN (SELECT f FROM oldfp)),
+    t AS (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i+1:i+2], ' ') AS s
+           FROM t, UNNEST(range(greatest(len(tk)-1, 1))) AS u(i)),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM inter
+              JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+              WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8),
+    near AS (SELECT DISTINCT n FROM (
+               SELECT b AS n, a AS o FROM pairs
+               UNION ALL SELECT a AS n, b AS o FROM pairs)
+             WHERE n IN (SELECT doc_id FROM surv) AND o % 5 != 0)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM fp WHERE NOT is_new)
+             AS n_old,
+           (SELECT CAST(count(*) AS BIGINT) FROM fp WHERE is_new)
+             AS n_new,
+           (SELECT CAST(count(*) AS BIGINT) FROM exacts) AS n_exact_dup,
+           (SELECT CAST(count(*) AS BIGINT) FROM near) AS n_near_dup,
+           (SELECT CAST(count(*) AS BIGINT) FROM surv)
+             - (SELECT CAST(count(*) AS BIGINT) FROM near) AS n_accepted
+    """,
+    doc="Continuous-ingestion gate end-to-end (plans.corpus."
+    "incremental_ingest): split the corpus into an existing 80% and a "
+    "new 20% batch (doc_id % 5), then accept only new docs that are "
+    "neither exact-fingerprint nor >=0.8-bigram-Jaccard near-dups of "
+    "the EXISTING corpus — rejections counted at the first stage that "
+    "catches them, so n_new = n_exact_dup + n_near_dup + n_accepted "
+    "by construction. The production pair source is the persisted "
+    "MinHash band store (only the new batch's band rows shuffle "
+    "against the index; equivalence pinned in tests/test_dedup.py); "
+    "the driver-checked path runs the exact-Jaccard twin so the "
+    "oracle can recompute every stage in SQL.",
+)
+def q_incremental_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.plans import corpus as corpus_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    _accepted, report = corpus_plan.incremental_ingest(
+        old, new, shingle_n=2, min_jaccard=0.8, pair_source="exact"
+    )
+    return report
+
+
+@_register(
+    "quality_expectations_report",
+    """
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(sum(CASE WHEN NOT coalesce(o_orderdate IS NOT NULL, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'),
+                                             FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN NOT coalesce(
+                             o_orderpriority LIKE '_-%', FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(sum(CASE WHEN NOT coalesce(o_custkey > 0, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v4
+      FROM orders
+    )
+    SELECT r.rule, agg.n AS n_rows, r.v AS n_violations,
+           (r.v = 0) AS passed
+    FROM agg, LATERAL (VALUES
+      ('positive_totalprice', v0),
+      ('orderdate_not_null', v1),
+      ('status_in_domain', v2),
+      ('priority_shape', v3),
+      ('positive_custkey', v4)) AS r(rule, v)
+    """,
+    doc="Declarative expectation suite (operators.checks."
+    "expectations_report): five rules over orders — positivity, "
+    "non-null, domain membership, format shape — ALL evaluated in one "
+    "aggregate pass (a 100-rule suite still costs one scan; "
+    "per-rule-query tooling costs one scan per rule). NULL predicate "
+    "= violation, never a silent pass. The oracle replays the strict "
+    "three-valued-logic counts per rule.",
+)
+def q_quality_expectations_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import checks
+
+    orders = _t(spark, sf_dir, "orders")
+    return checks.expectations_report(
+        orders,
+        [
+            ("positive_totalprice", F.col("o_totalprice") > 0),
+            ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+            (
+                "status_in_domain",
+                F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+            (
+                "priority_shape",
+                F.col("o_orderpriority").like("_-%"),
+            ),
+            ("positive_custkey", F.col("o_custkey") > 0),
+        ],
+    )

@@ -51,3 +51,47 @@ def test_funnel_counts_monotone_decreasing(spark):
     vals = [c[k] for k in order]
     assert vals == sorted(vals, reverse=True)
     assert vals[-1] > 0
+
+
+def test_incremental_ingest_partitions_the_new_batch(spark):
+    """accepted + exact-rejected + near-rejected exactly partition the
+    new batch (each rejection counted at its first stage), and the
+    report's arithmetic invariant holds."""
+    from financial_data_pipeline_optimization_spark.plans.corpus import (
+        incremental_ingest,
+    )
+    from .conftest import SF_CORRECTNESS
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    accepted, report = incremental_ingest(old, new, pair_source="exact")
+    r = report.collect()[0]
+    assert r.n_new == r.n_exact_dup + r.n_near_dup + r.n_accepted
+    assert r.n_near_dup > 0, "planted cross-batch near-dups must be caught"
+    got = accepted.count()
+    assert got == r.n_accepted
+    assert accepted.join(new, "doc_id", "left_anti").count() == 0
+    assert sorted(accepted.columns) == sorted(new.columns)
+
+
+def test_incremental_ingest_lsh_is_verified_subset(spark):
+    """The LSH store path may only reject documents the exact path
+    rejects (verified pairs are a subset of exact pairs), so
+    accepted_exact ⊆ accepted_lsh and both satisfy the same report
+    arithmetic."""
+    from financial_data_pipeline_optimization_spark.plans.corpus import (
+        incremental_ingest,
+    )
+    from .conftest import SF_CORRECTNESS
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    acc_exact, _ = incremental_ingest(old, new, pair_source="exact")
+    acc_lsh, rep_lsh = incremental_ingest(old, new, pair_source="lsh")
+    exact_ids = {r.doc_id for r in acc_exact.collect()}
+    lsh_ids = {r.doc_id for r in acc_lsh.collect()}
+    assert exact_ids <= lsh_ids
+    r = rep_lsh.collect()[0]
+    assert r.n_new == r.n_exact_dup + r.n_near_dup + r.n_accepted

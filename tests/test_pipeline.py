@@ -98,3 +98,32 @@ def test_unknown_ticker_company_null_then_filled(spark):
     assert (
         curated.filter(F.col("Company") == "Unknown").count() == 2
     )
+
+
+def test_expectations_report_single_scan_and_null_strictness(spark):
+    """All rules run in ONE aggregate pass (exactly one HashAggregate
+    pair, no per-rule scan) and a NULL predicate counts as a
+    violation, never a silent pass."""
+    from financial_data_pipeline_optimization_spark.operators.checks import (
+        expectations_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)], "id long, v double"
+    )
+    rows = {
+        r.rule: (r.n_violations, r.passed)
+        for r in expectations_report(
+            df,
+            [
+                ("v_positive", F.col("v") > 0),  # NULL row must violate
+                ("id_positive", F.col("id") > 0),
+            ],
+        ).collect()
+    }
+    assert rows["v_positive"] == (2, False)  # NULL and -1.0
+    assert rows["id_positive"] == (0, True)
+    out = expectations_report(df, [("p", F.col("id") > 0)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
