@@ -407,3 +407,94 @@ def test_calendar_derivations_match_duckdb(dates, k):
     assert got == want, {
         i: (got[i], want[i]) for i in got if got[i] != want[i]
     }
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.integers(0, 100),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    right_rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.integers(0, 100),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    join_type=st.sampled_from(
+        ["INNER", "LEFT", "FULL", "SEMI", "ANTI"]
+    ),
+    null_safe=st.booleans(),
+)
+@SET
+def test_generated_join_null_semantics_match_duckdb(
+    left_rows, right_rows, join_type, null_safe
+):
+    """Join-type × null-key differential: NULL keys never match under
+    plain equality but DO under null-safe equality (Spark <=> vs SQL
+    IS NOT DISTINCT FROM); SEMI/ANTI/FULL each handle the unmatched
+    side differently. Fuzz all of it on tiny tables with nullable
+    keys — the null-handling corner every hand-written oracle pair
+    tiptoes around."""
+    import pandas as pd
+
+    ldf = SPARK.createDataFrame(
+        [(k, v) for k, v in left_rows] or [(None, -1)],
+        "lk int, lv int",
+    )
+    rdf = SPARK.createDataFrame(
+        [(k, v) for k, v in right_rows] or [(None, -1)],
+        "rk int, rv int",
+    )
+    cond = (
+        ldf["lk"].eqNullSafe(rdf["rk"])
+        if null_safe
+        else ldf["lk"] == rdf["rk"]
+    )
+    stype = {
+        "INNER": "inner",
+        "LEFT": "left",
+        "FULL": "full",
+        "SEMI": "left_semi",
+        "ANTI": "left_anti",
+    }[join_type]
+    j = ldf.join(rdf, cond, stype)
+    if join_type in ("SEMI", "ANTI"):
+        j = j.select("lk", "lv")
+        cols_sql = "l.lk, l.lv"
+    else:
+        j = j.select("lk", "lv", "rk", "rv")
+        cols_sql = "l.lk, l.lv, r.rk, r.rv"
+    nk = lambda t: tuple((x is None, x or 0) for x in t)  # noqa: E731
+    got = sorted((tuple(r) for r in j.collect()), key=nk)
+    fuzz_l = pd.DataFrame(  # noqa: F841 — DuckDB reads it by name
+        [(k, v) for k, v in left_rows] or [(None, -1)],
+        columns=["lk", "lv"],
+        dtype="Int64",
+    )
+    fuzz_r = pd.DataFrame(  # noqa: F841
+        [(k, v) for k, v in right_rows] or [(None, -1)],
+        columns=["rk", "rv"],
+        dtype="Int64",
+    )
+    op = "IS NOT DISTINCT FROM" if null_safe else "="
+    sql = {
+        "INNER": f"SELECT {cols_sql} FROM fuzz_l l JOIN fuzz_r r ON l.lk {op} r.rk",
+        "LEFT": f"SELECT {cols_sql} FROM fuzz_l l LEFT JOIN fuzz_r r ON l.lk {op} r.rk",
+        "FULL": f"SELECT {cols_sql} FROM fuzz_l l FULL JOIN fuzz_r r ON l.lk {op} r.rk",
+        "SEMI": f"SELECT {cols_sql} FROM fuzz_l l SEMI JOIN fuzz_r r ON l.lk {op} r.rk",
+        "ANTI": f"SELECT {cols_sql} FROM fuzz_l l ANTI JOIN fuzz_r r ON l.lk {op} r.rk",
+    }[join_type]
+    want = sorted(
+        (
+            tuple(None if pd.isna(x) else int(x) for x in row)
+            for row in DUCK.execute(sql).fetchall()
+        ),
+        key=nk,
+    )
+    assert got == want, (sql, got[:5], want[:5])
