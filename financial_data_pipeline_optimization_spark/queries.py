@@ -9291,3 +9291,46 @@ def q_quality_expectations_report(
             ("positive_custkey", F.col("o_custkey") > 0),
         ],
     )
+
+
+@_register(
+    "lateral_topn_per_customer",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+           floor(t.o_totalprice * 100 + 0.50005)/100 AS total
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    ) t
+    WHERE c.c_custkey % 10 = 1
+    """,
+    doc="SQL-surface parity: correlated LATERAL derived table (top-3 "
+    "orders per customer) executed VERBATIM by spark.sql — Catalyst "
+    "decorrelates the per-row LIMIT into a row_number window over one "
+    "customer-keyed exchange plus a broadcast join (verified in the "
+    "executed plan), i.e. the same physical shape as the explicit "
+    "stratified_topn_orders query — the nested re-scan the SQL "
+    "surface suggests never runs. Both engines execute "
+    "near-identical SQL text.",
+)
+def q_lateral_topn_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+               floor(t.o_totalprice * 100 + 0.50005)/100 AS total
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) t
+        WHERE c.c_custkey % 10 = 1
+        """
+    )

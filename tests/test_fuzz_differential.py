@@ -498,3 +498,65 @@ def test_generated_join_null_semantics_match_duckdb(
         key=nk,
     )
     assert got == want, (sql, got[:5], want[:5])
+
+
+@given(
+    cols=st.sets(
+        st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+        min_size=1,
+        max_size=2,
+    ),
+    mode=st.sampled_from(["ROLLUP", "CUBE", "GROUPING SETS"]),
+    p1=_predicates(),
+)
+@SET
+def test_generated_grouping_analytics_match_duckdb(cols, mode, p1):
+    """ROLLUP/CUBE/GROUPING SETS differential: subtotal-row NULL
+    markers and GROUPING() flags are where multi-level aggregation
+    diverges between engines — fuzz random column subsets and modes
+    with a random filter underneath."""
+    cols = sorted(cols)
+    sc1, sql1 = p1
+    col_list = ", ".join(cols)
+    if mode == "GROUPING SETS":
+        # every prefix + the grand total — a rollup spelled explicitly
+        sets = ", ".join(
+            "(" + ", ".join(cols[:i]) + ")" for i in range(len(cols), 0, -1)
+        )
+        group_sql = f"GROUPING SETS ({sets}, ())"
+    else:
+        group_sql = f"{mode}({col_list})"
+    grouping_flags = ", ".join(f"GROUPING({c})" for c in cols)
+    sql = f"""
+    SELECT {col_list}, {grouping_flags},
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice)*100 + 0.50005)/100 AS s
+    FROM orders WHERE {sql1}
+    GROUP BY {group_sql}
+    """
+    got = sorted(
+        (tuple(r) for r in SPARK.sql(
+            sql.replace("FROM orders", "FROM spark_orders")
+        ).collect()),
+        key=lambda t: tuple((x is None, x if x is not None else 0) for x in t),
+    )
+    want = sorted(
+        (tuple(r) for r in DUCK.execute(sql).fetchall()),
+        key=lambda t: tuple((x is None, x if x is not None else 0) for x in t),
+    )
+    assert len(got) == len(want), (sql, len(got), len(want))
+    for gr, wr in zip(got, want):
+        for a, b in zip(gr, wr):
+            if isinstance(a, float) and isinstance(b, float):
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-6), (sql, gr, wr)
+            else:
+                assert a == b or (a is None and b is None), (sql, gr, wr)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _orders_view(spark, _bind):
+    from financial_data_pipeline_optimization_spark.sources import load_table
+
+    load_table(spark, SF_SMOKE, "orders").createOrReplaceTempView(
+        "spark_orders"
+    )
