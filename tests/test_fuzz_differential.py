@@ -560,3 +560,80 @@ def _orders_view(spark, _bind):
     load_table(spark, SF_SMOKE, "orders").createOrReplaceTempView(
         "spark_orders"
     )
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=10,
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=10,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@SET
+def test_asof_join_matches_duckdb_native_asof(
+    left_rows, right_rows, direction
+):
+    """operators.joins.asof_join (union-tag-window composition) vs
+    DuckDB's NATIVE ASOF JOIN on random keyed event/quote streams —
+    boundary inclusivity (<= / >=) and equal-timestamp ties are
+    exactly where as-of implementations disagree. Right side is
+    deduped to one row per (key, ts) first: with duplicate
+    timestamps 'the' as-of row is ill-defined and both engines pick
+    arbitrarily."""
+    import pandas as pd
+
+    from financial_data_pipeline_optimization_spark.operators.joins import (
+        asof_join,
+    )
+
+    right_dedup = {}
+    for k, t, v in right_rows:
+        right_dedup[(k, t)] = v
+    rr = [(k, t, v) for (k, t), v in sorted(right_dedup.items())]
+
+    ldf = SPARK.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k int, lt long",
+    ).withColumn("lt", F.timestamp_seconds("lt"))
+    rdf = SPARK.createDataFrame(
+        rr, "k int, rt long, val int"
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    j = asof_join(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+        direction=direction,
+    )
+    got = {
+        r["lid"]: (
+            None if r["rt"] is None else int(r["rt"].timestamp()),
+            r["val"],
+        )
+        for r in j.collect()
+    }
+    fuzz_left = pd.DataFrame(  # noqa: F841 — DuckDB reads it by name
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        columns=["lid", "k", "lt"],
+    )
+    fuzz_right = pd.DataFrame(  # noqa: F841
+        rr, columns=["k", "rt", "val"]
+    )
+    op = ">=" if direction == "backward" else "<="
+    want = {
+        r[0]: (r[1], r[2])
+        for r in DUCK.execute(
+            f"""
+            SELECT l.lid, r.rt, r.val
+            FROM fuzz_left l
+            ASOF LEFT JOIN fuzz_right r
+              ON l.k = r.k AND l.lt {op} r.rt
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for lid in got:
+        assert got[lid] == want[lid], (direction, lid, got[lid], want[lid])

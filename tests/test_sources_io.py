@@ -232,3 +232,21 @@ def test_observed_quality_rides_the_action(spark, tmp_path):
     assert got["n_rows"] == 3
     assert got["nulls_v"] == 1
     assert got["neg_v"] == 1
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema reads the union schema with nulls for the old
+    batch — the append-only ingestion contract at scale (schema grows,
+    old files never rewritten)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, v string"
+    ).write.parquet(p + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.id: (r.v, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert set(df.columns) >= {"id", "v", "score"}
