@@ -488,3 +488,80 @@ def test_interval_overlap_join_matches_naive(a, b, cell):
         if as_ <= bs_ + bl and bs_ <= as_ + al
     )
     assert got == expect
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 30)),
+        min_size=1,
+        max_size=40,
+    ),
+    lo=st.integers(0, 40),
+    hi=st.integers(60, 100),
+)
+@SET
+def test_relative_length_flags_matches_python_reference(
+    spark, counts, lo, hi
+):
+    """relative_length_flags vs a direct python recomputation of the
+    integer-CDF rule on arbitrary grouped count multisets — the
+    keep verdict is keep ⇔ cum_le(c)*100 > lo*tot AND
+    cum_lt(c)*100 < hi*tot, per group."""
+    rows = [
+        (i, g, " ".join(["w"] * c)) for i, (g, c) in enumerate(counts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    from financial_data_pipeline_optimization_spark.operators.text import (
+        relative_length_flags,
+    )
+
+    got = {
+        r.doc_id: r.keep
+        for r in relative_length_flags(
+            df, "doc_id", "lang", "text", lo_pct=lo, hi_pct=hi
+        ).collect()
+    }
+    by_group: dict[str, list[int]] = {}
+    for g, c in counts:
+        by_group.setdefault(g, []).append(c)
+    for i, (g, c) in enumerate(counts):
+        vals = by_group[g]
+        tot = len(vals)
+        cum_le = sum(1 for v in vals if v <= c)
+        cum_lt = sum(1 for v in vals if v < c)
+        want = cum_le * 100 > lo * tot and cum_lt * 100 < hi * tot
+        assert got[i] == want, (i, g, c, got[i], want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_shingle_novelty_matches_python_reference(spark, docs):
+    """shingle_novelty vs direct python first-sighting recomputation
+    on arbitrary small token streams (unigram shingles so the python
+    twin stays trivial)."""
+    from financial_data_pipeline_optimization_spark.operators.dedup import (
+        shingle_novelty,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_seen_before)
+        for r in shingle_novelty(df, "doc_id", "text", n=1).collect()
+    }
+    first: dict[str, int] = {}
+    for i, toks in enumerate(docs):
+        for t in set(toks):
+            first.setdefault(t, i)
+    for i, toks in enumerate(docs):
+        distinct = set(toks)
+        seen = sum(1 for t in distinct if first[t] < i)
+        assert got[i] == (len(distinct), seen), (i, got[i])
