@@ -21,12 +21,23 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: Iterable[str] | None = None,
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Parquet sink (K2). ``partition_by`` enables static + dynamic
     partition pruning on later reads — at 100 TB, curated tables should
     be partitioned by a date-derived column and clustered by key
-    (SURVEY.md §4.4)."""
-    writer = df.write.mode(mode)
+    (SURVEY.md §4.4).
+
+    ``compression='zstd'`` by default: at warehouse scale zstd's
+    ~15-30% size win over snappy (similar decode speed in modern
+    Spark) is petabytes; pass ``'snappy'`` for CPU-bound writers.
+    ``max_records_per_file`` caps file size so one giant task can't
+    emit a multi-GB file that later readers can't split across
+    row-group boundaries efficiently."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -250,3 +250,33 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: (r.v, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     assert set(df.columns) >= {"id", "v", "score"}
+
+
+def test_write_parquet_zstd_and_file_capping(spark, tmp_path):
+    """The parquet sink defaults to zstd (measurably smaller than
+    snappy on repetitive data) and maxRecordsPerFile bounds the
+    largest file a single task can emit."""
+    import glob
+
+    from financial_data_pipeline_optimization_spark.sources.sinks import write_parquet
+
+    df = spark.range(20000).selectExpr(
+        "id", "repeat('abcdef', 50) AS payload"
+    ).coalesce(1)
+    p_z = str(tmp_path / "zstd")
+    p_s = str(tmp_path / "snappy")
+    write_parquet(df, p_z)
+    write_parquet(df, p_s, compression="snappy")
+    size = lambda p: sum(  # noqa: E731
+        __import__("os").path.getsize(f)
+        for f in glob.glob(p + "/*.parquet")
+    )
+    assert size(p_z) < size(p_s)
+    back = spark.read.parquet(p_z)
+    assert back.count() == 20000
+
+    p_cap = str(tmp_path / "capped")
+    write_parquet(df, p_cap, max_records_per_file=5000)
+    files = glob.glob(p_cap + "/*.parquet")
+    assert len(files) >= 4  # 20k rows / 5k cap from one task
+    assert spark.read.parquet(p_cap).count() == 20000
