@@ -855,3 +855,90 @@ def shingle_novelty(
             F.lit(1.0) - F.col("n_seen_before") / F.col("n_shingles"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_containment: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: ordered pairs ``(a, b)`` where at
+    least ``min_containment`` of ``a``'s distinct ``n``-gram shingles
+    also appear in ``b`` — the sub-document duplication detector
+    (quote-expansion pages, article + boilerplate wrappers, excerpt
+    farms) that symmetric Jaccard structurally misses: a short doc
+    fully contained in a long one has low Jaccard but containment 1.0.
+
+    Candidate generation is prefix-filtered on the CONTAINED side
+    only: if ``|A∩B| >= ceil(t·|A|)`` then A's smallest
+    ``|A| - ceil(t·|A|) + 1`` hashes (global hash order) must hit B —
+    so A explodes just its prefix while B explodes its full shingle
+    set into the inverted index (containment gives no pruning bound
+    on B; the index is the corpus shingle table, the same asset the
+    decontamination join uses). Exact set-intersect verify on
+    candidates; both consumers read ONE materialized hashed-set
+    table. Returns ``(a, b, containment)`` — ordered, both directions
+    possible.
+    """
+    sets = (
+        with_shingles(
+            _spread(df.select(id_col, text_col), id_col), text_col, n=n
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                )
+            ).alias("__sh"),
+        )
+        .withColumn("set_size", F.size("__sh"))
+        .localCheckpoint(eager=False)  # feeds prefix, index, and verify
+    )
+    t = float(min_containment)
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size")) + 1
+    ).cast("int")
+    pref = sets.select(
+        F.col("__id").alias("__a"),
+        explode_nonempty(F.slice("__sh", F.lit(1), prefix_len)).alias(
+            "sh"
+        ),
+    )
+    index = sets.select(
+        F.col("__id").alias("__b"),
+        explode_nonempty("__sh").alias("sh"),
+    )
+    cand = (
+        pref.join(index, "sh")
+        .filter(F.col("__a") != F.col("__b"))
+        .select("__a", "__b")
+        .distinct()
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("__id").alias("__a"),
+                F.col("__sh").alias("__sa"),
+                F.col("set_size").alias("__na"),
+            ),
+            "__a",
+        )
+        .join(
+            sets.select(
+                F.col("__id").alias("__b"), F.col("__sh").alias("__sb")
+            ),
+            "__b",
+        )
+        .select(
+            F.col("__a").alias("a"),
+            F.col("__b").alias("b"),
+            (
+                F.size(F.array_intersect("__sa", "__sb"))
+                / F.col("__na")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= t)
+    )

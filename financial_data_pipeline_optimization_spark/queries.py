@@ -9334,3 +9334,40 @@ def q_lateral_topn_per_customer(
         WHERE c.c_custkey % 10 = 1
         """
     )
+
+
+@_register(
+    "containment_pairs_report",
+    f"""
+    WITH t AS (SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i+1:i+2], ' ') AS s
+           FROM t, UNNEST(range(greatest(len(tk)-1, 1))) AS u(i)),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id != y.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b,
+           floor(CAST(i AS DOUBLE)/sa.sz * 10000 + 0.5000005)/10000
+             AS containment
+    FROM inter JOIN sz sa ON a = sa.doc_id
+    WHERE CAST(i AS DOUBLE)/sa.sz >= 0.9
+    """,
+    doc="Asymmetric containment dedup (operators.dedup."
+    "containment_pairs): ordered pairs where >=90% of a's distinct "
+    "bigram shingles appear in b — the sub-document duplication "
+    "(excerpt farms, article+wrapper pages) symmetric Jaccard "
+    "structurally misses. Prefix filter applies on the CONTAINED "
+    "side only (if |A∩B| >= ceil(t|A|), A's smallest "
+    "|A|-ceil(t|A|)+1 hashes must hit B), so A explodes a prefix and "
+    "B the full shingle index; exact set-intersect verify. The "
+    "oracle recomputes every ordered pair from raw shingles with no "
+    "prefix filter — proving the pruned plan loses nothing.",
+)
+def q_containment_pairs_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=2, min_containment=0.9
+    ).select("a", "b", _r4(F.col("containment")).alias("containment"))

@@ -117,3 +117,60 @@ def test_incremental_near_dups_equals_batch_restricted(spark):
     assert full, "planted near-dups should produce pairs"
     assert inc, "cross-batch near-dups should exist in planted data"
     assert full == old_only | new_only | inc
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment(a in b)
+    = 1.0 while Jaccard is far below any near-dup threshold — the
+    asymmetric detector's reason to exist. Direction matters: the
+    long doc is NOT contained in the short one."""
+    short = "alpha beta gamma delta"
+    filler = " ".join(f"w{i} x{i}" for i in range(40))
+    rows = [(1, short), (2, short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.a, r.b): r.containment
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=2, min_containment=0.9
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert (2, 1) not in pairs
+    jac = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, min_jaccard=0.5
+    ).collect()
+    assert not jac, "Jaccard must miss the asymmetric pair"
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """The prefix-filtered candidate set must reproduce the exact
+    brute-force ordered-pair set on the real corpus slice."""
+    import itertools
+
+    from financial_data_pipeline_optimization_spark.operators.text import tokens
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents").limit(120)
+    got = {
+        (r.a, r.b)
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=2, min_containment=0.9
+        ).collect()
+    }
+
+    def bigrams(toks):
+        if len(toks) <= 1:
+            return set(toks or [""])
+        return {" ".join(p) for p in zip(toks, toks[1:])}
+
+    sets = {
+        r.doc_id: bigrams(list(r.tk))
+        for r in docs.select(
+            "doc_id", tokens("text").alias("tk")
+        ).collect()
+    }
+    want = set()
+    for a, b in itertools.permutations(sets, 2):
+        sa = sets[a]
+        if sa and len(sa & sets[b]) / len(sa) >= 0.9:
+            want.add((a, b))
+    assert got == want
