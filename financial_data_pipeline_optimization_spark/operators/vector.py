@@ -1138,3 +1138,101 @@ def pq_search_store(
     return _pq_adc_topk(
         codes_df, books, queries, k, id_col, vec_col, query_id_col
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+    sim_col: str = "cosine_sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell/Goldstein,
+    SIGIR 1998): greedily pick ``k`` of each query's candidates
+    maximizing ``lam·relevance − (1−lam)·max_similarity_to_already_
+    picked`` — the diversity pass RAG retrieval runs AFTER ANN so the
+    context window isn't k near-copies of the same passage.
+
+    Scale shape: the expensive part (ANN) already happened; MMR runs
+    per query over its BOUNDED candidate list (tens to hundreds of
+    rows) via ``applyInPandas`` — one shuffle keyed on the query id,
+    greedy loop in numpy inside each group, nothing quadratic in the
+    corpus. Candidates join their embeddings first (hash join on the
+    neighbor id; vectors move once, only for candidate rows).
+
+    Ties break by ``neighbor_id`` so output is deterministic.
+    Returns ``(query_id, neighbor_id, mmr_rank, mmr_score)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    enriched = candidates.select(
+        query_id_col, neighbor_id_col, sim_col
+    ).join(
+        corpus.select(
+            F.col(id_col).alias(neighbor_id_col),
+            _to_double(F.col(vec_col)).alias("__v"),
+        ),
+        neighbor_id_col,
+    )
+    out_schema = StructType(
+        [
+            StructField(
+                query_id_col,
+                candidates.schema[query_id_col].dataType,
+                True,
+            ),
+            StructField(
+                neighbor_id_col,
+                candidates.schema[neighbor_id_col].dataType,
+                True,
+            ),
+            StructField("mmr_rank", IntegerType(), True),
+            StructField("mmr_score", DoubleType(), True),
+        ]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [sim_col, neighbor_id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.asarray(list(pdf["__v"]), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        rel = pdf[sim_col].to_numpy(dtype=np.float64)
+        ids = pdf[neighbor_id_col].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        remaining = np.ones(n, dtype=bool)
+        max_sim = np.zeros(n)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[~remaining] = -np.inf
+            # deterministic argmax: best score, then lowest neighbor id
+            best = np.lexsort((ids, -mmr))[0]
+            picked.append(best)
+            scores.append(float(mmr[best]))
+            remaining[best] = False
+            max_sim = np.maximum(max_sim, unit @ unit[best])
+        return pd.DataFrame(
+            {
+                query_id_col: pdf[query_id_col].iloc[picked].to_numpy(),
+                neighbor_id_col: ids[picked],
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype="int32"),
+                "mmr_score": scores,
+            }
+        )
+
+    return enriched.groupBy(query_id_col).applyInPandas(pick, out_schema)

@@ -346,3 +346,81 @@ def test_pq_store_roundtrip_matches_direct(spark, tmp_path):
         ).collect()
     }
     assert got == direct
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """With two near-identical top candidates and one diverse third,
+    MMR at moderate lambda keeps rank-1 relevance but promotes the
+    diverse candidate to rank 2; at lambda=1 it degrades to pure
+    relevance order."""
+    q = [(100, [1.0, 1.0, 0.0, 0.0])]
+    corpus = [
+        (1, [1.0, 0.0, 0.0, 0.0]),     # rel ~.71
+        (2, [0.98, 0.0, 0.001, 0.0]),  # near-copy of 1, rel just under
+        (3, [0.0, 1.0, 0.0, 0.0]),     # rel ~.71, orthogonal to 1
+    ]
+    cdf = spark.createDataFrame(
+        corpus, "vec_id long, embedding array<double>"
+    )
+    qdf = spark.createDataFrame(q, "vec_id long, embedding array<double>")
+    cands = vector.brute_force_topk(cdf, qdf, k=3)
+    diverse = {
+        r.mmr_rank: r.neighbor_id
+        for r in vector.mmr_rerank(cands, cdf, k=3, lam=0.5).collect()
+    }
+    assert diverse[1] == 1
+    assert diverse[2] == 3, diverse  # the near-copy of 1 is demoted
+    pure = {
+        r.mmr_rank: r.neighbor_id
+        for r in vector.mmr_rerank(cands, cdf, k=3, lam=1.0).collect()
+    }
+    # pure relevance: c1 and c3 tie at 1/sqrt(2) (id breaks), c2 last
+    assert [pure[i] for i in (1, 2, 3)] == [1, 3, 2]
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    """Greedy MMR on a real corpus slice vs a direct python
+    recomputation (same lambda, same tie rule)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    cands = vector.brute_force_topk(emb, q, k=12)
+    lam = 0.7
+    got = {
+        (r.query_id, r.mmr_rank): r.neighbor_id
+        for r in vector.mmr_rerank(cands, emb, k=5, lam=lam).collect()
+    }
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    by_q = {}
+    for r in cands.collect():
+        by_q.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.cosine_sim)
+        )
+    for qid, lst in by_q.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        ids = [i for i, _ in lst]
+        rel = {i: s for i, s in lst}
+        unit = {
+            i: vecs[i] / (np.linalg.norm(vecs[i]) or 1.0) for i in ids
+        }
+        picked, max_sim = [], {i: 0.0 for i in ids}
+        for rank in range(1, 6):
+            best, best_score = None, -1e18
+            for i in ids:
+                if i in picked:
+                    continue
+                sc = lam * rel[i] - (1 - lam) * max_sim[i]
+                if sc > best_score or (
+                    sc == best_score and i < best
+                ):
+                    best, best_score = i, sc
+            picked.append(best)
+            for i in ids:
+                max_sim[i] = max(
+                    max_sim[i], float(unit[i] @ unit[best])
+                )
+            assert got[(qid, rank)] == best, (qid, rank, got[(qid, rank)], best)
