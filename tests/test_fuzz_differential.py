@@ -637,3 +637,60 @@ def test_asof_join_matches_duckdb_native_asof(
     assert set(got) == set(want)
     for lid in got:
         assert got[lid] == want[lid], (direction, lid, got[lid], want[lid])
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from("xyz")),
+        min_size=0,
+        max_size=8,
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from("xyz")),
+        min_size=0,
+        max_size=8,
+    ),
+    op=st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+         "EXCEPT", "EXCEPT ALL"]
+    ),
+)
+@SET
+def test_generated_set_ops_match_duckdb(left_rows, right_rows, op):
+    """Set-operation differential: DISTINCT vs ALL (bag) semantics
+    with duplicate rows on both sides — EXCEPT ALL/INTERSECT ALL
+    multiplicity arithmetic is a classic engine divergence."""
+    import pandas as pd
+
+    schema = "a int, b string"
+    ldf = SPARK.createDataFrame(left_rows or [(None, None)], schema)
+    rdf = SPARK.createDataFrame(right_rows or [(None, None)], schema)
+    sdf = {
+        "UNION": ldf.union(rdf).distinct(),
+        "UNION ALL": ldf.unionAll(rdf),
+        "INTERSECT": ldf.intersect(rdf),
+        "INTERSECT ALL": ldf.intersectAll(rdf),
+        "EXCEPT": ldf.subtract(rdf),
+        "EXCEPT ALL": ldf.exceptAll(rdf),
+    }[op]
+    nk = lambda t: tuple((x is None, x or 0) for x in t)  # noqa: E731
+    got = sorted((tuple(r) for r in sdf.collect()), key=nk)
+    fuzz_sl = pd.DataFrame(  # noqa: F841 — DuckDB reads it by name
+        left_rows or [(None, None)], columns=["a", "b"]
+    )
+    fuzz_sr = pd.DataFrame(  # noqa: F841
+        right_rows or [(None, None)], columns=["a", "b"]
+    )
+    want = sorted(
+        (
+            tuple(
+                None if pd.isna(x) else (int(x) if i == 0 else x)
+                for i, x in enumerate(row)
+            )
+            for row in DUCK.execute(
+                f"SELECT a, b FROM fuzz_sl {op} SELECT a, b FROM fuzz_sr"
+            ).fetchall()
+        ),
+        key=nk,
+    )
+    assert got == want, (op, got, want)
