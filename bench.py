@@ -80,6 +80,9 @@ HEADLINE = [
     # aggregate-then-window relative length gate.
     "shingle_novelty_score",
     "relative_length_filter",
+    # LSH-sourced transitive clustering — the 100 TB edge source —
+    # timed next to the exact-pair near_dup_clusters headliner.
+    "near_dup_clusters_lsh",
 ]
 
 
@@ -103,6 +106,12 @@ def main() -> None:
     specs.setdefault(
         "minhash_lsh_pairs",
         q.QuerySpec("minhash_lsh_pairs", q.q_minhash_pairs, None),
+    )
+    specs.setdefault(
+        "near_dup_clusters_lsh",
+        q.QuerySpec(
+            "near_dup_clusters_lsh", q.q_near_dup_clusters_lsh, None
+        ),
     )
     timings: dict[str, float] = {}
 

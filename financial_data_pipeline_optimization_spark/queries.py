@@ -1338,6 +1338,20 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin of the `near_dup_clusters` headliner with the
+    LSH pair source — the 100 TB edge generator (banded bucket join)
+    instead of the exact inverted index, so the scale path's timing
+    trends round-over-round next to the exact path's. Deterministic
+    but xxhash64-based, hence no SQL oracle; cluster-refinement
+    equivalence vs the exact path is pinned in tests/test_graph.py /
+    tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8, pair_source="lsh"
+    )
+
+
 # ===========================================================================
 # Similarity search (operators.vector) on embeddings
 # ===========================================================================
