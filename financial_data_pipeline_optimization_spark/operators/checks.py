@@ -129,11 +129,15 @@ def expectations_report(
     100-rule suite still costs a single scan with map-side partial
     aggregation, where one-query-per-rule tooling scans the table once
     per rule. Returns long-format ``(rule, n_rows, n_violations,
-    passed)``, one row per rule in input order.
+    passed)``, one row per rule in input order. An EMPTY input reports
+    ``n_violations = 0`` / ``passed = true`` explicitly (``sum`` over
+    zero rows is NULL; a gate consuming ``passed`` must never see
+    NULL and misread it as failure or drop the row).
     """
     aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(
-            (~F.coalesce(cond, F.lit(False))).cast("long")
+        F.coalesce(
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("long")),
+            F.lit(0),
         ).alias(f"__v_{i}")
         for i, (_, cond) in enumerate(rules)
     ]

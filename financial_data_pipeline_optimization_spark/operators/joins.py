@@ -394,6 +394,12 @@ def interval_overlap_join(
             f"a/b column names must be disjoint, both have: "
             f"{sorted(overlap_names)}"
         )
+    reserved = {"__cell"} & (set(a.columns) | set(b.columns))
+    if reserved:
+        raise ValueError(
+            "'__cell' is reserved as the grid-bucket working column; "
+            "rename it on the input before joining"
+        )
 
     def cells(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(

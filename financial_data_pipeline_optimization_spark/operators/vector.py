@@ -40,6 +40,19 @@ def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _unit_rows(mat):
+    """Row-normalize a (n, d) float64 matrix, mapping zero-norm rows to
+    the zero vector instead of NaN (an all-zero embedding then scores
+    cosine 0 against everything and sorts last, rather than poisoning
+    every downstream argmax/lexsort with NaN — the same guard
+    ``mmr_rerank`` applies)."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two numeric array columns (double accumulation,
     sequential order — matches DuckDB's loop for oracle parity)."""
@@ -181,7 +194,7 @@ def _arrow_scored_local_topk(
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     if q_mat.size:
-        q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q_unit = _unit_rows(q_mat)
     else:
         q_unit = q_mat
 
@@ -205,7 +218,7 @@ def _arrow_scored_local_topk(
                 continue
             ids = pdf[id_col].to_numpy()
             c_mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_unit = _unit_rows(c_mat)
             sims = c_unit @ q_unit.T  # (batch, q)
             take = min(k, len(ids))
             out_q, out_n, out_s = [], [], []
@@ -849,8 +862,13 @@ def train_pq_codebooks(
     seed_rows = (
         corpus.orderBy(id_col).limit(k_codes).select(vec_col).collect()
     )
+    if not seed_rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    # A corpus smaller than k_codes trains (and returns) that many
+    # codes — downstream shapes all derive from books.shape, never the
+    # requested k_codes.
     seed = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
-    seed = seed / np.linalg.norm(seed, axis=1, keepdims=True)
+    seed = _unit_rows(seed)
     dim = seed.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -877,7 +895,7 @@ def train_pq_codebooks(
                 if pdf.empty:
                     continue
                 mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = _unit_rows(mat)
                 rows = []
                 for j in range(m):
                     x = mat[:, j * sub : (j + 1) * sub]  # (n, sub)
@@ -948,7 +966,7 @@ def pq_encode(
             if pdf.empty:
                 continue
             mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _unit_rows(mat)
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
                 x = mat[:, j * sub : (j + 1) * sub]
@@ -958,6 +976,33 @@ def pq_encode(
             )
 
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+class QueryBatchTooLarge(ValueError):
+    """The query side exceeds the driver-collect bound of a
+    collect-the-queries ANN path. Raised BEFORE any collect happens —
+    the alternative is a silent driver OOM. Callers hitting this should
+    batch their query set (signatures and codes are immutable, so
+    chunked calls compose exactly) or drop to ``lsh_topk``/``ivf_topk``
+    whose query side stays distributed."""
+
+
+def _check_query_bound(
+    queries: DataFrame, max_collect_queries: int, op: str
+) -> None:
+    """Bounded probe (``limit(bound+1).count()`` — one action, never a
+    full count) that a query batch fits the driver-collect contract."""
+    if (
+        queries.limit(max_collect_queries + 1).count()
+        > max_collect_queries
+    ):
+        raise QueryBatchTooLarge(
+            f"{op}: query side exceeds max_collect_queries="
+            f"{max_collect_queries}; batch the queries into chunks of "
+            f"at most that many rows (per-chunk results compose "
+            f"exactly) or use a distributed-query path "
+            f"(lsh_topk/ivf_topk)"
+        )
 
 
 def pq_topk(
@@ -970,6 +1015,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC): queries stay
     exact, the corpus is scored from its codes via per-query lookup
@@ -982,17 +1028,28 @@ def pq_topk(
     verify recall against ``brute_force_topk``, as
     ``knn_pq_recall_check`` does.
 
-    The query side is collected driver-side (bounded by the same
-    small-query-batch contract as ``brute_force_topk``'s arrow path);
-    per-partition local top-k keeps the merge shuffle at
-    O(partitions·k·q).
+    The query side is collected driver-side, bounded by
+    ``max_collect_queries`` with the same probe as
+    ``brute_force_topk``'s arrow path — but where brute force can fall
+    back to a distributed crossJoin, ADC scoring NEEDS the per-query
+    lookup tables materialized, so an over-bound query side raises
+    :class:`QueryBatchTooLarge` (before collecting anything) instead
+    of OOMing the driver. Per-partition local top-k keeps the merge
+    shuffle at O(partitions·k·q).
     """
     books = train_pq_codebooks(
         corpus, m, k_codes, train_iters, id_col, vec_col
     )
     encoded = pq_encode(corpus, books, id_col, vec_col)
     return _pq_adc_topk(
-        encoded, books, queries, k, id_col, vec_col, query_id_col
+        encoded,
+        books,
+        queries,
+        k,
+        id_col,
+        vec_col,
+        query_id_col,
+        max_collect_queries,
     )
 
 
@@ -1004,6 +1061,7 @@ def _pq_adc_topk(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """ADC scoring of an already-encoded code table against a bounded
     query batch (shared by :func:`pq_topk` and
@@ -1013,11 +1071,12 @@ def _pq_adc_topk(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     m, k_codes, sub = books.shape
+    _check_query_bound(queries, max_collect_queries, "pq ADC top-k")
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     if q_mat.size:
-        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q_mat = _unit_rows(q_mat)
     # luts[q, j, c] = <q_sub_j, books[j, c]>
     luts = np.stack(
         [
@@ -1103,11 +1162,15 @@ def pq_store(
     )
     codes_df = pq_encode(corpus, books, id_col, vec_col)
     spark = corpus.sparkSession
+    # Enumerate from the TRAINED shape, not the requested k_codes: a
+    # corpus with fewer rows than k_codes seeds (and returns) a
+    # smaller codebook, and range(k_codes) would index past it.
+    n_subs, n_codes = books.shape[0], books.shape[1]
     books_df = spark.createDataFrame(
         [
             (j, c, books[j, c].tolist())
-            for j in range(m)
-            for c in range(k_codes)
+            for j in range(n_subs)
+            for c in range(n_codes)
         ],
         "sub int, code int, centroid array<double>",
     )
@@ -1122,10 +1185,14 @@ def pq_search_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """ADC top-k against a persisted PQ index from :func:`pq_store`.
     The codebook (``m × k_codes`` rows) is the only thing collected
-    besides the bounded query batch; the scan reads codes only."""
+    besides the query batch, which is bounded by
+    ``max_collect_queries`` (over-bound raises
+    :class:`QueryBatchTooLarge` — see :func:`pq_topk`); the scan reads
+    codes only."""
     import numpy as np
 
     rows = books_df.collect()  # bounded: m × k_codes centroid rows
@@ -1136,7 +1203,14 @@ def pq_search_store(
     for r in rows:
         books[r["sub"], r["code"]] = r["centroid"]
     return _pq_adc_topk(
-        codes_df, books, queries, k, id_col, vec_col, query_id_col
+        codes_df,
+        books,
+        queries,
+        k,
+        id_col,
+        vec_col,
+        query_id_col,
+        max_collect_queries,
     )
 
 

@@ -127,3 +127,23 @@ def test_expectations_report_single_scan_and_null_strictness(spark):
     out = expectations_report(df, [("p", F.col("id") > 0)])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_expectations_report_empty_input_passes_explicitly(spark):
+    """sum over zero rows is NULL — the report must coalesce it so an
+    empty table reads as 0 violations / passed=true, not NULL rows a
+    downstream gate drops or misreads as failure."""
+    from financial_data_pipeline_optimization_spark.operators.checks import (
+        expectations_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([], "id long, v double")
+    rows = expectations_report(
+        df, [("v_positive", F.col("v") > 0), ("id_positive", F.col("id") > 0)]
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_rows == 0
+        assert r.n_violations == 0
+        assert r.passed is True

@@ -173,3 +173,20 @@ def test_kappa_consistent_with_confusion_matrix(spark):
     # of the emitted row, independent of either engine's internals).
     expect = (out["po"] - out["pe"]) / (1.0 - out["pe"])
     assert abs(out["kappa"] - expect) < 2e-4
+
+
+def test_interval_overlap_rejects_reserved_cell_column(spark):
+    """__cell is the grid-bucket working column — an input already
+    carrying it would silently corrupt the join key, so the operator
+    must reject it up front."""
+    from financial_data_pipeline_optimization_spark.operators import joins
+
+    a = spark.createDataFrame([(1, 5, 0)], "s1 int, e1 int, __cell int")
+    b = spark.createDataFrame([(2, 6)], "s2 int, e2 int")
+    with pytest.raises(ValueError, match="__cell"):
+        joins.interval_overlap_join(a, b, "s1", "e1", "s2", "e2")
+    with pytest.raises(ValueError, match="__cell"):
+        joins.interval_overlap_join(
+            b, a.withColumnRenamed("s1", "s3").withColumnRenamed("e1", "e3"),
+            "s2", "e2", "s3", "e3",
+        )

@@ -424,3 +424,62 @@ def test_mmr_rerank_matches_python_reference(spark):
                     max_sim[i], float(unit[i] @ unit[best])
                 )
             assert got[(qid, rank)] == best, (qid, rank, got[(qid, rank)], best)
+
+
+def test_pq_query_side_over_bound_raises_typed_error(spark):
+    """An over-bound query batch must fail with QueryBatchTooLarge
+    BEFORE any driver collect (the silent-OOM failure mode), on both
+    the direct and the persisted-store PQ paths."""
+    import pytest
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    with pytest.raises(vector.QueryBatchTooLarge):
+        vector.pq_topk(emb, q, k=3, m=8, k_codes=8, max_collect_queries=4)
+    codes_df, books_df = vector.pq_store(emb, m=8, k_codes=8)
+    with pytest.raises(vector.QueryBatchTooLarge):
+        vector.pq_search_store(
+            codes_df, books_df, q, k=3, max_collect_queries=4
+        )
+    # At the bound exactly, the search runs.
+    ok = vector.pq_topk(
+        emb, q.limit(4), k=3, m=8, k_codes=8, max_collect_queries=4
+    )
+    assert ok.count() > 0
+
+
+def test_pq_store_corpus_smaller_than_k_codes(spark):
+    """A corpus with fewer rows than k_codes trains a smaller codebook;
+    pq_store must enumerate the TRAINED shape (books.shape), not the
+    requested k_codes, and search must still round-trip."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings").filter(
+        F.col("vec_id") < 6
+    )
+    codes_df, books_df = vector.pq_store(emb, m=8, k_codes=16)
+    n_codes = books_df.select("code").distinct().count()
+    assert n_codes == 6  # trained = corpus rows, not 16
+    q = emb.filter(F.col("vec_id") < 2)
+    out = vector.pq_search_store(codes_df, books_df, q, k=3).collect()
+    assert len(out) > 0
+
+
+def test_pq_zero_norm_embedding_never_nan(spark):
+    """An all-zero embedding must not poison training/encoding/scoring
+    with NaN: it encodes to valid codes and scores finite sims."""
+    import math as _math
+
+    base = (
+        load_table(spark, SF_CORRECTNESS, "embeddings")
+        .filter(F.col("vec_id") < 12)
+        .select("vec_id", "embedding")
+    )
+    zero = spark.createDataFrame(
+        [(10_000, [0.0] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    corpus = base.unionByName(zero)
+    q = corpus.filter(
+        (F.col("vec_id") < 3) | (F.col("vec_id") == 10_000)
+    )
+    rows = vector.pq_topk(corpus, q, k=3, m=8, k_codes=8).collect()
+    assert rows, "zero-norm corpus must still produce results"
+    assert all(_math.isfinite(r.adc_sim) for r in rows)
