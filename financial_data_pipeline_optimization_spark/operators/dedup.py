@@ -628,10 +628,63 @@ def near_dup_clusters(
     # representative election would otherwise join the corpus a second
     # time just to recover a metadata column).
     ids = df.select(F.col(id_col), *[F.col(c) for c in carry_cols])
-    return ids.join(comp, ids[id_col] == comp["node"], "left").select(
+    labels = ids.join(comp, ids[id_col] == comp["node"], "left").select(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         *[F.col(c) for c in carry_cols],
+    )
+    # Materialize the label table once: every consumer downstream of
+    # clustering (representative election, leakage-safe splits, budget
+    # plans, a range-sorted write's sampling pass) runs MULTIPLE
+    # actions over these rows, and without this checkpoint each action
+    # re-executes the post-checkpoint label join (node-set distinct +
+    # star-map join) — the labels are (id, cluster_id [, carry]) rows,
+    # orders of magnitude smaller than the corpus, so the
+    # materialization cost is negligible next to one recomputation.
+    # This is the label-table twin of ``minhash_store``: callers that
+    # need REUSE ACROSS JOBS should write this frame to parquet and
+    # read it back (labels are deterministic given the corpus).
+    return labels.localCheckpoint(eager=False)
+
+
+def elect_representatives(
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    order_col: str = "n_chars",
+    min_members: int = 2,
+) -> DataFrame:
+    """Keep-best election over a cluster LABEL TABLE (the output of
+    :func:`near_dup_clusters`, or the same table read back from a
+    persisted store): for every cluster with at least ``min_members``
+    members, the single representative the corpus keeps — greatest
+    ``order_col``, ``id_col`` ascending tiebreak. Returns
+    ``(cluster_id, n_members, rep_id, rep_order)``.
+
+    Deliberately takes labels, not documents: clustering is the
+    expensive stage, and every downstream policy (election here,
+    splits, budgets) should consume ONE materialized label table
+    instead of re-deriving clusters. Cost over the label table is a
+    single cluster-keyed exchange — member count and rank share the
+    partition key, so both window functions ride one shuffle+sort
+    (pinned by tests/test_plan_quality.py); document text never moves.
+    """
+    w = Window.partitionBy(cluster_col)
+    wo = w.orderBy(F.col(order_col).desc(), F.col(id_col))
+    ranked = labels.select(
+        cluster_col,
+        id_col,
+        order_col,
+        F.count(F.lit(1)).over(w).alias("__nm"),
+        F.row_number().over(wo).alias("__rn"),
+    )
+    return ranked.where(
+        (F.col("__nm") >= min_members) & (F.col("__rn") == 1)
+    ).select(
+        F.col(cluster_col),
+        F.col("__nm").alias("n_members"),
+        F.col(id_col).alias("rep_id"),
+        F.col(order_col).alias("rep_order"),
     )
 
 

@@ -102,38 +102,44 @@ def _driver_check_history() -> dict[str, int]:
 
 # Queries whose implementation or oracle changed after (or whose driver
 # row was red in) their last driver check — they need a fresh row,
-# right after the never-checked group. PRIORITY-ORDERED: when fresh +
-# changed exceed the driver's 50-name window, the earlier entries here
-# win the remaining slots. r05: the exact-Jaccard pair path moved its
-# candidate dedup after the verify filter (new plan, same results) —
-# ngram_jaccard_pairs and its cluster consumer lead; then the five
-# formerly-VACUOUS checks (their old green rows proved only 0≡0 —
-# every one was rewritten to return non-empty, genuinely-verified
-# results); the two tail names re-consume the changed pair path but
-# were green in r04 on semantics the pair change provably preserves.
-_CHANGED_SINCE_CHECK: tuple[str, ...] = (
-    "ngram_jaccard_pairs",
-    "near_dup_clusters",
-    "anti_join_new_keys",
-    "set_except",
-    "referential_orphans",
-    "tpch_q11_important_stock",
-    "tpch_q22_global_sales_opportunity",
-    "minhash_recall_check",
-    "corpus_curation_funnel",
-    # r05: oracle whitespace classes rewritten from RE2 `\s` to the
-    # explicit Java `\s` set [ \t\n\x0b\f\r] after the differential
-    # fuzzer caught the dialect divergence (RE2 excludes \x0b); Spark
-    # sides untouched, but the oracle text changed so re-prove.
-    "text_stats",
-    "token_count_bpe_ish",
-    "doc_fingerprint",
-    "quality_filter",
-    "text_clean_redact",
-    "key_skew_profile",
-    "mixture_budget_plan",
-    "gopher_quality_flags",
-    "event_rate_anomalies",
+# right after the never-checked group. Each entry is
+# ``(name, round_changed)``: once the name earns a green driver row in
+# ``round_changed`` or later, it falls back into the oldest-first pool
+# automatically (no per-round pruning of this list needed — stale
+# entries are inert). PRIORITY-ORDERED within the still-pending set:
+# when fresh + changed exceed the driver's 50-name window, earlier
+# entries win the remaining slots.
+#
+# r05 batch: the exact-Jaccard pair path moved its candidate dedup
+# after the verify filter (ngram_jaccard_pairs + cluster consumer);
+# five formerly-VACUOUS checks rewritten to return non-empty results;
+# oracle whitespace classes rewritten from RE2 `\s` to the explicit
+# Java set [ \t\n\x0b\f\r] (text batch — Spark sides untouched, but
+# the oracle text changed so re-prove).
+_CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
+    ("ngram_jaccard_pairs", 5),
+    ("near_dup_clusters", 5),
+    ("anti_join_new_keys", 5),
+    ("set_except", 5),
+    ("referential_orphans", 5),
+    ("tpch_q11_important_stock", 5),
+    ("tpch_q22_global_sales_opportunity", 5),
+    ("minhash_recall_check", 5),
+    ("corpus_curation_funnel", 5),
+    ("text_stats", 5),
+    ("token_count_bpe_ish", 5),
+    ("doc_fingerprint", 5),
+    ("quality_filter", 5),
+    ("text_clean_redact", 5),
+    ("key_skew_profile", 5),
+    ("mixture_budget_plan", 5),
+    ("gopher_quality_flags", 5),
+    ("event_rate_anomalies", 5),
+    # r06 batch: psi one-sided-bin convention now shared with the
+    # oracle (matched-bins renormalization); PQ query-side collect
+    # bounded by the QueryBatchTooLarge probe.
+    ("psi_drift_by_priority", 6),
+    ("knn_pq_recall_check", 6),
 )
 
 
@@ -153,20 +159,24 @@ def registry() -> list[QuerySpec]:
     artifacts are absent).
     """
     hist = _driver_check_history()
+    # Still-pending changed names: changed in a round their last green
+    # row predates. A name re-proven at or after its change round is
+    # no longer "changed" and rejoins the oldest-first pool.
+    pending = {
+        name: i
+        for i, (name, rnd) in enumerate(_CHANGED_SINCE_CHECK)
+        if hist.get(name, -1) < rnd
+    }
     fresh = [s for s in _REGISTRY if s.name not in hist]
     changed = sorted(
-        (
-            s
-            for s in _REGISTRY
-            if s.name in hist and s.name in _CHANGED_SINCE_CHECK
-        ),
-        key=lambda s: _CHANGED_SINCE_CHECK.index(s.name),
+        (s for s in _REGISTRY if s.name in hist and s.name in pending),
+        key=lambda s: pending[s.name],
     )
     rest = sorted(
         (
             s
             for s in _REGISTRY
-            if s.name in hist and s.name not in _CHANGED_SINCE_CHECK
+            if s.name in hist and s.name not in pending
         ),
         key=lambda s: hist[s.name],
     )
@@ -6851,26 +6861,19 @@ def q_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    j = dedup.near_dup_clusters(
+    labels = dedup.near_dup_clusters(
         docs, "doc_id", "text", n=2, min_jaccard=0.8,
         carry_cols=["n_chars"],
     )
-    w = Window.partitionBy("cluster_id")
-    wo = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    ranked = j.select(
-        "cluster_id",
-        "doc_id",
-        "n_chars",
-        F.count(F.lit(1)).over(w).alias("nm"),
-        F.row_number().over(wo).alias("rn"),
-    )
     return (
-        ranked.where((F.col("nm") >= 2) & (F.col("rn") == 1))
+        dedup.elect_representatives(
+            labels, "doc_id", "cluster_id", "n_chars", min_members=2
+        )
         .select(
             "cluster_id",
-            F.col("nm").cast("long").alias("n_members"),
-            F.col("doc_id").alias("rep_doc_id"),
-            F.col("n_chars").cast("long").alias("rep_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("rep_id").alias("rep_doc_id"),
+            F.col("rep_order").cast("long").alias("rep_chars"),
         )
         .orderBy("cluster_id")
     )
@@ -7439,7 +7442,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cl = dedup.near_dup_clusters(
         docs, "doc_id", "text", n=2, min_jaccard=0.8
-    ).localCheckpoint(eager=False)  # feeds per-split agg + global total
+    )  # label table arrives materialized; feeds per-split agg + total
     assigned = sampling.with_split(
         cl, ["cluster_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
     )
@@ -8922,7 +8925,14 @@ def q_psi_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nc"),
     )
     wpri = Window.partitionBy("pri")
-    prop = cnt.select(
+    # One-sided-bin convention, shared with the oracle's inner join:
+    # a (pri, bin) empty in either period is dropped BEFORE the
+    # per-priority renormalization, so both engines normalize over the
+    # matched bins only (keeping it would zero one proportion, NULL
+    # the log term, and silently diverge n_ref/n_cur on degenerate or
+    # tiny inputs where a quartile bin can be empty on one side).
+    both = cnt.filter((F.col("nr") > 0) & (F.col("nc") > 0))
+    prop = both.select(
         "pri",
         "nr",
         "nc",

@@ -174,3 +174,24 @@ def test_containment_prefix_filter_is_lossless(spark):
         if sa and len(sa & sets[b]) / len(sa) >= 0.9:
             want.add((a, b))
     assert got == want
+
+
+def test_elect_representatives_matches_reference(spark):
+    """Election over a hand-built label table: longest member wins,
+    id-ascending tiebreak, singletons dropped at min_members=2."""
+    labels = spark.createDataFrame(
+        [
+            (1, 10, 100),  # cluster 10: doc 1 (100 ch)
+            (2, 10, 300),  #             doc 2 (300 ch)  <- rep
+            (3, 10, 300),  #             doc 3 (300 ch, loses tiebreak)
+            (4, 40, 50),   # singleton: dropped
+            (5, 50, 10),   # cluster 50: tie at 10, doc 5 wins
+            (6, 50, 10),
+        ],
+        "doc_id long, cluster_id long, n_chars long",
+    )
+    got = {
+        (r.cluster_id, r.n_members, r.rep_id, r.rep_order)
+        for r in dedup.elect_representatives(labels).collect()
+    }
+    assert got == {(10, 3, 2, 300), (50, 2, 5, 10)}

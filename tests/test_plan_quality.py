@@ -579,3 +579,17 @@ def test_pca_gram_is_the_only_corpus_stage(spark):
     df = SPECS["pca_top_component"].spark(spark, SF_SMOKE)
     for ex, names in _exchange_output_names(df):
         assert "embedding" not in names, (ex.nodeName(), names)
+
+
+def test_cluster_election_adds_le_2_exchanges_over_labels(spark):
+    """cluster_representatives = materialized label table + election.
+    The election must cost at most 2 exchanges over the labels (the
+    cluster-keyed window shuffle — member count and rank share it —
+    plus the final range sort); more means the two window specs
+    drifted apart or the label checkpoint stopped truncating the
+    cluster stage out of the downstream plan."""
+    df = SPECS["cluster_representatives"].spark(spark, SF_SMOKE)
+    exchanges = [
+        n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
+    ]
+    assert len(exchanges) <= 2, [n.toString()[:80] for n in exchanges]
