@@ -83,6 +83,10 @@ HEADLINE = [
     # LSH-sourced transitive clustering — the 100 TB edge source —
     # timed next to the exact-pair near_dup_clusters headliner.
     "near_dup_clusters_lsh",
+    # r6 addition: the as-of join (union-tag-window composition) —
+    # range joins are the classic accidental-cartesian trap, so the
+    # shape gets a measured trend line + a PLANS audit row.
+    "asof_join_last_view",
 ]
 
 
@@ -130,6 +134,33 @@ def main() -> None:
     # cost. The median keeps one-time effects out without cherry-picking
     # the best case.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    # Machine-speed calibration: a fixed, data-independent reference
+    # job (hash + one shuffle + aggregate over a constant-size range)
+    # timed with the same methodology. Headline timings divide by this
+    # to compare across rounds — the bench host's clock/IPC has varied
+    # by >3× between rounds (r6 host measured ~3-6× slower than r5's
+    # on identical queries and identical data), and without a
+    # calibration constant a host change reads as a uniform
+    # regression. The job shape mirrors the engine's hot path: JVM
+    # codegen arithmetic, a 32-partition exchange, map-side partial
+    # aggregation.
+    def _calibration_once() -> float:
+        from pyspark.sql import functions as F
+
+        start = time.perf_counter()
+        (
+            spark.range(20_000_000)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy(F.pmod("h", F.lit(1000)).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - start
+
+    cal = sorted(_calibration_once() for _ in range(reps))
+    calibration = round(cal[len(cal) // 2], 3)
+
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
@@ -162,6 +193,7 @@ def main() -> None:
                 "queries": timings,
                 "reps": reps,
                 "spread": spreads,
+                "calibration_sec": calibration,
                 "sf": _sf_label(SF_DIR),
             }
         )
