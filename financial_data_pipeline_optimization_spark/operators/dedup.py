@@ -575,6 +575,7 @@ def near_dup_clusters(
     max_iter: int = 25,
     pair_source: str = "exact",
     carry_cols: Sequence[str] = (),
+    cc_stats: dict | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Transitive near-duplicate clusters: similarity pairs →
@@ -622,7 +623,8 @@ def near_dup_clusters(
             f"pair_source must be 'exact' or 'lsh', got {pair_source!r}"
         )
     comp = connected_components(
-        pairs.select("a", "b"), "a", "b", max_iter=max_iter
+        pairs.select("a", "b"), "a", "b", max_iter=max_iter,
+        stats=cc_stats,
     )
     # ``carry_cols`` ride along on the one label join (consumers like
     # representative election would otherwise join the corpus a second

@@ -107,7 +107,14 @@ def connected_components(
 
     ``stats``: optional dict; on return ``stats["rounds"]`` holds the
     number of large∘small rounds executed (used by the round-count
-    regression test pinning the O(log n) behavior).
+    regression test pinning the O(log n) behavior) and
+    ``stats["edges_per_round"]`` the star-edge count after each round
+    — the Kiveris invariant says it never grows, which is what makes
+    a planted mega-cluster (one hot LSH bucket = one huge clique)
+    safe: the first large-star absorbs it into one star instead of
+    exploding it. The edge counts cost one extra action per round, so
+    they are only computed when a ``stats`` dict is passed;
+    production callers pass ``None`` and pay nothing.
     """
     # One checkpoint of the canonical edge set; node set and working
     # edges both derive from it LAZILY — checkpointing them separately
@@ -132,6 +139,8 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)  # truncate per-round lineage
         )
+        if stats is not None:
+            stats.setdefault("edges_per_round", []).append(e.count())
         # Convergence probe, one action: every round's output is a set
         # of (member > center) edges, and it is THE fixpoint star
         # forest iff no member repeats (each node points at one center)

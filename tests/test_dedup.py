@@ -195,3 +195,71 @@ def test_elect_representatives_matches_reference(spark):
         for r in dedup.elect_representatives(labels).collect()
     }
     assert got == {(10, 3, 2, 300), (50, 2, 5, 10)}
+# for tests/test_dedup.py
+
+def test_lsh_megacluster_bounded_and_matches_exact(spark):
+    """Planted pathological skew (the 100 TB hot-bucket shape): one
+    template repeated 300x means ONE LSH bucket holds a complete
+    mega-cluster clique. The LSH cluster path must (a) keep per-round
+    star edges NON-INCREASING from the initial clique pairs
+    (large-star absorbs the hot star instead of exploding it),
+    (b) collapse the mega-cluster to one cluster holding every copy,
+    and (c) label the corpus exactly like the exact-pair path.
+
+    300 copies keeps the exact-path comparison affordable: pair
+    GENERATION inside one bucket is intrinsically quadratic in copies
+    (any pairwise near-dup definition is), which is why the production
+    pipeline order puts content-hash exact_dedup BEFORE MinHash — a
+    10^4-identical-copy template never reaches the LSH stage at all.
+    What this test pins is the part that must absorb whatever skew
+    survives: the cluster stage's per-round edge bound."""
+    from financial_data_pipeline_optimization_spark.operators.graph import (
+        connected_components,
+    )
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 100)
+    )
+    template = base.orderBy("doc_id").limit(1).collect()[0].text
+    copies = spark.range(300).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit(template).alias("text"),
+    )
+    corpus = base.unionByName(copies).localCheckpoint(eager=False)
+
+    def labels(source):
+        return {
+            r.doc_id: r.cluster_id
+            for r in dedup.near_dup_clusters(
+                corpus, "doc_id", "text", n=2, min_jaccard=0.8,
+                pair_source=source,
+            ).collect()
+        }
+
+    exact, lsh = labels("exact"), labels("lsh")
+    assert lsh == exact, "LSH clusters must match exact on this corpus"
+    mega = {d for d, c in lsh.items() if c == lsh[1_000_000]}
+    assert {1_000_000 + i for i in range(300)} <= mega
+    # The template's original doc joins its copies' cluster, and the
+    # cluster label is the component minimum.
+    assert min(mega) == lsh[1_000_000]
+
+    # Per-round edge growth through the LSH edge source: star rounds
+    # never add edges (Kiveris et al. invariant), so the planted
+    # clique's pair count is the high-water mark.
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", shingle_n=2, min_jaccard=0.8
+    ).select("a", "b").localCheckpoint(eager=False)
+    n_pairs = pairs.count()
+    assert n_pairs >= 300 * 299 // 2  # the clique really is there
+    stats = {}
+    connected_components(pairs, "a", "b", stats=stats)
+    growth = stats["edges_per_round"]
+    assert all(
+        later <= earlier
+        for earlier, later in zip([n_pairs] + growth, growth)
+    ), (n_pairs, growth)
+    # Converged star forest: at most one edge per non-root node.
+    assert growth[-1] < 300 + 100
