@@ -208,3 +208,109 @@ def test_bucketed_pagerank_drops_edge_shuffles(spark, tmp_path_factory):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS pr_edges_b")
+
+
+def test_minhash_store_bucketed_join_moves_only_new_batch(
+    spark, tmp_path_factory
+):
+    """The continuous-ingestion claim of dedup.minhash_store: with the
+    stored LSH index bucketed on its join key (band, band_hash), the
+    incremental candidate join re-shuffles ONLY the new batch's bands
+    — the stored side reads co-located files with no Exchange above
+    its scan. At 100 TB that is the difference between re-shuffling
+    the whole index per ingest and touching it in place."""
+    from financial_data_pipeline_optimization_spark.operators import dedup
+
+    base = tmp_path_factory.mktemp("mh_store")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    ob, _ = dedup.minhash_store(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text",
+        shingle_n=2,
+    )
+    write_bucketed_table(
+        ob,
+        "mh_bands_store",
+        ["band", "band_hash"],
+        8,
+        sort_cols=["band", "band_hash"],
+        path=str(base / "bands"),
+    )
+    try:
+        nb, _ = dedup.minhash_store(
+            docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text",
+            shingle_n=2,
+        )
+        stored = spark.table("mh_bands_store")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand = (
+                nb.alias("n")
+                .join(
+                    stored.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.band_hash") == F.col("o.band_hash")),
+                )
+                .select(
+                    F.col("n.id").alias("new_id"),
+                    F.col("o.id").alias("old_id"),
+                )
+            )
+            plan = _simple_plan(cand)
+            assert "SortMergeJoin" in plan, plan
+            assert "Bucketed: true" in plan, plan
+
+            # Structural check on the join children: the stored side's
+            # subtree must contain the bucketed scan and ZERO
+            # exchanges; the new side shuffles on the join key. (The
+            # new side also carries minhash_store's deliberate _spread
+            # repartition, so a flat plan-wide Exchange count proves
+            # nothing.)
+            def _walk(node):
+                yield node
+                children = node.children()
+                for i in range(children.length()):
+                    yield from _walk(children.apply(i))
+
+            plan_tree = cand._jdf.queryExecution().executedPlan()
+            if "AdaptiveSparkPlan" in plan_tree.nodeName():
+                plan_tree = plan_tree.initialPlan()
+            smj = [
+                n
+                for n in _walk(plan_tree)
+                if "SortMergeJoin" in n.nodeName()
+            ]
+            assert smj, "expected a sort-merge join"
+            sides = [
+                smj[0].children().apply(0),
+                smj[0].children().apply(1),
+            ]
+            per_side = [
+                (
+                    any(
+                        "mh_bands_store" in n.toString()
+                        for n in _walk(s)
+                        if "Scan" in n.nodeName()
+                    ),
+                    sum(
+                        1
+                        for n in _walk(s)
+                        if "Exchange" in n.nodeName()
+                    ),
+                )
+                for s in sides
+            ]
+            stored_sides = [p for p in per_side if p[0]]
+            new_sides = [p for p in per_side if not p[0]]
+            assert len(stored_sides) == 1, per_side
+            assert stored_sides[0][1] == 0, (
+                "bucketed store side must not re-shuffle",
+                per_side,
+            )
+            assert new_sides[0][1] >= 1, per_side
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_bands_store")

@@ -593,3 +593,18 @@ def test_cluster_election_adds_le_2_exchanges_over_labels(spark):
         n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
     ]
     assert len(exchanges) <= 2, [n.toString()[:80] for n in exchanges]
+
+
+def test_asof_join_is_one_shuffle_no_cartesian(spark):
+    """asof_join_last_view: the union-tag-window as-of composition
+    must cost at most 2 exchanges (the user_id window shuffle +
+    whatever the keep-latest pre-dedup reuses) and never a cartesian
+    or broadcast nested-loop range join — the classic accidental
+    failure mode of inequality joins."""
+    df = SPECS["asof_join_last_view"].spark(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    nodes = [n.nodeName() for n in _walk(plan)]
+    assert not any("Cartesian" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoop" in n for n in nodes), nodes
+    exchanges = [n for n in _walk(plan) if "Exchange" in n.nodeName()]
+    assert len(exchanges) <= 2, [n.toString()[:80] for n in exchanges]
