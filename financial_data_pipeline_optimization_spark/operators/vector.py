@@ -989,20 +989,62 @@ class QueryBatchTooLarge(ValueError):
 
 def _check_query_bound(
     queries: DataFrame, max_collect_queries: int, op: str
-) -> None:
+) -> bool:
     """Bounded probe (``limit(bound+1).count()`` — one action, never a
-    full count) that a query batch fits the driver-collect contract."""
-    if (
+    full count) of whether a query batch fits the driver-collect
+    contract. Returns True when over the bound."""
+    return (
         queries.limit(max_collect_queries + 1).count()
         > max_collect_queries
-    ):
-        raise QueryBatchTooLarge(
-            f"{op}: query side exceeds max_collect_queries="
-            f"{max_collect_queries}; batch the queries into chunks of "
-            f"at most that many rows (per-chunk results compose "
-            f"exactly) or use a distributed-query path "
-            f"(lsh_topk/ivf_topk)"
+    )
+
+
+def _pq_chunked_topk(
+    encoded: DataFrame,
+    books,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    max_collect_queries: int,
+) -> DataFrame:
+    """Over-bound PQ search by hash-chunking the query side: split the
+    queries into ~0.8·bound-sized chunks on ``pmod(xxhash64(id))`` (no
+    global sort — a ``row_number`` chunking would funnel the whole
+    query side through one task), then run the bounded ADC search per
+    chunk and union lazily. Each chunk costs one bounded collect plus
+    one scan of the CODE table (~32× smaller than the embeddings), so
+    a 10×-over-bound query set costs ~13 cheap scans instead of a
+    driver OOM; per-chunk results compose exactly because codes and
+    codebooks are immutable. The query table and code table are
+    localCheckpointed once so neither's upstream plan re-executes per
+    chunk."""
+    import math as _math
+
+    n = queries.count()
+    n_chunks = max(2, _math.ceil(n / (max_collect_queries * 0.8)))
+    q = queries.select(id_col, vec_col).withColumn(
+        "__chunk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+    ).localCheckpoint(eager=False)
+    enc = encoded.localCheckpoint(eager=False)
+    parts = [
+        _pq_adc_topk(
+            enc,
+            books,
+            q.where(F.col("__chunk") == i).drop("__chunk"),
+            k,
+            id_col,
+            vec_col,
+            query_id_col,
+            max_collect_queries,
         )
+        for i in range(n_chunks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def pq_topk(
@@ -1016,6 +1058,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_collect_queries: int = 65536,
+    on_over_bound: str = "error",
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC): queries stay
     exact, the corpus is scored from its codes via per-query lookup
@@ -1032,15 +1075,26 @@ def pq_topk(
     ``max_collect_queries`` with the same probe as
     ``brute_force_topk``'s arrow path — but where brute force can fall
     back to a distributed crossJoin, ADC scoring NEEDS the per-query
-    lookup tables materialized, so an over-bound query side raises
-    :class:`QueryBatchTooLarge` (before collecting anything) instead
-    of OOMing the driver. Per-partition local top-k keeps the merge
-    shuffle at O(partitions·k·q).
+    lookup tables materialized, so an over-bound query side either
+    raises :class:`QueryBatchTooLarge` before collecting anything
+    (``on_over_bound='error'``, the default) or hash-chunks the query
+    side and unions the per-chunk searches
+    (``on_over_bound='chunk'`` — one bounded collect + one scan of the
+    compressed code table per chunk; exact same results). Either way
+    the driver never sees more than the bound. Per-partition local
+    top-k keeps the merge shuffle at O(partitions·k·q).
     """
     books = train_pq_codebooks(
         corpus, m, k_codes, train_iters, id_col, vec_col
     )
     encoded = pq_encode(corpus, books, id_col, vec_col)
+    if on_over_bound == "chunk" and _check_query_bound(
+        queries, max_collect_queries, "pq_topk"
+    ):
+        return _pq_chunked_topk(
+            encoded, books, queries, k, id_col, vec_col,
+            query_id_col, max_collect_queries,
+        )
     return _pq_adc_topk(
         encoded,
         books,
@@ -1071,7 +1125,14 @@ def _pq_adc_topk(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     m, k_codes, sub = books.shape
-    _check_query_bound(queries, max_collect_queries, "pq ADC top-k")
+    if _check_query_bound(queries, max_collect_queries, "pq ADC top-k"):
+        raise QueryBatchTooLarge(
+            f"pq ADC top-k: query side exceeds max_collect_queries="
+            f"{max_collect_queries}; pass on_over_bound='chunk' (the "
+            f"hash-chunked search — per-chunk results compose "
+            f"exactly), batch the queries yourself, or use a "
+            f"distributed-query path (lsh_topk/ivf_topk)"
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
@@ -1186,12 +1247,14 @@ def pq_search_store(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_collect_queries: int = 65536,
+    on_over_bound: str = "error",
 ) -> DataFrame:
     """ADC top-k against a persisted PQ index from :func:`pq_store`.
     The codebook (``m × k_codes`` rows) is the only thing collected
     besides the query batch, which is bounded by
     ``max_collect_queries`` (over-bound raises
-    :class:`QueryBatchTooLarge` — see :func:`pq_topk`); the scan reads
+    :class:`QueryBatchTooLarge`, or hash-chunks with
+    ``on_over_bound='chunk'`` — see :func:`pq_topk`); the scan reads
     codes only."""
     import numpy as np
 
@@ -1202,6 +1265,13 @@ def pq_search_store(
     books = np.zeros((m, k_codes, sub))
     for r in rows:
         books[r["sub"], r["code"]] = r["centroid"]
+    if on_over_bound == "chunk" and _check_query_bound(
+        queries, max_collect_queries, "pq_search_store"
+    ):
+        return _pq_chunked_topk(
+            codes_df, books, queries, k, id_col, vec_col,
+            query_id_col, max_collect_queries,
+        )
     return _pq_adc_topk(
         codes_df,
         books,

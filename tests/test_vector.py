@@ -483,3 +483,37 @@ def test_pq_zero_norm_embedding_never_nan(spark):
     rows = vector.pq_topk(corpus, q, k=3, m=8, k_codes=8).collect()
     assert rows, "zero-norm corpus must still produce results"
     assert all(_math.isfinite(r.adc_sim) for r in rows)
+
+
+def test_pq_chunked_over_bound_matches_unchunked(spark):
+    """on_over_bound='chunk' must return EXACTLY the bounded path's
+    results (codes/codebooks are immutable, so per-chunk searches
+    compose), while never collecting more than the bound per chunk."""
+    emb = (
+        load_table(spark, SF_CORRECTNESS, "embeddings")
+        .select("vec_id", "embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 12)
+
+    def key(rows):
+        return {(r.query_id, r.neighbor_id, r.rank) for r in rows}
+
+    direct = key(
+        vector.pq_topk(emb, q, k=3, m=8, k_codes=8).collect()
+    )
+    chunked = key(
+        vector.pq_topk(
+            emb, q, k=3, m=8, k_codes=8,
+            max_collect_queries=4, on_over_bound="chunk",
+        ).collect()
+    )
+    assert chunked == direct and len(direct) > 0
+    # store path too
+    codes_df, books_df = vector.pq_store(emb, m=8, k_codes=8)
+    store_chunked = key(
+        vector.pq_search_store(
+            codes_df, books_df, q, k=3,
+            max_collect_queries=4, on_over_bound="chunk",
+        ).collect()
+    )
+    assert store_chunked == direct
