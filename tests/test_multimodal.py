@@ -198,3 +198,54 @@ def test_bmp_resize_roundtrips_through_decoder(spark):
     ri = (np.arange(3) * h) // 3
     ci = (np.arange(3) * w) // 3
     assert feat.sum_pixel == int(px[ri][:, ci, :].sum())
+
+
+def test_png_decode_matches_bmp_on_same_pixels(spark):
+    """synthetic_png_assets carries the SAME deterministic pixel bytes
+    as synthetic_bmp_assets, with every scanline filter type (row % 5)
+    exercised — so the PNG decode features must equal the BMP decode
+    features row-for-row, AND match the closed-form expectation
+    sum_k (id*31+k) % 256 computed in plain Python."""
+    ids = spark.range(0, 40).withColumnRenamed("id", "asset_id")
+    png = {
+        r.asset_id: (r.width, r.height, r.n_pixels, r.sum_pixel)
+        for r in multimodal.extract_features(
+            multimodal.synthetic_png_assets(ids, "asset_id"), "png"
+        ).collect()
+    }
+    bmp = {
+        r.asset_id: (r.width, r.height, r.n_pixels, r.sum_pixel)
+        for r in multimodal.extract_features(
+            multimodal.synthetic_bmp_assets(ids, "asset_id"), "bmp"
+        ).collect()
+    }
+    assert png == bmp and len(png) == 40
+    for aid, (w, h, n_px, total) in png.items():
+        assert (w, h) == (4 + aid % 13, 3 + aid % 7)
+        assert n_px == w * h
+        assert total == sum((aid * 31 + k) % 256 for k in range(w * h * 3))
+
+
+def test_png_decoder_rejects_malformed_payloads(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from financial_data_pipeline_optimization_spark.operators.multimodal import (
+        _decode_png_batch,
+    )
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _decode_png_batch(
+            pd.DataFrame({"asset_id": [1], "payload": [b"JUNKJUNKJUNK"]})
+        )
+    # flip one IDAT byte -> CRC failure must be detected
+    ids = spark.range(3, 4).withColumnRenamed("id", "asset_id")
+    buf = bytearray(
+        multimodal.synthetic_png_assets(ids, "asset_id")
+        .select("payload").collect()[0][0]
+    )
+    buf[45] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        _decode_png_batch(
+            pd.DataFrame({"asset_id": [3], "payload": [bytes(buf)]})
+        )
