@@ -139,9 +139,15 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("event_rate_anomalies", 5),
     # r06 batch: psi one-sided-bin convention now shared with the
     # oracle (matched-bins renormalization); PQ query-side collect
-    # bounded by the QueryBatchTooLarge probe.
+    # bounded by the QueryBatchTooLarge probe; cluster consumers
+    # re-planned over the materialized label table
+    # (elect_representatives / checkpoint moved into
+    # near_dup_clusters) — results provably identical, plans changed,
+    # so re-prove.
     ("psi_drift_by_priority", 6),
     ("knn_pq_recall_check", 6),
+    ("cluster_representatives", 6),
+    ("leakage_safe_split", 6),
 )
 
 
