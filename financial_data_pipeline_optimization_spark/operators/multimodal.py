@@ -278,6 +278,63 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+def _png_bytes(rows) -> bytes:
+    """Encode an ``(h, w*3)`` uint8-valued array as a byte-valid
+    8-bit-RGB non-interlaced PNG, using scanline filter type
+    ``row % 5`` so every PNG filter (None/Sub/Up/Average/Paeth)
+    appears in the stream. Row-local helper shared by the synthetic
+    asset builder and the codec fuzz tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    bpp = 3
+    rows = np.asarray(rows, dtype=np.int64)
+    h, wb = rows.shape
+    w = wb // 3
+    raw = bytearray()
+    prior = np.zeros(wb, dtype=np.int64)
+    for r in range(h):
+        cur = rows[r]
+        ft = r % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        upleft = np.concatenate(
+            [np.zeros(bpp, dtype=np.int64), prior[:-bpp]]
+        )
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = cur - left
+        elif ft == 2:
+            f = cur - prior
+        elif ft == 3:
+            f = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prior),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prior, upleft),
+            )
+            f = cur - pred
+        raw.append(ft)
+        raw.extend((f % 256).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synthetic_png_assets(df: DataFrame, id_col: str) -> DataFrame:
     """Manufacture REAL PNG payloads (8-bit RGB, colour type 2,
     non-interlaced; zlib-deflated IDAT with correct CRCs), carrying the
@@ -288,13 +345,10 @@ def synthetic_png_assets(df: DataFrame, id_col: str) -> DataFrame:
     scanline uses filter type ``row % 5`` so the decoder's full
     None/Sub/Up/Average/Paeth unfiltering path is exercised, not just
     the trivial filter."""
-    import struct
-    import zlib
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        bpp = 3
         for pdf in batches:
             payloads, widths, heights = [], [], []
             for aid in pdf[id_col]:
@@ -302,49 +356,7 @@ def synthetic_png_assets(df: DataFrame, id_col: str) -> DataFrame:
                 w, h = 4 + aid % 13, 3 + aid % 7
                 k = np.arange(w * h * 3, dtype=np.int64)
                 px = ((aid * 31 + k) % 256).astype(np.int64)
-                rows = px.reshape(h, w * 3)
-                raw = bytearray()
-                prior = np.zeros(w * 3, dtype=np.int64)
-                for r in range(h):
-                    cur = rows[r]
-                    ft = r % 5
-                    left = np.concatenate(
-                        [np.zeros(bpp, dtype=np.int64), cur[:-bpp]]
-                    )
-                    upleft = np.concatenate(
-                        [np.zeros(bpp, dtype=np.int64), prior[:-bpp]]
-                    )
-                    if ft == 0:
-                        f = cur
-                    elif ft == 1:
-                        f = cur - left
-                    elif ft == 2:
-                        f = cur - prior
-                    elif ft == 3:
-                        f = cur - (left + prior) // 2
-                    else:  # Paeth
-                        p = left + prior - upleft
-                        pa, pb, pc = (
-                            np.abs(p - left),
-                            np.abs(p - prior),
-                            np.abs(p - upleft),
-                        )
-                        pred = np.where(
-                            (pa <= pb) & (pa <= pc),
-                            left,
-                            np.where(pb <= pc, prior, upleft),
-                        )
-                        f = cur - pred
-                    raw.append(ft)
-                    raw.extend((f % 256).astype(np.uint8).tobytes())
-                    prior = cur
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-                payloads.append(
-                    _PNG_SIG
-                    + _png_chunk(b"IHDR", ihdr)
-                    + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-                    + _png_chunk(b"IEND", b"")
-                )
+                payloads.append(_png_bytes(px.reshape(h, w * 3)))
                 widths.append(w)
                 heights.append(h)
             yield pd.DataFrame(

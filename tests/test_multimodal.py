@@ -249,3 +249,35 @@ def test_png_decoder_rejects_malformed_payloads(spark):
         _decode_png_batch(
             pd.DataFrame({"asset_id": [3], "payload": [bytes(buf)]})
         )
+
+
+def test_png_codec_roundtrips_random_images():
+    """Codec fuzz, no Spark needed: 60 random-pixel images of varied
+    shapes (including 1-pixel-wide and 1-row edge shapes) must
+    round-trip encode -> decode with exact width/height/pixel-sum.
+    Every image taller than 4 rows exercises all five scanline
+    filters via the encoder's row%5 policy."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_optimization_spark.operators.multimodal import (
+        _decode_png_batch,
+        _png_bytes,
+    )
+
+    rng = np.random.RandomState(1234)
+    shapes = [(1, 1), (1, 9), (9, 1), (5, 5)] + [
+        (int(rng.randint(1, 12)), int(rng.randint(1, 12)))
+        for _ in range(56)
+    ]
+    payloads, want = [], []
+    for i, (h, w) in enumerate(shapes):
+        px = rng.randint(0, 256, size=(h, w * 3)).astype(np.int64)
+        payloads.append(_png_bytes(px))
+        want.append((i, w, h, 24, w * h, int(px.sum())))
+    got = _decode_png_batch(
+        pd.DataFrame(
+            {"asset_id": list(range(len(shapes))), "payload": payloads}
+        )
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == want

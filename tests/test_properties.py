@@ -565,3 +565,46 @@ def test_shingle_novelty_matches_python_reference(spark, docs):
         distinct = set(toks)
         seen = sum(1 for t in distinct if first[t] < i)
         assert got[i] == (len(distinct), seen), (i, got[i])
+
+
+#: (doc_id, cluster_id, order_val) — small domains force big clusters,
+#: singletons, order ties, and negative order values.
+LABEL_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.integers(0, 4),
+        st.integers(-5, 5),
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda r: r[0],
+)
+
+
+@SET
+@given(rows=LABEL_ROWS, min_members=st.integers(1, 3))
+def test_elect_representatives_matches_python_reference(
+    spark, rows, min_members
+):
+    """Election over an arbitrary label table == the obvious Python
+    reference: per cluster with >= min_members members, keep the
+    (max order_val, min doc_id) row; report the member count."""
+    labels = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, n_chars long"
+    )
+    got = {
+        (r.cluster_id, r.n_members, r.rep_id, r.rep_order)
+        for r in dedup.elect_representatives(
+            labels, min_members=min_members
+        ).collect()
+    }
+    by_cluster: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, cid, order in rows:
+        by_cluster.setdefault(cid, []).append((doc_id, order))
+    want = set()
+    for cid, members in by_cluster.items():
+        if len(members) < min_members:
+            continue
+        rep = max(members, key=lambda m: (m[1], -m[0]))
+        want.add((cid, len(members), rep[0], rep[1]))
+    assert got == want
