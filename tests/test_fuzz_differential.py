@@ -694,3 +694,86 @@ def test_generated_set_ops_match_duckdb(left_rows, right_rows, op):
         key=nk,
     )
     assert got == want, (op, got, want)
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=10,
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=10,
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol_s=st.sampled_from([None, 0, 3, 10]),
+)
+@SET
+def test_asof_nearest_and_tolerance_match_python_reference(
+    left_rows, right_rows, direction, tol_s
+):
+    """The asof_join contract DuckDB's native ASOF cannot express:
+    direction='nearest' (closer of backward/forward, ties to
+    backward) and the tolerance window (matches farther than
+    tolerance discarded, left row kept with nulls). Oracle is an
+    explicit per-row Python reference, so the tie and boundary rules
+    are spelled out rather than inherited from another engine."""
+    from financial_data_pipeline_optimization_spark.operators.joins import (
+        asof_join,
+    )
+
+    right_dedup = {}
+    for k, t, v in right_rows:
+        right_dedup[(k, t)] = v
+    rr = [(k, t, v) for (k, t), v in sorted(right_dedup.items())]
+
+    ldf = SPARK.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k int, lt long",
+    ).withColumn("lt", F.timestamp_seconds("lt"))
+    rdf = SPARK.createDataFrame(
+        rr, "k int, rt long, val int"
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    j = asof_join(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+        direction=direction,
+        tolerance=None if tol_s is None else f"{tol_s} seconds",
+    )
+    got = {
+        r["lid"]: (
+            None if r["rt"] is None else int(r["rt"].timestamp()),
+            r["val"],
+        )
+        for r in j.collect()
+    }
+
+    def pick(k, lt):
+        back = [(t, v) for (kk, t, v) in rr if kk == k and t <= lt]
+        fwd = [(t, v) for (kk, t, v) in rr if kk == k and t >= lt]
+        b = max(back, default=None)
+        f = min(fwd, default=None)
+        if direction == "backward":
+            m = b
+        elif direction == "forward":
+            m = f
+        else:  # nearest: closer wins, ties to backward
+            if b is None:
+                m = f
+            elif f is None:
+                m = b
+            else:
+                m = b if (lt - b[0]) <= (f[0] - lt) else f
+        if m is not None and tol_s is not None and abs(m[0] - lt) > tol_s:
+            m = None
+        return (None, None) if m is None else m
+
+    want = {
+        i: pick(k, lt) for i, (k, lt) in enumerate(left_rows)
+    }
+    assert set(got) == set(want)
+    for lid in got:
+        assert got[lid] == want[lid], (
+            direction, tol_s, lid, got[lid], want[lid],
+        )
