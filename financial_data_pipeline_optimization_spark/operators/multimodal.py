@@ -386,96 +386,149 @@ def synthetic_png_assets(df: DataFrame, id_col: str) -> DataFrame:
     ).drop("width", "height")
 
 
-def _decode_png_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """REAL (stdlib-zlib + NumPy) PNG decode for 8-bit RGB colour type
-    2, non-interlaced: verify chunk CRCs, inflate the concatenated
-    IDAT stream, reverse the per-scanline filter
-    (None/Sub/Up/Average/Paeth), aggregate the pixel bytes. Raises on
-    malformed payloads and unsupported variants (fail-fast, like the
-    WAV/BMP codecs)."""
+def _png_pixels(aid, buf: bytes):
+    """Parse + unfilter one PNG payload (8-bit RGB colour type 2,
+    non-interlaced): verify chunk CRCs, inflate the concatenated IDAT
+    stream, reverse the per-scanline filter
+    (None/Sub/Up/Average/Paeth). Returns an ``(h, w*3)`` int64 pixel
+    array. Raises on malformed payloads and unsupported variants
+    (fail-fast, like the WAV/BMP codecs)."""
     import struct
     import zlib
 
     import numpy as np
 
-    out = []
     bpp = 3
-    for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-        buf = bytes(payload)
-        if buf[:8] != _PNG_SIG:
-            raise ValueError(f"asset {aid}: not a PNG payload")
-        pos, w = 8, None
-        idat = bytearray()
-        while pos < len(buf):
-            (clen,) = struct.unpack(">I", buf[pos : pos + 4])
-            ctype = buf[pos + 4 : pos + 8]
-            data = buf[pos + 8 : pos + 8 + clen]
-            (crc,) = struct.unpack(
-                ">I", buf[pos + 8 + clen : pos + 12 + clen]
+    if buf[:8] != _PNG_SIG:
+        raise ValueError(f"asset {aid}: not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(buf):
+        (clen,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack(
+            ">I", buf[pos + 8 + clen : pos + 12 + clen]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"asset {aid}: bad {ctype!r} CRC")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_ihdr, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
             )
-            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                raise ValueError(f"asset {aid}: bad {ctype!r} CRC")
-            if ctype == b"IHDR":
-                w, h, depth, ctype_ihdr, _, _, interlace = struct.unpack(
-                    ">IIBBBBB", data
+            if depth != 8 or ctype_ihdr != 2 or interlace != 0:
+                raise ValueError(
+                    f"asset {aid}: unsupported PNG variant "
+                    f"(depth={depth} colour={ctype_ihdr} "
+                    f"interlace={interlace})"
                 )
-                if depth != 8 or ctype_ihdr != 2 or interlace != 0:
-                    raise ValueError(
-                        f"asset {aid}: unsupported PNG variant "
-                        f"(depth={depth} colour={ctype_ihdr} "
-                        f"interlace={interlace})"
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None:
+        raise ValueError(f"asset {aid}: missing IHDR")
+    raw = np.frombuffer(
+        zlib.decompress(bytes(idat)), dtype=np.uint8
+    ).astype(np.int64)
+    stride = w * 3 + 1  # filter byte + scanline
+    if len(raw) != stride * h:
+        raise ValueError(f"asset {aid}: IDAT length mismatch")
+    lines = raw.reshape(h, stride)
+    prior = np.zeros(w * 3, dtype=np.int64)
+    decoded = np.zeros((h, w * 3), dtype=np.int64)
+    for r in range(h):
+        ft, cur = int(lines[r, 0]), lines[r, 1:]
+        if ft == 0:
+            rec = cur.copy()
+        elif ft == 2:
+            rec = (cur + prior) % 256
+        else:
+            rec = np.zeros(w * 3, dtype=np.int64)
+            for i in range(w * 3):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    v = cur[i] + a
+                elif ft == 3:
+                    v = cur[i] + (a + b) // 2
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
                     )
-            elif ctype == b"IDAT":
-                idat.extend(data)
-            elif ctype == b"IEND":
-                break
-            pos += 12 + clen
-        if w is None:
-            raise ValueError(f"asset {aid}: missing IHDR")
-        raw = np.frombuffer(
-            zlib.decompress(bytes(idat)), dtype=np.uint8
-        ).astype(np.int64)
-        stride = w * 3 + 1  # filter byte + scanline
-        if len(raw) != stride * h:
-            raise ValueError(f"asset {aid}: IDAT length mismatch")
-        lines = raw.reshape(h, stride)
-        prior = np.zeros(w * 3, dtype=np.int64)
-        total = 0
-        for r in range(h):
-            ft, cur = int(lines[r, 0]), lines[r, 1:]
-            if ft == 0:
-                rec = cur.copy()
-            elif ft == 2:
-                rec = (cur + prior) % 256
-            else:
-                rec = np.zeros(w * 3, dtype=np.int64)
-                for i in range(w * 3):
-                    a = rec[i - bpp] if i >= bpp else 0
-                    b = prior[i]
-                    c = prior[i - bpp] if i >= bpp else 0
-                    if ft == 1:
-                        v = cur[i] + a
-                    elif ft == 3:
-                        v = cur[i] + (a + b) // 2
-                    elif ft == 4:
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = (
-                            a
-                            if pa <= pb and pa <= pc
-                            else (b if pb <= pc else c)
-                        )
-                        v = cur[i] + pred
-                    else:
-                        raise ValueError(
-                            f"asset {aid}: bad filter type {ft}"
-                        )
-                    rec[i] = v % 256
-            total += int(rec.sum())
-            prior = rec
-        out.append((int(aid), w, h, 24, w * h, total))
+                    v = cur[i] + pred
+                else:
+                    raise ValueError(
+                        f"asset {aid}: bad filter type {ft}"
+                    )
+                rec[i] = v % 256
+        decoded[r] = rec
+        prior = rec
+    return decoded
+
+
+def _decode_png_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """REAL PNG decode + featurize (see :func:`_png_pixels`): all-
+    integer features, same set as the BMP codec so the two are
+    cross-checkable row-for-row."""
+    out = []
+    for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+        px = _png_pixels(aid, bytes(payload))
+        h, wb = px.shape
+        w = wb // 3
+        out.append((int(aid), w, h, 24, w * h, int(px.sum())))
     return pd.DataFrame(
         out, columns=[f.name for f in PNG_FEATURE_SCHEMA.fields]
+    )
+
+
+def resize_png_assets(
+    assets: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL nearest-neighbor PNG resize inside the same ``mapInPandas``
+    shape as :func:`extract_features`: decode the payload
+    (:func:`_png_pixels`), index-map rows/cols
+    (``src = (dst * src_len) // dst_len``), re-encode through
+    :func:`_png_bytes` (fresh CRCs, all five scanline filters). The
+    output round-trips through the decoder; blobs never leave
+    executors."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = _png_pixels(aid, bytes(payload))
+                h, wb = px.shape
+                w = wb // 3
+                img = px.reshape(h, w, 3)
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                out = img[ri][:, ci, :].reshape(out_h, out_w * 3)
+                ids.append(int(aid))
+                payloads.append(_png_bytes(out))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    out = assets.select("asset_id", "payload").mapInPandas(
+        _resize, schema=BMP_RESIZE_SCHEMA
+    )
+    return out.select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit(out_w).cast("int").alias("width"),
+            F.lit(out_h).cast("int").alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
     )
 
 

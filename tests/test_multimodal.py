@@ -281,3 +281,34 @@ def test_png_codec_roundtrips_random_images():
         )
     )
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_png_resize_roundtrips_through_decoder(spark):
+    """resize_png_assets must emit byte-valid PNGs (fresh CRCs) whose
+    re-decoded dimensions match the target and whose pixel content is
+    exactly the NN index-mapped source — computed independently in
+    numpy from the closed-form fixture pixels."""
+    import numpy as np
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "asset_id")
+    src = multimodal.synthetic_png_assets(ids, "asset_id")
+    out_w, out_h = 3, 2
+    resized = multimodal.resize_png_assets(src, out_w, out_h)
+    feats = {
+        r.asset_id: (r.width, r.height, r.n_pixels, r.sum_pixel)
+        for r in multimodal.extract_features(resized, "png").collect()
+    }
+    assert len(feats) == 20
+    for aid in range(20):
+        w, h = 4 + aid % 13, 3 + aid % 7
+        k = np.arange(w * h * 3, dtype=np.int64)
+        img = ((aid * 31 + k) % 256).reshape(h, w, 3)
+        ri = (np.arange(out_h) * h) // out_h
+        ci = (np.arange(out_w) * w) // out_w
+        want = img[ri][:, ci, :]
+        assert feats[aid] == (
+            out_w, out_h, out_w * out_h, int(want.sum())
+        ), aid
+    # metadata struct tracks the new dims
+    meta = resized.select("meta.width", "meta.height").distinct().collect()
+    assert [(r[0], r[1]) for r in meta] == [(out_w, out_h)]
