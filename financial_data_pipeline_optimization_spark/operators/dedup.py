@@ -576,6 +576,7 @@ def near_dup_clusters(
     pair_source: str = "exact",
     carry_cols: Sequence[str] = (),
     cc_stats: dict | None = None,
+    materialize: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Transitive near-duplicate clusters: similarity pairs →
@@ -635,18 +636,21 @@ def near_dup_clusters(
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         *[F.col(c) for c in carry_cols],
     )
-    # Materialize the label table once: every consumer downstream of
-    # clustering (representative election, leakage-safe splits, budget
-    # plans, a range-sorted write's sampling pass) runs MULTIPLE
-    # actions over these rows, and without this checkpoint each action
-    # re-executes the post-checkpoint label join (node-set distinct +
-    # star-map join) — the labels are (id, cluster_id [, carry]) rows,
-    # orders of magnitude smaller than the corpus, so the
-    # materialization cost is negligible next to one recomputation.
+    # ``materialize=True`` checkpoints the label table once: consumers
+    # that run MULTIPLE actions over these rows (leakage-safe splits,
+    # budget plans, a range-sorted write's sampling pass) would
+    # otherwise re-execute the post-checkpoint label join (node-set
+    # distinct + star-map join) per action — the labels are
+    # (id, cluster_id [, carry]) rows, orders of magnitude smaller
+    # than the corpus, so the materialization cost is negligible next
+    # to one recomputation. Single-action consumers (run the labels
+    # straight into one aggregate/collect and discard them) should
+    # pass ``materialize=False``: for them the checkpoint is pure
+    # added cost (measured +16-21% on the sf0.1 cluster headliners).
     # This is the label-table twin of ``minhash_store``: callers that
     # need REUSE ACROSS JOBS should write this frame to parquet and
     # read it back (labels are deterministic given the corpus).
-    return labels.localCheckpoint(eager=False)
+    return labels.localCheckpoint(eager=False) if materialize else labels
 
 
 def elect_representatives(

@@ -148,6 +148,11 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("knn_pq_recall_check", 6),
     ("cluster_representatives", 6),
     ("leakage_safe_split", 6),
+    # r07 batch: near_dup_clusters grew a materialize flag and the
+    # single-action query wrappers now skip the label checkpoint
+    # (results identical, plans changed — re-prove).
+    ("near_dup_clusters", 7),
+    ("cluster_representatives", 7),
 )
 
 

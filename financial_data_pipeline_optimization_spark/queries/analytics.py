@@ -424,7 +424,7 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     labels = dedup.near_dup_clusters(
         docs, "doc_id", "text", n=2, min_jaccard=0.8,
-        carry_cols=["n_chars"],
+        carry_cols=["n_chars"], materialize=False,
     )
     return (
         dedup.elect_representatives(

@@ -232,7 +232,7 @@ def q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_clusters(
-        docs, "doc_id", "text", n=2, min_jaccard=0.8
+        docs, "doc_id", "text", n=2, min_jaccard=0.8, materialize=False
     )
 
 

@@ -359,7 +359,8 @@ def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_clusters(
-        docs, "doc_id", "text", n=2, min_jaccard=0.8, pair_source="lsh"
+        docs, "doc_id", "text", n=2, min_jaccard=0.8, pair_source="lsh",
+        materialize=False,
     )
 
 

@@ -582,13 +582,26 @@ def test_pca_gram_is_the_only_corpus_stage(spark):
 
 
 def test_cluster_election_adds_le_2_exchanges_over_labels(spark):
-    """cluster_representatives = materialized label table + election.
-    The election must cost at most 2 exchanges over the labels (the
-    cluster-keyed window shuffle — member count and rank share it —
-    plus the final range sort); more means the two window specs
-    drifted apart or the label checkpoint stopped truncating the
-    cluster stage out of the downstream plan."""
-    df = SPECS["cluster_representatives"].spark(spark, SF_SMOKE)
+    """Election over a MATERIALIZED label table (the multi-action
+    contract, ``near_dup_clusters(materialize=True)``) must cost at
+    most 2 exchanges over the labels (the cluster-keyed window
+    shuffle — member count and rank share it — plus a final range
+    sort); more means the two window specs drifted apart or the label
+    checkpoint stopped truncating the cluster stage out of the
+    downstream plan. The ``cluster_representatives`` headliner itself
+    now runs ``materialize=False`` (single action — checkpointing
+    there was a measured 16% regression), so the contract is asserted
+    on the operator composition, not the query wrapper."""
+    from financial_data_pipeline_optimization_spark.operators import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    labels = dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8,
+        carry_cols=["n_chars"], materialize=True,
+    )
+    df = dedup.elect_representatives(
+        labels, "doc_id", "cluster_id", "n_chars", min_members=2
+    ).orderBy("cluster_id")
     exchanges = [
         n for n in _walk(_executed_plan(df)) if "Exchange" in n.nodeName()
     ]
