@@ -4,8 +4,12 @@ The original single-file ``queries.py`` split by domain behind the same
 ``registry()``. REGISTRATION ORDER IS LOAD-BEARING for the driver's
 rotation window: modules are imported below in the exact order their
 sections appeared in the original file, and each module keeps its
-sections' original internal order — so ``_REGISTRY`` is byte-for-byte
-the same sequence of names as before the split.
+sections' original internal order — so pre-split names keep their
+original relative registry order (new queries may be added anywhere in
+their domain module; fresh names sort first in the rotation regardless
+of position). The ``vector_checks``/``media`` split-outs preserve this
+by exporting un-registered ``SPECS`` that ``warehouse.py`` appends at
+the original positions.
 """
 
 from __future__ import annotations
@@ -36,12 +40,14 @@ from financial_data_pipeline_optimization_spark.queries import (  # noqa: E402,F
     analytics,
     governance,
     monitoring,
+    media,
+    vector_checks,
 )
 
 # Back-compat: every name that was reachable as ``queries.<name>`` on
 # the single file stays reachable on the package (tests, bench and the
 # driver entry address query callables and oracle helpers this way).
-for _m in (core, documents, breadth, finance, tpch, curation, tpch_ext, warehouse, linkage, analytics, governance, monitoring):
+for _m in (core, documents, breadth, finance, tpch, curation, tpch_ext, warehouse, linkage, analytics, governance, monitoring, media, vector_checks):
     for _k, _v in vars(_m).items():
         if _k.startswith(("q_", "_")) and not _k.startswith("__"):
             globals().setdefault(_k, _v)

@@ -27,6 +27,12 @@ from financial_data_pipeline_optimization_spark.queries._registry import (
     _t,
 )
 
+from financial_data_pipeline_optimization_spark.queries.vector_checks import (
+    SPECS as _VEC_SPECS,
+)
+from financial_data_pipeline_optimization_spark.queries.media import (
+    SPECS as _MEDIA_SPECS,
+)
 from financial_data_pipeline_optimization_spark.queries.documents import (
     _ORACLE_TOKENS,
 )
@@ -461,101 +467,15 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_recall_query(method: str, floor: float):
-    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from financial_data_pipeline_optimization_spark.operators import vector
-
-        emb = _t(spark, sf_dir, "embeddings")
-        queries_df = emb.filter(F.col("vec_id") < 8)
-        k = 5
-        exact = vector.brute_force_topk(emb, queries_df, k=k).select(
-            "query_id", "neighbor_id"
-        )
-        if method == "lsh":
-            # 4 planes (not the 8-plane default): the synthetic
-            # embeddings are near-orthogonal random vectors, so
-            # narrower buckets have nothing meaningful to collide —
-            # measured recall is .47-.60 at 4 planes across SFs vs
-            # .05 at 8. Real corpora with true near-neighbors keep
-            # more planes.
-            approx = vector.lsh_topk(emb, queries_df, k=k, num_planes=4)
-        elif method == "pq":
-            # m=16 subspaces × 16 codes, ONE Lloyd round: measured
-            # recall .30-.45 across SFs on the near-orthogonal
-            # synthetic embeddings (finer subspaces beat more codes,
-            # and a second training round adds a full corpus scan for
-            # zero recall gain here; deterministic).
-            approx = vector.pq_topk(
-                emb, queries_df, k=k, m=16, k_codes=16, train_iters=1
-            )
-        else:
-            approx = vector.ivf_topk(emb, queries_df, k=k)
-        overlap = exact.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-        )
-        n_q = queries_df.count()
-        return overlap.agg(
-            F.lit(n_q).cast("long").alias("n_queries"),
-            (F.count(F.lit(1)) / F.lit(float(k * n_q)) >= floor).alias(
-                "recall_floor_ok"
-            ),
-        )
-
-    return _q
-
-
-_REGISTRY.append(
-    QuerySpec(
-        "knn_lsh_recall_check",
-        _knn_recall_query("lsh", 0.2),
-        """
-        SELECT CAST(count(*) AS BIGINT) AS n_queries,
-               TRUE AS recall_floor_ok
-        FROM embeddings WHERE vec_id < 8
-        """,
-        "Driver-checkable ANN contract: multi-probe LSH top-5 overlap "
-        "with exact cosine top-5 meets the aggregate recall floor "
-        "(>= 0.2 on the synthetic corpus; the pipeline is fully "
-        "deterministic, so this is exact, not flaky). The hash match "
-        "proves the approximate path, not just that rows came back.",
-    )
-)
-
-_REGISTRY.append(
-    QuerySpec(
-        "knn_pq_recall_check",
-        _knn_recall_query("pq", 0.2),
-        """
-        SELECT CAST(count(*) AS BIGINT) AS n_queries,
-               TRUE AS recall_floor_ok
-        FROM embeddings WHERE vec_id < 8
-        """,
-        "Driver-checkable ANN contract: product-quantization ADC "
-        "top-5 (operators.vector.pq_topk — per-subspace k-means "
-        "codebooks, corpus scored from its ~32x-compressed codes via "
-        "per-query lookup tables) overlaps exact cosine top-5 at the "
-        "aggregate recall floor (>= 0.2; deterministic). The scale "
-        "point: the scoring scan reads m small ints per row, never "
-        "the embedding column.",
-    )
-)
-
-_REGISTRY.append(
-    QuerySpec(
-        "knn_ivf_recall_check",
-        _knn_recall_query("ivf", 0.3),
-        """
-        SELECT CAST(count(*) AS BIGINT) AS n_queries,
-               TRUE AS recall_floor_ok
-        FROM embeddings WHERE vec_id < 8
-        """,
-        "Driver-checkable ANN contract: k-means-trained IVF top-5 "
-        "overlap with exact cosine top-5 meets the aggregate recall "
-        "floor (>= 0.3; deterministic).",
-    )
-)
-
+# ANN recall contracts live in queries.vector_checks (split, VERDICT
+# r6 #8); appended HERE so the registry sequence matches the pre-split
+# single-file order exactly.
+for _n in (
+    "knn_lsh_recall_check",
+    "knn_pq_recall_check",
+    "knn_ivf_recall_check",
+):
+    _REGISTRY.append(_VEC_SPECS[_n])
 
 @_register(
     "minhash_recall_check",
@@ -707,181 +627,18 @@ def q_incremental_second_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "embedding_near_dup_check",
-    """
-    SELECT CAST(3 AS BIGINT) AS n_planted_found,
-           TRUE AS all_pairs_above_threshold
-    """,
-    doc="Driver-checkable embedding near-dup contract: the 3 planted "
-    "exact duplicates (cosine 1.0, same LSH bucket by construction) "
-    "must each surface as a pair, and every returned pair must meet "
-    "the 0.9 threshold.",
-)
-def q_embedding_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import vector
+# Embedding/SimHash planted-duplicate checks: queries.vector_checks.
+for _n in ("embedding_near_dup_check", "simhash_planted_check"):
+    _REGISTRY.append(_VEC_SPECS[_n])
 
-    emb = _t(spark, sf_dir, "embeddings")
-    planted = (
-        emb.orderBy("vec_id")
-        .limit(3)
-        .withColumn(
-            "vec_id", F.col("vec_id") + F.lit(10_000_000).cast("long")
-        )
-    )
-    corpus = emb.unionByName(planted)
-    pairs = vector.embedding_near_dup_pairs(corpus, threshold=0.9)
-    planted_pairs = pairs.filter(
-        (F.col("b") >= 10_000_000)
-        & (F.col("b") - 10_000_000 == F.col("a"))
-    )
-    n_planted = planted_pairs.count()
-    n_below = pairs.filter(F.col("cosine_sim") < 0.9).count()
-    return pairs.agg(
-        F.lit(n_planted).cast("long").alias("n_planted_found"),
-        F.lit(n_below == 0).alias("all_pairs_above_threshold"),
-    )
-
-
-@_register(
-    "simhash_planted_check",
-    """
-    SELECT CAST(3 AS BIGINT) AS n_planted_found,
-           TRUE AS all_within_hamming
-    """,
-    doc="Driver-checkable SimHash contract: 3 planted exact duplicates "
-    "(identical token stream => identical 64-bit signature, Hamming 0, "
-    "same band chunks by construction) must each surface as a pair, "
-    "and every returned pair must respect the Hamming bound.",
-)
-def q_simhash_planted_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = (
-        docs.orderBy("doc_id")
-        .limit(3)
-        .withColumn(
-            "doc_id", F.col("doc_id") + F.lit(10_000_000).cast("long")
-        )
-    )
-    corpus = docs.unionByName(planted)
-    pairs = dedup.simhash_pairs(
-        corpus, "doc_id", "text", max_hamming=3
-    ).localCheckpoint(eager=False)  # three consumers below, one run
-    planted_pairs = pairs.filter(
-        (F.col("b") >= 10_000_000)
-        & (F.col("b") - 10_000_000 == F.col("a"))
-    )
-    n_planted = planted_pairs.count()
-    n_beyond = pairs.filter(F.col("hamming") > 3).count()
-    return pairs.agg(
-        F.lit(n_planted).cast("long").alias("n_planted_found"),
-        F.lit(n_beyond == 0).alias("all_within_hamming"),
-    )
-
-
-@_register(
+# Multimodal decode contracts live in queries.media (split, VERDICT
+# r6 #8); appended at their original registry positions.
+for _n in (
     "multimodal_features_check",
-    """
-    SELECT doc_id AS asset_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           lower(substring(hex(encode(text)), 1, 8)) AS header_hex,
-           TRUE AS stats_in_bounds
-    FROM documents
-    """,
-    doc="Driver-checkable multimodal contract: the mapInPandas decode "
-    "path's per-asset byte count and 4-byte header must equal the "
-    "SQL-derived UTF-8 encoding of the source text (per-row, all "
-    "assets), and the batch-computed byte stats must be in-domain "
-    "(mean in [0,255], entropy in [0,8]). Verifies the Arrow batch "
-    "plumbing row-for-row, not just row counts.",
-)
-def q_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import multimodal
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = multimodal.synthetic_assets(docs, "doc_id", "text")
-    feats = multimodal.extract_features(assets)
-    return feats.select(
-        "asset_id",
-        "n_bytes",
-        "header_hex",
-        (
-            F.col("mean_byte").between(0.0, 255.0)
-            & F.col("byte_entropy").between(0.0, 8.0)
-        ).alias("stats_in_bounds"),
-    )
-
-
-@_register(
     "multimodal_wav_decode_check",
-    """
-    WITH idx AS (SELECT i FROM generate_series(0, 127) AS t(i)),
-    per AS (
-      SELECT d.doc_id,
-             ((d.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS amp
-      FROM documents d, idx t
-      WHERE t.i < 32 + d.doc_id % 97
-    )
-    SELECT doc_id AS asset_id,
-           CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
-           CAST(1 AS INT) AS n_channels,
-           CAST(16 AS INT) AS bit_depth,
-           CAST(count(*) AS BIGINT) AS n_samples,
-           CAST(sum(amp) AS BIGINT) AS sum_amp,
-           CAST(max(abs(amp)) AS BIGINT) AS peak_amp
-    FROM per GROUP BY doc_id
-    """,
-    doc="REAL audio decode contract (VERDICT r4 #5): byte-valid "
-    "RIFF/WAVE PCM16 payloads are built distributed from the doc_id "
-    "alone, then decoded by the pure-NumPy chunk-walking WAV codec "
-    "(operators.multimodal._decode_wav_batch) inside mapInPandas. The "
-    "oracle re-derives every header field and the exact integer "
-    "sample-sum/peak from the generating formula — a wrong byte "
-    "anywhere in header layout, endianness, or sample parsing breaks "
-    "the per-row hash. All-integer features: no float hazard.",
-)
-def q_multimodal_wav_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import multimodal
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = multimodal.synthetic_wav_assets(docs, "doc_id")
-    return multimodal.extract_features(assets, decode_fn="wav")
-
-
-@_register(
     "multimodal_bmp_decode_check",
-    """
-    WITH idx AS (SELECT i FROM generate_series(0, 431) AS t(i)),
-    per AS (
-      SELECT d.doc_id,
-             4 + d.doc_id % 13 AS w,
-             3 + d.doc_id % 7 AS h,
-             (d.doc_id * 31 + t.i) % 256 AS px
-      FROM documents d, idx t
-      WHERE t.i < (4 + d.doc_id % 13) * (3 + d.doc_id % 7) * 3
-    )
-    SELECT doc_id AS asset_id,
-           CAST(w AS INT) AS width,
-           CAST(h AS INT) AS height,
-           CAST(24 AS INT) AS bits_per_pixel,
-           CAST(w * h AS BIGINT) AS n_pixels,
-           CAST(sum(px) AS BIGINT) AS sum_pixel
-    FROM per GROUP BY doc_id, w, h
-    """,
-    doc="REAL image decode contract (VERDICT r4 #5): byte-valid 24-bit "
-    "BMPs (file header + DIB header + bottom-up 4-byte-padded rows) "
-    "built distributed from the doc_id, decoded by the pure-NumPy BMP "
-    "codec (operators.multimodal._decode_bmp_batch). The oracle "
-    "re-derives width/height/bpp and the exact unpadded pixel-byte sum "
-    "— stride-padding mistakes change sum_pixel and fail the hash.",
-)
-def q_multimodal_bmp_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import multimodal
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = multimodal.synthetic_bmp_assets(docs, "doc_id")
-    return multimodal.extract_features(assets, decode_fn="bmp")
-
+):
+    _REGISTRY.append(_MEDIA_SPECS[_n])
 
 @_register(
     "histogram_order_totals",
@@ -2127,57 +1884,8 @@ def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "multimodal_wav_chunk_check",
-    """
-    WITH idx AS (SELECT i FROM generate_series(0, 127) AS t(i)),
-    per AS (
-      SELECT d.doc_id, CAST(t.i // 48 AS INT) AS chunk_index,
-             ((d.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS amp
-      FROM documents d, idx t
-      WHERE t.i < 32 + d.doc_id % 97
-    )
-    SELECT doc_id AS asset_id, chunk_index,
-           CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
-           CAST(count(*) AS BIGINT) AS n_samples,
-           CAST(sum(amp) AS BIGINT) AS sum_amp
-    FROM per GROUP BY doc_id, chunk_index
-    """,
-    doc="Audio chunking contract: WAV payloads split into 48-sample "
-    "windows (operators.multimodal.chunk_wav_assets — each chunk "
-    "re-emitted as a byte-valid standalone WAV), then every chunk "
-    "decoded back through the real WAV codec. The oracle re-derives "
-    "per-chunk sample counts and exact integer sums from the "
-    "generating formula, so a wrong slice boundary, header, or "
-    "short-final-chunk bug changes a row and fails the hash.",
-)
-def q_multimodal_wav_chunk_check(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from financial_data_pipeline_optimization_spark.operators import multimodal
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = multimodal.synthetic_wav_assets(docs, "doc_id")
-    chunks = multimodal.chunk_wav_assets(assets, chunk_samples=48)
-    # n <= 128 samples -> at most 3 chunks; pack (asset, chunk) into one
-    # id for the decoder, unpack after
-    feats = multimodal.extract_features(
-        chunks.select(
-            (F.col("asset_id") * 10 + F.col("chunk_index")).alias(
-                "asset_id"
-            ),
-            "payload",
-        ),
-        decode_fn="wav",
-    )
-    return feats.select(
-        F.floor(F.col("asset_id") / 10).cast("long").alias("asset_id"),
-        (F.col("asset_id") % 10).cast("int").alias("chunk_index"),
-        "sample_rate",
-        "n_samples",
-        "sum_amp",
-    )
-
+# Audio chunking contract: queries.media.
+_REGISTRY.append(_MEDIA_SPECS["multimodal_wav_chunk_check"])
 
 @_register(
     "triangle_count_order_bursts",
