@@ -654,7 +654,7 @@ def chunk_wav_assets(
     sliced sample bytes), so every chunk feeds straight back into
     :func:`extract_features` or any audio tool.
 
-    Same explode plumbing contract as ``frame_sample_stub``/document
+    Same explode plumbing contract as ``sample_video_frames``/document
     chunking: one blob in, k small blobs out, all inside ``mapInPandas``
     — payloads never visit the driver, and a chunk row is bounded by
     ``chunk_samples`` regardless of source length (the property that
@@ -746,25 +746,135 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def frame_sample_stub(
-    assets: DataFrame, every_n: int = 10
-) -> DataFrame:
-    """Frame-sampling stub for video payloads: emits one row per sampled
-    frame index (real decode would slice the container at those frames).
-    The explode shape — one blob in, k small rows out — is the real
-    plumbing being exercised."""
-    return assets.select(
-        "asset_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)
-                ),
-                F.lit(every_n),
+#: Output schema of the frame sampler: one row per sampled frame, the
+#: payload a standalone byte-valid PNG that feeds straight back into
+#: ``extract_features(decode_fn='png')``.
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def synthetic_video_assets(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL multi-frame video payloads: a minimal
+    concatenated-PNG container (frame ``f`` is a complete byte-valid
+    PNG stream through its IEND chunk; PNG is self-delimiting, so the
+    container needs no index — the APNG-without-chunk-wrappers shape).
+    Deterministic from the id: ``n_frames = 2 + id % 4``, every frame
+    ``width = 4 + id % 13``, ``height = 3 + id % 7``, frame ``f``'s
+    pixel byte ``k`` = ``(id * 31 + f * 97 + k) % 256`` — frame 0
+    therefore carries exactly the single-image PNG/BMP fixture pixels,
+    so cross-codec checks compose."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, frames = [], [], []
+            for aid in pdf[id_col]:
+                aid = int(aid)
+                w, h = 4 + aid % 13, 3 + aid % 7
+                nf = 2 + aid % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                buf = b"".join(
+                    _png_bytes(
+                        ((aid * 31 + f * 97 + k) % 256).reshape(h, w * 3)
+                    )
+                    for f in range(nf)
+                )
+                ids.append(aid)
+                payloads.append(buf)
+                frames.append(nf)
+            yield pd.DataFrame(
+                {"asset_id": pd.array(ids, dtype="int64"),
+                 "payload": payloads,
+                 "n_frames": pd.array(frames, dtype="int32")}
             )
-        ).alias("frame_index"),
-        "meta",
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+        ]
+    )
+    built = df.select(id_col).mapInPandas(_build, schema=out_schema)
+    return built.select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_frames").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    ).drop("n_frames")
+
+
+def _split_png_frames(aid, buf: bytes) -> list[bytes]:
+    """Split a concatenated-PNG container into its complete frame
+    streams by walking chunk lengths to each IEND (no signature
+    scanning — lengths are authoritative, so pixel data containing the
+    PNG signature can't desynchronize the parse). Raises on trailing
+    garbage or a truncated frame (fail-fast, like the codecs)."""
+    import struct
+
+    frames = []
+    pos = 0
+    while pos < len(buf):
+        if buf[pos : pos + 8] != _PNG_SIG:
+            raise ValueError(
+                f"asset {aid}: frame {len(frames)} missing PNG signature"
+            )
+        start, p = pos, pos + 8
+        while True:
+            if p + 8 > len(buf):
+                raise ValueError(f"asset {aid}: truncated frame")
+            (clen,) = struct.unpack(">I", buf[p : p + 4])
+            ctype = buf[p + 4 : p + 8]
+            p += 12 + clen
+            if ctype == b"IEND":
+                break
+        frames.append(buf[start:p])
+        pos = p
+    return frames
+
+
+def sample_video_frames(
+    assets: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """REAL frame sampling over the concatenated-PNG video container
+    (retires the former ``frame_sample_stub``): split each payload into
+    its frame streams (:func:`_split_png_frames`), keep frames
+    ``0, every_n, 2·every_n, …``, and re-emit each kept frame as a
+    standalone byte-valid PNG row ``(asset_id, frame_index, payload)``
+    — the decode-extract analog of ``chunk_wav_assets``'s explode
+    shape: one blob in, k bounded blobs out, all inside
+    ``mapInPandas``; payloads never visit the driver."""
+
+    def _sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for f, frame in enumerate(
+                    _split_png_frames(aid, bytes(payload))
+                ):
+                    if f % every_n == 0:
+                        ids.append(aid)
+                        idxs.append(f)
+                        payloads.append(frame)
+            yield pd.DataFrame(
+                {"asset_id": pd.array(ids, dtype="int64"),
+                 "frame_index": pd.array(idxs, dtype="int32"),
+                 "payload": payloads}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _sampler, schema=FRAME_SAMPLE_SCHEMA
     )
 
 

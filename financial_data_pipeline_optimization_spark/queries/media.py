@@ -193,3 +193,158 @@ def q_multimodal_wav_chunk_check(
     )
 
 
+
+# ===========================================================================
+# r7 additions — registered directly (fresh names sort first in the
+# rotation, so position is free; see module docstring).
+# ===========================================================================
+
+
+@_register_global(
+    "multimodal_png_decode_check",
+    """
+    WITH idx AS (SELECT i FROM generate_series(0, 431) AS t(i)),
+    per AS (
+      SELECT d.doc_id,
+             4 + d.doc_id % 13 AS w,
+             3 + d.doc_id % 7 AS h,
+             (d.doc_id * 31 + t.i) % 256 AS px
+      FROM documents d, idx t
+      WHERE t.i < (4 + d.doc_id % 13) * (3 + d.doc_id % 7) * 3
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(24 AS INT) AS bits_per_pixel,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(px) AS BIGINT) AS sum_pixel
+    FROM per GROUP BY doc_id, w, h
+    """,
+    doc="REAL PNG decode contract (VERDICT r6 #2): byte-valid 8-bit-RGB "
+    "PNGs (zlib-deflated IDAT, correct CRCs, scanline filter row%5 so "
+    "all five None/Sub/Up/Average/Paeth filters appear) built "
+    "distributed from the doc_id, decoded by the pure-NumPy PNG codec "
+    "(operators.multimodal._png_pixels — CRC verify, inflate, "
+    "unfilter). The payload carries the SAME deterministic pixels as "
+    "the BMP fixture, so this oracle is the BMP decode oracle verbatim "
+    "— a wrong unfilter, CRC skip, or stride bug changes sum_pixel and "
+    "fails the hash, and any divergence from the BMP row is a "
+    "cross-codec inconsistency.",
+)
+def q_multimodal_png_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_png_assets(docs, "doc_id")
+    return multimodal.extract_features(assets, decode_fn="png")
+
+
+@_register_global(
+    "multimodal_png_resize_check",
+    """
+    WITH oi AS (SELECT i FROM generate_series(0, 3) t(i)),
+         oj AS (SELECT j FROM generate_series(0, 7) t(j)),
+         oc AS (SELECT c FROM generate_series(0, 2) t(c)),
+    per AS (
+      SELECT d.doc_id,
+             (d.doc_id * 31
+              + ((t.i * (3 + d.doc_id % 7)) // 4)
+                * ((4 + d.doc_id % 13) * 3)
+              + ((u.j * (4 + d.doc_id % 13)) // 8) * 3
+              + v.c) % 256 AS px
+      FROM documents d, oi t, oj u, oc v
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(24 AS INT) AS bits_per_pixel,
+           CAST(32 AS BIGINT) AS n_pixels,
+           CAST(sum(px) AS BIGINT) AS sum_pixel
+    FROM per GROUP BY doc_id
+    """,
+    doc="REAL PNG transform contract (VERDICT r6 #2): synthetic PNGs "
+    "nearest-neighbor resized to 8x4 by the pure-NumPy codec "
+    "(operators.multimodal.resize_png_assets — decode, index-map "
+    "src = (dst * src_len) // dst_len, re-encode with fresh CRCs and "
+    "all five scanline filters), then the RESIZED payload re-decoded "
+    "by the PNG feature extractor. Pixels match the BMP fixture, so "
+    "the oracle is the BMP resize oracle verbatim — closing the "
+    "decode -> transform -> re-encode -> decode loop for the second "
+    "codec, blobs never leaving executors.",
+)
+def q_multimodal_png_resize_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_png_assets(docs, "doc_id")
+    resized = multimodal.resize_png_assets(assets, out_w=8, out_h=4)
+    return multimodal.extract_features(resized, decode_fn="png")
+
+
+@_register_global(
+    "multimodal_frame_sample_check",
+    """
+    WITH fr AS (
+      SELECT d.doc_id, t.f
+      FROM documents d, generate_series(0, 4) AS t(f)
+      WHERE t.f < 2 + d.doc_id % 4 AND t.f % 2 = 0
+    ),
+    idx AS (SELECT i FROM generate_series(0, 431) AS t(i)),
+    per AS (
+      SELECT fr.doc_id, fr.f,
+             4 + fr.doc_id % 13 AS w,
+             3 + fr.doc_id % 7 AS h,
+             (fr.doc_id * 31 + fr.f * 97 + t.i) % 256 AS px
+      FROM fr, idx t
+      WHERE t.i < (4 + fr.doc_id % 13) * (3 + fr.doc_id % 7) * 3
+    )
+    SELECT doc_id AS asset_id,
+           CAST(f AS INT) AS frame_index,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(24 AS INT) AS bits_per_pixel,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(px) AS BIGINT) AS sum_pixel
+    FROM per GROUP BY doc_id, f, w, h
+    """,
+    doc="REAL video frame-sampling contract (VERDICT r6 #7 — retires "
+    "frame_sample_stub): multi-frame concatenated-PNG containers "
+    "(n_frames = 2 + id % 4, frame f pixel k = (id*31 + f*97 + k) % "
+    "256) are split by walking chunk lengths to each IEND "
+    "(operators.multimodal.sample_video_frames), every 2nd frame "
+    "re-emitted as a standalone byte-valid PNG and decoded through "
+    "the real PNG codec. The oracle re-derives the sampled frame set "
+    "and each frame's exact pixel sum from the generating formula — "
+    "a wrong split boundary, dropped frame, or filter-state bleed "
+    "between frames changes a row and fails the hash.",
+)
+def q_multimodal_frame_sample_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_video_assets(docs, "doc_id")
+    frames = multimodal.sample_video_frames(assets, every_n=2)
+    # n_frames <= 5 -> frame_index <= 4; pack (asset, frame) into one
+    # id for the decoder, unpack after (the wav-chunk check's pattern).
+    feats = multimodal.extract_features(
+        frames.select(
+            (F.col("asset_id") * 10 + F.col("frame_index")).alias(
+                "asset_id"
+            ),
+            "payload",
+        ),
+        decode_fn="png",
+    )
+    return feats.select(
+        F.floor(F.col("asset_id") / 10).cast("long").alias("asset_id"),
+        (F.col("asset_id") % 10).cast("int").alias("frame_index"),
+        "width",
+        "height",
+        "bits_per_pixel",
+        "n_pixels",
+        "sum_pixel",
+    )

@@ -155,26 +155,46 @@ def test_pil_decode_gated(assets):
         multimodal.extract_features(assets, decode_fn="pil")
 
 
-def test_resize_and_frame_sample_stubs(assets):
+def test_resize_stub_updates_metadata(assets):
     resized = multimodal.resize_stub(assets, 224, 224)
     row = resized.select("meta.width", "meta.height").first()
     assert (row[0], row[1]) == (224, 224)
 
-    frames = multimodal.frame_sample_stub(
-        resized.withColumn(
-            "meta",
-            F.struct(
-                F.col("meta.media_type"),
-                F.col("meta.width"),
-                F.col("meta.height"),
-                F.lit(30).cast("int").alias("n_frames"),
-                F.col("meta.sample_rate"),
-            ),
-        ),
-        every_n=10,
-    )
-    per_asset = frames.groupBy("asset_id").count().select("count").distinct()
-    assert [r["count"] for r in per_asset.collect()] == [3]  # frames 0,10,20
+
+def test_video_frame_sample_decodes_real_frames(spark):
+    """sample_video_frames over the concatenated-PNG container: every
+    sampled frame must be a standalone byte-valid PNG whose decoded
+    pixels match the generating formula
+    ``(id*31 + f*97 + k) % 256`` — and frame 0 must equal the
+    single-image PNG fixture's pixels."""
+    base = spark.range(6).select(F.col("id").alias("doc_id"))
+    assets = multimodal.synthetic_video_assets(base, "doc_id")
+    frames = multimodal.sample_video_frames(assets, every_n=2)
+    rows = frames.collect()
+    # n_frames = 2 + id % 4 in {2,3,4,5}; sampled = ceil(nf/2)
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_index"])
+    for aid, idxs in by_asset.items():
+        nf = 2 + aid % 4
+        assert sorted(idxs) == list(range(0, nf, 2)), (aid, idxs)
+    import numpy as np
+
+    for r in rows:
+        aid, f = r["asset_id"], r["frame_index"]
+        w, h = 4 + aid % 13, 3 + aid % 7
+        px = multimodal._png_pixels(aid, bytes(r["payload"]))
+        k = np.arange(w * h * 3, dtype=np.int64)
+        expect = ((aid * 31 + f * 97 + k) % 256).reshape(h, w * 3)
+        assert (px == expect).all(), (aid, f)
+
+
+def test_video_container_rejects_garbage(spark):
+    with pytest.raises(Exception, match="missing PNG signature"):
+        multimodal._split_png_frames(7, b"\x00" * 16)
+    # truncated: a valid signature but chunk walk runs off the end
+    with pytest.raises(Exception, match="truncated"):
+        multimodal._split_png_frames(7, multimodal._PNG_SIG + b"\x00\x00")
 
 
 def test_bmp_resize_roundtrips_through_decoder(spark):
