@@ -87,6 +87,13 @@ HEADLINE = [
     # range joins are the classic accidental-cartesian trap, so the
     # shape gets a measured trend line + a PLANS audit row.
     "asof_join_last_view",
+    # r7 additions (VERDICT r6 #3): the approximate ANN paths — the
+    # similarity-search strategies that actually run at 100 TB — timed
+    # next to knn_brute_force so all four have trend lines. knn_pq
+    # runs the persisted-index path (train + encode + ADC search).
+    "knn_lsh",
+    "knn_ivf",
+    "knn_pq",
 ]
 
 
@@ -117,6 +124,13 @@ def main() -> None:
             "near_dup_clusters_lsh", q.q_near_dup_clusters_lsh, None
         ),
     )
+    # ANN bench twins: approximate paths have no SQL oracle (the
+    # *_recall_check queries carry driver verification) but need
+    # measured trend lines.
+    for _ann in ("knn_lsh", "knn_ivf", "knn_pq"):
+        specs.setdefault(
+            _ann, q.QuerySpec(_ann, getattr(q, f"q_{_ann}"), None)
+        )
     timings: dict[str, float] = {}
 
     # Warm the JVM + file listing once so the first measured query

@@ -987,8 +987,63 @@ class QueryBatchTooLarge(ValueError):
     whose query side stays distributed."""
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """Parse ``spark.sql.autoBroadcastJoinThreshold`` (plain bytes or a
+    b/k/m/g-suffixed size; -1 = broadcast disabled) into bytes."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return 10 << 20
+
+
+def _pick_over_bound_path(
+    on_over_bound: str,
+    queries: DataFrame,
+    m: int,
+    k_codes: int,
+    max_collect_queries: int,
+) -> str:
+    """Resolve 'chunk'/'broadcast' for an over-bound query set.
+    ``'chunk'`` auto-upgrades to the broadcast search when the LUT
+    table (one m·k_codes float64 array per query) fits the session's
+    broadcast threshold — one scan of the codes instead of a serial
+    per-chunk loop; explicit ``'broadcast'`` skips the size check
+    (the JVM's own broadcast limit is then the backstop)."""
+    if on_over_bound != "chunk":
+        return on_over_bound
+    n = queries.count()
+    lut_bytes = n * (m * k_codes * 8 + 32)  # array + row overhead
+    threshold = _broadcast_threshold_bytes(queries.sparkSession)
+    return "broadcast" if 0 < lut_bytes <= threshold else "chunk"
+
+
+#: Valid ``on_over_bound`` policies for the PQ search entry points.
+#: Validated up front so a typo ('chunked', 'broadcast!') fails fast
+#: instead of silently degrading to the error path.
+_OVER_BOUND_POLICIES = ("error", "chunk", "broadcast")
+
+
+def _check_over_bound_policy(on_over_bound: str) -> None:
+    if on_over_bound not in _OVER_BOUND_POLICIES:
+        raise ValueError(
+            f"on_over_bound must be one of {_OVER_BOUND_POLICIES}, "
+            f"got {on_over_bound!r}"
+        )
+
+
 def _check_query_bound(
-    queries: DataFrame, max_collect_queries: int, op: str
+    queries: DataFrame, max_collect_queries: int
 ) -> bool:
     """Bounded probe (``limit(bound+1).count()`` — one action, never a
     full count) of whether a query batch fits the driver-collect
@@ -1008,43 +1063,156 @@ def _pq_chunked_topk(
     vec_col: str,
     query_id_col: str,
     max_collect_queries: int,
+    _salt: int = 0,
 ) -> DataFrame:
     """Over-bound PQ search by hash-chunking the query side: split the
-    queries into ~0.8·bound-sized chunks on ``pmod(xxhash64(id))`` (no
-    global sort — a ``row_number`` chunking would funnel the whole
-    query side through one task), then run the bounded ADC search per
-    chunk and union lazily. Each chunk costs one bounded collect plus
-    one scan of the CODE table (~32× smaller than the embeddings), so
-    a 10×-over-bound query set costs ~13 cheap scans instead of a
-    driver OOM; per-chunk results compose exactly because codes and
-    codebooks are immutable. The query table and code table are
-    localCheckpointed once so neither's upstream plan re-executes per
-    chunk."""
+    queries into ~0.8·bound-sized chunks on ``pmod(xxhash64(id,
+    salt))`` (no global sort — a ``row_number`` chunking would funnel
+    the whole query side through one task), then run the bounded ADC
+    search per chunk and union lazily. Each chunk costs one bounded
+    collect plus one scan of the CODE table (~32× smaller than the
+    embeddings), so a 10×-over-bound query set costs ~13 cheap scans
+    instead of a driver OOM; per-chunk results compose exactly because
+    codes and codebooks are immutable. The query table and code table
+    are localCheckpointed once so neither's upstream plan re-executes
+    per chunk.
+
+    Chunks are ~uniform in expectation, but the hash could still land
+    >bound ids in one chunk; such a chunk RE-CHUNKS recursively under a
+    fresh hash salt (changing the salt re-randomizes the assignment —
+    re-splitting on the same hash would put the whole chunk in one
+    sub-chunk) instead of surfacing ``QueryBatchTooLarge`` from a path
+    whose whole point is handling over-bound query sets."""
     import math as _math
 
     n = queries.count()
     n_chunks = max(2, _math.ceil(n / (max_collect_queries * 0.8)))
     q = queries.select(id_col, vec_col).withColumn(
-        "__chunk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+        "__chunk",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(_salt)), F.lit(n_chunks)),
     ).localCheckpoint(eager=False)
     enc = encoded.localCheckpoint(eager=False)
-    parts = [
-        _pq_adc_topk(
-            enc,
-            books,
-            q.where(F.col("__chunk") == i).drop("__chunk"),
-            k,
-            id_col,
-            vec_col,
-            query_id_col,
-            max_collect_queries,
-        )
-        for i in range(n_chunks)
-    ]
+    parts = []
+    for i in range(n_chunks):
+        chunk = q.where(F.col("__chunk") == i).drop("__chunk")
+        try:
+            parts.append(
+                _pq_adc_topk(
+                    enc, books, chunk, k,
+                    id_col, vec_col, query_id_col, max_collect_queries,
+                )
+            )
+        except QueryBatchTooLarge:
+            parts.append(
+                _pq_chunked_topk(
+                    enc, books, chunk, k,
+                    id_col, vec_col, query_id_col, max_collect_queries,
+                    _salt=_salt + 1,
+                )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _pq_broadcast_topk(
+    encoded: DataFrame,
+    books,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Over-bound PQ search with the query side DISTRIBUTED: each query
+    row derives its ADC lookup table locally (``lut[j·k_codes + c] =
+    <q_sub_j, books[j, c]>`` — one Arrow pass, no collect), the LUT
+    table broadcast-joins the code scan, and the JVM computes every
+    score as ``m`` array lookups (``aggregate`` over the code array —
+    same float64 accumulation order as the numpy path, so results are
+    bit-identical to the chunked search). One scan of the compressed
+    codes regardless of query count — the fix for the chunked path's
+    serial per-chunk scans when the query set, while over the
+    driver-collect bound, still fits the broadcast threshold
+    (``pq_topk`` checks ~LUT bytes vs
+    ``spark.sql.autoBroadcastJoinThreshold`` before choosing this
+    path).
+
+    Cost shape: the scored relation is codes × queries rows BEFORE the
+    per-query top-k window prunes it, so the top-k shuffle is
+    O(corpus·q) — fine when q·corpus pairs fit a shuffle (the regime
+    this path targets); for query sets beyond the broadcast threshold
+    the chunked path's bounded collects are the safe fallback."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    m, k_codes, sub = books.shape
+
+    lut_schema = StructType(
+        [
+            StructField(
+                query_id_col, queries.schema[id_col].dataType, True
+            ),
+            StructField("__lut", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def make_luts(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            mat = _unit_rows(mat)
+            # (n, m, k_codes) flattened row-major to m*k_codes per row
+            luts = np.stack(
+                [
+                    mat[:, j * sub : (j + 1) * sub] @ books[j].T
+                    for j in range(m)
+                ],
+                axis=1,
+            ).reshape(len(pdf), m * k_codes)
+            yield pd.DataFrame(
+                {query_id_col: pdf[id_col], "__lut": list(luts)}
+            )
+
+    luts = queries.select(id_col, vec_col).mapInPandas(
+        make_luts, lut_schema
+    )
+
+    sim = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(
+                F.col("__lut"), (j * k_codes + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # NB: numpy's inner-axis sum is sequential below its 128-element
+    # pairwise blocksize, so for m < 128 (every real PQ config) this
+    # sequential fold reproduces the chunked path's sims bit-for-bit.
+    scored = (
+        encoded.select(F.col(id_col).alias("neighbor_id"), "pq_codes")
+        .join(F.broadcast(luts), F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", sim.alias("adc_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def pq_topk(
@@ -1073,24 +1241,58 @@ def pq_topk(
 
     The query side is collected driver-side, bounded by
     ``max_collect_queries`` with the same probe as
-    ``brute_force_topk``'s arrow path — but where brute force can fall
-    back to a distributed crossJoin, ADC scoring NEEDS the per-query
-    lookup tables materialized, so an over-bound query side either
+    ``brute_force_topk``'s arrow path. An over-bound query side either
     raises :class:`QueryBatchTooLarge` before collecting anything
-    (``on_over_bound='error'``, the default) or hash-chunks the query
-    side and unions the per-chunk searches
-    (``on_over_bound='chunk'`` — one bounded collect + one scan of the
-    compressed code table per chunk; exact same results). Either way
-    the driver never sees more than the bound. Per-partition local
-    top-k keeps the merge shuffle at O(partitions·k·q).
+    (``on_over_bound='error'``, the default) or searches WITHOUT the
+    big collect (``on_over_bound='chunk'``): per-query LUTs
+    broadcast-joined to one scan of the compressed code table when the
+    LUT table fits ``spark.sql.autoBroadcastJoinThreshold``
+    (:func:`_pq_broadcast_topk` — the query side stays distributed),
+    else hash-chunked bounded collects unioned per chunk
+    (:func:`_pq_chunked_topk` — skew-safe via recursive re-chunking).
+    ``on_over_bound='broadcast'`` forces the broadcast search. All
+    paths return identical results and the driver never sees more
+    than the bound. Per-partition local top-k keeps the bounded
+    path's merge shuffle at O(partitions·k·q).
     """
+    _check_over_bound_policy(on_over_bound)
     books = train_pq_codebooks(
         corpus, m, k_codes, train_iters, id_col, vec_col
     )
     encoded = pq_encode(corpus, books, id_col, vec_col)
-    if on_over_bound == "chunk" and _check_query_bound(
-        queries, max_collect_queries, "pq_topk"
+    return _pq_dispatch(
+        encoded, books, queries, k, id_col, vec_col,
+        query_id_col, max_collect_queries, on_over_bound,
+    )
+
+
+def _pq_dispatch(
+    encoded: DataFrame,
+    books,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    max_collect_queries: int,
+    on_over_bound: str,
+) -> DataFrame:
+    """Shared over-bound routing for :func:`pq_topk` /
+    :func:`pq_search_store`: bounded ADC when the query set fits the
+    driver-collect contract; otherwise the broadcast search (LUT table
+    within the broadcast threshold, or forced) or the hash-chunked
+    loop."""
+    if on_over_bound != "error" and _check_query_bound(
+        queries, max_collect_queries
     ):
+        path = _pick_over_bound_path(
+            on_over_bound, queries, books.shape[0], books.shape[1],
+            max_collect_queries,
+        )
+        if path == "broadcast":
+            return _pq_broadcast_topk(
+                encoded, books, queries, k, id_col, vec_col, query_id_col
+            )
         return _pq_chunked_topk(
             encoded, books, queries, k, id_col, vec_col,
             query_id_col, max_collect_queries,
@@ -1125,7 +1327,7 @@ def _pq_adc_topk(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     m, k_codes, sub = books.shape
-    if _check_query_bound(queries, max_collect_queries, "pq ADC top-k"):
+    if _check_query_bound(queries, max_collect_queries):
         raise QueryBatchTooLarge(
             f"pq ADC top-k: query side exceeds max_collect_queries="
             f"{max_collect_queries}; pass on_over_bound='chunk' (the "
@@ -1253,11 +1455,12 @@ def pq_search_store(
     The codebook (``m × k_codes`` rows) is the only thing collected
     besides the query batch, which is bounded by
     ``max_collect_queries`` (over-bound raises
-    :class:`QueryBatchTooLarge`, or hash-chunks with
-    ``on_over_bound='chunk'`` — see :func:`pq_topk`); the scan reads
-    codes only."""
+    :class:`QueryBatchTooLarge`, or searches via the broadcast /
+    hash-chunked paths with ``on_over_bound='chunk'``/``'broadcast'``
+    — see :func:`pq_topk`); the scan reads codes only."""
     import numpy as np
 
+    _check_over_bound_policy(on_over_bound)
     rows = books_df.collect()  # bounded: m × k_codes centroid rows
     m = 1 + max(r["sub"] for r in rows)
     k_codes = 1 + max(r["code"] for r in rows)
@@ -1265,22 +1468,9 @@ def pq_search_store(
     books = np.zeros((m, k_codes, sub))
     for r in rows:
         books[r["sub"], r["code"]] = r["centroid"]
-    if on_over_bound == "chunk" and _check_query_bound(
-        queries, max_collect_queries, "pq_search_store"
-    ):
-        return _pq_chunked_topk(
-            codes_df, books, queries, k, id_col, vec_col,
-            query_id_col, max_collect_queries,
-        )
-    return _pq_adc_topk(
-        codes_df,
-        books,
-        queries,
-        k,
-        id_col,
-        vec_col,
-        query_id_col,
-        max_collect_queries,
+    return _pq_dispatch(
+        codes_df, books, queries, k, id_col, vec_col,
+        query_id_col, max_collect_queries, on_over_bound,
     )
 
 

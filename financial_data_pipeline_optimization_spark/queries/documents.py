@@ -369,6 +369,50 @@ def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: hyperplane-LSH ANN top-5 (operators.vector.lsh_topk,
+    same 4-plane config the recall check verifies) — the bucketed
+    100 TB similarity-search path, timed next to brute force so the
+    approximate paths have measured trend lines, not just correctness
+    rows. xxhash/bucket-based, hence no SQL oracle;
+    knn_lsh_recall_check carries driver verification."""
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return vector.lsh_topk(emb, queries_df, k=5, num_planes=4)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: IVF ANN top-5 (operators.vector.ivf_topk — k-means
+    cells trained on the corpus, probes nearest cells only). No SQL
+    oracle (iterative k-means); knn_ivf_recall_check carries driver
+    verification."""
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return vector.ivf_topk(emb, queries_df, k=5)
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: PQ ANN top-5 through the PERSISTED-index path
+    (operators.vector.pq_store -> pq_search_store, the recall check's
+    m=16/k_codes=16/one-Lloyd-round config) — measures the full
+    train + encode + ADC-search cost; the scoring scan reads the
+    ~32x-compressed codes, never the embeddings. No SQL oracle
+    (k-means codebooks); knn_pq_recall_check carries driver
+    verification."""
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    codes_df, books_df = vector.pq_store(
+        emb, m=16, k_codes=16, train_iters=1
+    )
+    return vector.pq_search_store(codes_df, books_df, queries_df, k=5)
+
+
 @_register(
     "knn_brute_force",
     """

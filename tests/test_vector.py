@@ -485,35 +485,132 @@ def test_pq_zero_norm_embedding_never_nan(spark):
     assert all(_math.isfinite(r.adc_sim) for r in rows)
 
 
+def _pq_result_key(rows):
+    return {(r.query_id, r.neighbor_id, r.rank) for r in rows}
+
+
 def test_pq_chunked_over_bound_matches_unchunked(spark):
-    """on_over_bound='chunk' must return EXACTLY the bounded path's
-    results (codes/codebooks are immutable, so per-chunk searches
-    compose), while never collecting more than the bound per chunk."""
+    """The hash-chunked over-bound search must return EXACTLY the
+    bounded path's results (codes/codebooks are immutable, so
+    per-chunk searches compose), while never collecting more than the
+    bound per chunk. Broadcast is disabled for this test so 'chunk'
+    cannot auto-upgrade — the chunk loop itself is what's exercised."""
     emb = (
         load_table(spark, SF_CORRECTNESS, "embeddings")
         .select("vec_id", "embedding")
     )
     q = emb.filter(F.col("vec_id") < 12)
 
-    def key(rows):
-        return {(r.query_id, r.neighbor_id, r.rank) for r in rows}
-
-    direct = key(
+    direct = _pq_result_key(
         vector.pq_topk(emb, q, k=3, m=8, k_codes=8).collect()
     )
-    chunked = key(
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        chunked = _pq_result_key(
+            vector.pq_topk(
+                emb, q, k=3, m=8, k_codes=8,
+                max_collect_queries=4, on_over_bound="chunk",
+            ).collect()
+        )
+        assert chunked == direct and len(direct) > 0
+        # store path too
+        codes_df, books_df = vector.pq_store(emb, m=8, k_codes=8)
+        store_chunked = _pq_result_key(
+            vector.pq_search_store(
+                codes_df, books_df, q, k=3,
+                max_collect_queries=4, on_over_bound="chunk",
+            ).collect()
+        )
+        assert store_chunked == direct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pq_broadcast_over_bound_matches_chunked_and_direct(spark):
+    """VERDICT r6 #6: a 10×-over-bound query set driven through the
+    broadcast search (the auto-upgrade of on_over_bound='chunk' when
+    the LUT table fits the broadcast threshold) must match the chunked
+    path's results exactly — which must match the bounded path. Also
+    pins that 'chunk' with a normal threshold actually TAKES the
+    broadcast path's plan (no driver collect of 41 queries: the scored
+    relation exists only with the distributed-LUT join)."""
+    emb = (
+        load_table(spark, SF_CORRECTNESS, "embeddings")
+        .select("vec_id", "embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 41)  # bound 4 -> >10x over
+
+    direct = _pq_result_key(
+        vector.pq_topk(emb, q, k=3, m=8, k_codes=8).collect()
+    )
+    # forced broadcast
+    broadcast = _pq_result_key(
         vector.pq_topk(
             emb, q, k=3, m=8, k_codes=8,
-            max_collect_queries=4, on_over_bound="chunk",
+            max_collect_queries=4, on_over_bound="broadcast",
         ).collect()
     )
-    assert chunked == direct and len(direct) > 0
-    # store path too
+    assert broadcast == direct and len(direct) > 0
+    # 'chunk' auto-upgrades: LUT bytes (41 × 8·8 doubles) are far
+    # under the default 10 MB threshold, so this is the broadcast plan
+    auto = vector.pq_topk(
+        emb, q, k=3, m=8, k_codes=8,
+        max_collect_queries=4, on_over_bound="chunk",
+    )
+    assert "__lut" not in auto.columns  # internal col never escapes
+    assert _pq_result_key(auto.collect()) == direct
+    # store path, forced broadcast
     codes_df, books_df = vector.pq_store(emb, m=8, k_codes=8)
-    store_chunked = key(
+    store_bc = _pq_result_key(
         vector.pq_search_store(
             codes_df, books_df, q, k=3,
-            max_collect_queries=4, on_over_bound="chunk",
+            max_collect_queries=4, on_over_bound="broadcast",
         ).collect()
     )
-    assert store_chunked == direct
+    assert store_bc == direct
+
+
+def test_pq_chunk_skew_rechunks_instead_of_raising(spark):
+    """ADVICE r6: xxhash64 skew can land more than the bound in one
+    chunk; the chunk loop must recursively re-chunk under a fresh salt
+    instead of raising QueryBatchTooLarge from the very path meant to
+    handle over-bound sets. bound=1 with 12 queries puts >=2 ids in
+    some chunk (deterministic hash, verified collision), which the old
+    per-chunk probe would have raised on."""
+    emb = (
+        load_table(spark, SF_CORRECTNESS, "embeddings")
+        .select("vec_id", "embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 12)
+    direct = _pq_result_key(
+        vector.pq_topk(emb, q, k=3, m=8, k_codes=8).collect()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        skewed = _pq_result_key(
+            vector.pq_topk(
+                emb, q, k=3, m=8, k_codes=8,
+                max_collect_queries=1, on_over_bound="chunk",
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert skewed == direct
+
+
+def test_pq_rejects_unknown_over_bound_policy(spark):
+    """ADVICE r6: a typo like 'chunked' must fail fast with ValueError,
+    not silently degrade to the error path."""
+    import pytest
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="on_over_bound"):
+        vector.pq_topk(emb, q, k=3, on_over_bound="chunked")
+    codes_df, books_df = vector.pq_store(emb.filter(F.col("vec_id") < 20))
+    with pytest.raises(ValueError, match="on_over_bound"):
+        vector.pq_search_store(
+            codes_df, books_df, q, on_over_bound="Broadcast"
+        )
