@@ -223,6 +223,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.8,
     materialize_signatures: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
     (banding scheme per Gionis/Indyk/Motwani, "Similarity search in
@@ -271,6 +272,11 @@ def minhash_lsh_pairs(
         .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
         .distinct()
     )
+    if stats is not None:
+        # Banded candidates after cross-band dedup (one extra action;
+        # production callers pass None). Feeds the exact-vs-LSH
+        # crossover table in SCALING.md.
+        stats["candidate_pairs"] = candidates.count()
     # Verify on hashed shingle sets: xxhash64 each shingle once and
     # intersect 8-byte longs instead of multi-word strings — the two
     # rehydration joins shuffle ~3× fewer bytes and compare integers.
@@ -430,6 +436,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     min_jaccard: float = 0.5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs above ``min_jaccard``: prefix-filtered
     inverted index (explode only each set's smallest-hash prefix,
@@ -438,7 +445,14 @@ def ngram_jaccard_pairs(
     verify on the candidates. Same results as the naive full inverted
     index, at ~t× the index size and a small fraction of the candidate
     pairs. ANSI-SQL-expressible, so it doubles as the DuckDB oracle for
-    the approximate paths. Returns ``(a, b, jaccard_sim)``, ``a < b``."""
+    the approximate paths. Returns ``(a, b, jaccard_sim)``, ``a < b``.
+
+    ``stats``: optional dict; on return ``stats["candidate_pairs"]``
+    holds the count of index candidates fed to the verify stage
+    (includes the bounded multi-prefix-collision dup factor — see the
+    no-distinct note below). Costs one extra action; production
+    callers pass ``None`` and pay nothing. Feeds the exact-vs-LSH
+    crossover table in SCALING.md."""
     sets = (
         with_shingles(
             _spread(df.select(id_col, text_col), id_col), text_col, n=n
@@ -517,6 +531,8 @@ def ngram_jaccard_pairs(
         )
         .select(F.col("a.__id").alias("a"), F.col("b.__id").alias("b"))
     )
+    if stats is not None:
+        stats["candidate_pairs"] = cand.count()
     # No ``.distinct()`` on candidates: deduplicating the candidate
     # stream costs a full exchange at its (largest-in-the-plan)
     # cardinality, while a pair that collides on several prefix
@@ -598,6 +614,15 @@ def near_dup_clusters(
       stage re-checks Jaccard), so LSH clusters REFINE exact clusters;
       at 100 TB this is the only edge source that works — banded
       bucket join instead of a full inverted index.
+
+    Decision rule (measured, SCALING.md "Exact vs LSH crossover"):
+    exact while the corpus stays ≲10⁴–10⁵ docs per similarity domain
+    or when the PAIR SET itself must be oracle-exact; LSH beyond that.
+    The exact index's candidate volume grew 86× over the one measured
+    10× corpus step (884k candidates for 256 true pairs at 5k docs —
+    the n²·density shape) while LSH candidates stayed within ~10× of
+    the true pair count, with identical verified output at every
+    measured SF.
 
     Not fully lazy: the component loop is iterative (one bounded action
     per round, lineage truncated per round — see ``operators.graph``).

@@ -730,20 +730,6 @@ def extract_features(
     )
 
 
-def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real implementation would transform ``payload``
-    through a codec inside the same ``mapInPandas`` shape as
-    :func:`extract_features`; here only the metadata transform is real."""
-    return assets.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.media_type").alias("media_type"),
-            F.lit(width).cast("int").alias("width"),
-            F.lit(height).cast("int").alias("height"),
-            F.col("meta.n_frames").alias("n_frames"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-        ),
-    )
 
 
 #: Output schema of the frame sampler: one row per sampled frame, the
@@ -899,7 +885,7 @@ def resize_bmp_assets(
     dst_len``, operating in file row order — source and destination
     are both bottom-up BMPs so orientation is preserved), re-encode
     with correct 4-byte row padding and headers. This retires the
-    former ``resize_stub`` metadata-only path for the BMP codec: the
+    former metadata-only resize stub (since removed) for BMP: the
     payload transform is real and round-trips through the decoder.
     Blobs never leave executors; per-batch work is vectorized numpy."""
     import struct

@@ -155,12 +155,6 @@ def test_pil_decode_gated(assets):
         multimodal.extract_features(assets, decode_fn="pil")
 
 
-def test_resize_stub_updates_metadata(assets):
-    resized = multimodal.resize_stub(assets, 224, 224)
-    row = resized.select("meta.width", "meta.height").first()
-    assert (row[0], row[1]) == (224, 224)
-
-
 def test_video_frame_sample_decodes_real_frames(spark):
     """sample_video_frames over the concatenated-PNG container: every
     sampled frame must be a standalone byte-valid PNG whose decoded
