@@ -685,6 +685,57 @@ def chunk_wav_assets(
     )
 
 
+def resample_wav_assets(assets: DataFrame, out_rate: int) -> DataFrame:
+    """REAL nearest-sample WAV rate conversion inside the same
+    ``mapInPandas`` shape as the image resizes: parse the PCM16
+    payload, index-map frames (``src = (dst · in_rate) // out_rate``,
+    ``out_n = ceil(n · out_rate / in_rate)`` — the audio twin of the
+    nearest-neighbor pixel map), re-emit a byte-valid WAV at
+    ``out_rate``. The output round-trips through the decoder; blobs
+    never leave executors. Nearest-sample (zero-order hold) is the
+    deliberate choice over windowed-sinc: it is exactly
+    oracle-recomputable in SQL, which is what a driver-checkable
+    contract needs — a production pipeline would slot a scipy
+    polyphase filter into this same batch shape."""
+    import numpy as np
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                in_rate, channels, _, data = _parse_wav(
+                    aid, bytes(payload)
+                )
+                frames = np.frombuffer(data, dtype="<i2").reshape(
+                    -1, channels
+                )
+                n = len(frames)
+                out_n = max(1, -(-n * out_rate // in_rate))  # ceil
+                src = (np.arange(out_n) * in_rate) // out_rate
+                out = frames[src]
+                ids.append(int(aid))
+                payloads.append(
+                    _wav_header(out_rate, channels, out.size * 2)
+                    + out.astype("<i2").tobytes()
+                )
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    out = assets.select("asset_id", "payload").mapInPandas(
+        _resample, schema=BMP_RESIZE_SCHEMA
+    )
+    return out.select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(out_rate).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
 #: decode_fn registry: name -> (batch decoder, output schema). 'fake'
 #: is the header-parse stand-in; 'wav'/'bmp'/'png' are REAL codecs
 #: (testable in-container); 'pil' gates on the Pillow import.

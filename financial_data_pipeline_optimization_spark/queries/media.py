@@ -348,3 +348,54 @@ def q_multimodal_frame_sample_check(
         "n_pixels",
         "sum_pixel",
     )
+
+
+@_register_global(
+    "multimodal_wav_resample_check",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             8000 + (doc_id % 5) * 2000 AS in_rate,
+             32 + doc_id % 97 AS n
+      FROM documents
+    ),
+    idx AS (SELECT i FROM generate_series(0, 127) AS t(i)),
+    samp AS (
+      SELECT b.doc_id,
+             ((b.doc_id * 2654435761
+               + ((t.i * b.in_rate) // 4000) * 40503) % 65536) - 32768
+               AS amp
+      FROM base b, idx t
+      WHERE t.i < (b.n * 4000 + b.in_rate - 1) // b.in_rate
+    )
+    SELECT doc_id AS asset_id,
+           CAST(4000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(amp) AS BIGINT) AS sum_amp,
+           CAST(max(abs(amp)) AS BIGINT) AS peak_amp
+    FROM samp GROUP BY doc_id
+    """,
+    doc="REAL audio transform contract (the WAV twin of the image "
+    "resize checks): synthetic PCM16 payloads are nearest-sample "
+    "resampled to 4 kHz (operators.multimodal.resample_wav_assets — "
+    "parse, index-map src = (dst*in_rate)//out_rate with "
+    "out_n = ceil(n*out/in), re-encode a byte-valid WAV), then the "
+    "RESAMPLED payload is re-decoded by the real WAV codec. The "
+    "oracle re-derives the output length and the exact integer "
+    "sample-sum/peak from the generating formula + the same index "
+    "map — a wrong rounding direction, off-by-one in out_n, or "
+    "header at the old rate changes a row and fails the hash. Closes "
+    "the decode -> transform -> re-encode -> decode loop for the "
+    "audio codec like the BMP/PNG resizes do for images.",
+)
+def q_multimodal_wav_resample_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_wav_assets(docs, "doc_id")
+    resampled = multimodal.resample_wav_assets(assets, out_rate=4000)
+    return multimodal.extract_features(resampled, decode_fn="wav")

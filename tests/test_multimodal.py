@@ -326,3 +326,51 @@ def test_png_resize_roundtrips_through_decoder(spark):
     # metadata struct tracks the new dims
     meta = resized.select("meta.width", "meta.height").distinct().collect()
     assert [(r[0], r[1]) for r in meta] == [(out_w, out_h)]
+
+
+def test_wav_resample_stdlib_valid_and_exact(spark):
+    """resample_wav_assets must emit byte-valid WAVs (stdlib `wave`
+    reads them) whose frames are exactly the nearest-sample index map
+    of the source, and an identity resample (out_rate == in_rate) must
+    reproduce the source samples bit-for-bit."""
+    import io
+    import wave
+
+    import numpy as np
+
+    base = spark.range(10).select(F.col("id").alias("doc_id"))
+    assets = multimodal.synthetic_wav_assets(base, "doc_id")
+    down = multimodal.resample_wav_assets(assets, out_rate=4000)
+    for r in down.collect():
+        aid = r["asset_id"]
+        in_rate = 8000 + (aid % 5) * 2000
+        n = 32 + aid % 97
+        with wave.open(io.BytesIO(bytes(r["payload"]))) as w:
+            assert w.getframerate() == 4000
+            assert w.getnchannels() == 1
+            got = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            ).astype(np.int64)
+        out_n = -(-n * 4000 // in_rate)
+        src = (np.arange(out_n) * in_rate) // 4000
+        want = ((aid * 2654435761 + src * 40503) % 65536) - 32768
+        assert len(got) == out_n and (got == want).all(), aid
+    # identity: same rate in and out -> same samples
+    keep = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in assets.filter(F.col("asset_id") % 5 == 0).collect()
+    }  # id % 5 == 0 -> in_rate 8000
+    ident = multimodal.resample_wav_assets(
+        multimodal.synthetic_wav_assets(
+            base.filter(F.col("doc_id") % 5 == 0), "doc_id"
+        ),
+        out_rate=8000,
+    )
+    for r in ident.collect():
+        _, _, _, d_src = multimodal._parse_wav(
+            r["asset_id"], keep[r["asset_id"]]
+        )
+        _, _, _, d_out = multimodal._parse_wav(
+            r["asset_id"], bytes(r["payload"])
+        )
+        assert d_out == d_src, r["asset_id"]

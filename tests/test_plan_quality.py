@@ -621,3 +621,24 @@ def test_asof_join_is_one_shuffle_no_cartesian(spark):
     assert not any("BroadcastNestedLoop" in n for n in nodes), nodes
     exchanges = [n for n in _walk(plan) if "Exchange" in n.nodeName()]
     assert len(exchanges) <= 2, [n.toString()[:80] for n in exchanges]
+
+
+def test_pq_broadcast_search_plan_stays_jvm_side(spark):
+    """The PQ broadcast over-bound search must score JVM-side: the only
+    Python boundary is the Arrow-batched LUT derivation (ArrowEvalPython
+    / mapInPandas), never row-at-a-time BatchEvalPython, and the
+    query side must reach the codes via a broadcast join — no shuffle
+    of the code scan against the queries."""
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 41)
+    out = vector.pq_topk(
+        emb, q, k=3, m=8, k_codes=8,
+        max_collect_queries=4, on_over_bound="broadcast",
+    )
+    nodes = [n.nodeName() for n in _walk(_executed_plan(out))]
+    assert not any("BatchEvalPython" in n for n in nodes), nodes
+    assert any("Broadcast" in n for n in nodes), nodes
