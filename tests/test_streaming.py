@@ -413,3 +413,77 @@ def test_stream_near_dup_filter_matches_batch_dedup(spark, tmp_path):
         else:
             survivors.add(d)
     assert kept == survivors
+
+
+def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
+    """The watermark contract itself, via append mode's finalization
+    semantics: a row that arrives BEHIND the checkpointed watermark is
+    dropped — its window never appears in the finalized output even
+    after the watermark passes it — while an on-time row in the same
+    micro-batch lands normally. Three AvailableNow runs share one
+    checkpoint so the watermark persists across restarts (the
+    production shape of a periodically-triggered incremental job)."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["ts", "event_type", "value"]
+            ).astype({"ts": "datetime64[us]"})
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = streaming.read_stream_parquet(spark, src, schema)
+        q = (
+            streaming.tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def finalized():
+        rows = spark.read.parquet(out).collect()
+        return {
+            r.window_start.strftime("%H:%M"): r.n_events for r in rows
+        }
+
+    # Run 1: watermark ends at 10:30 - 2h = 08:30 -> only the 00:00
+    # window is final.
+    write_batch(
+        [
+            ("2024-01-01 00:30:00", "click", 1.0),
+            ("2024-01-01 10:30:00", "click", 1.0),
+        ]
+    )
+    run()
+    assert finalized() == {"00:00": 1}
+
+    # Run 2: 01:00 arrives BEHIND the 08:30 watermark (stale -> must
+    # be dropped); 11:00 is on time. Watermark advances to 09:00.
+    write_batch(
+        [
+            ("2024-01-01 01:00:00", "click", 99.0),
+            ("2024-01-01 11:00:00", "click", 1.0),
+        ]
+    )
+    run()
+    assert finalized() == {"00:00": 1}  # 01:00 not finalized...
+
+    # Run 3: 14:30 advances the watermark to 12:30, finalizing the
+    # 10:00 and 11:00 windows (their ends, 11:00/12:00, are now behind
+    # it). Had the stale 01:00 row been wrongly accepted, its window
+    # (end 02:00 <= watermark) would appear here.
+    write_batch([("2024-01-01 14:30:00", "click", 1.0)])
+    run()
+    got = finalized()
+    assert "01:00" not in got, got  # ...and never will be: dropped
+    assert got == {"00:00": 1, "10:00": 1, "11:00": 1}, got
