@@ -276,3 +276,160 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def _bloom_bucket(key_col: str, i: int, hex_digits: int):
+    """Hex-prefix bucket of hash row ``i`` for a key — md5-based so a
+    DuckDB oracle rebuilds every bucket bit-for-bit (same convention
+    as :func:`cm_sketch`)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{i}:"), F.col(key_col).cast("string"))),
+        1,
+        hex_digits,
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    hex_digits: int = 3,
+) -> DataFrame:
+    """Partitioned Bloom filter (Bloom, CACM 1970) built RELATIONALLY:
+    ``depth`` independent hash rows x ``16^hex_digits`` buckets each; a
+    key sets one bucket per row. Returns the MERGEABLE occupied-bucket
+    table ``(d, bucket)`` — at most ``depth * 16^hex_digits`` rows no
+    matter the input size (the distinct does its heavy lifting
+    map-side), and filters over different partitions/days merge by
+    plain ``UNION``/distinct. Membership contract: a key that was
+    inserted ALWAYS tests present (no false negatives); an absent key
+    tests present with probability ``(1 - e^(-n/m))^depth``.
+
+    Why this exists at 100 TB: Spark's runtime bloom-filter join
+    pruning (``spark.sql.optimizer.runtime.bloomFilter.enabled``) is
+    per-query and ephemeral; this table is the PERSISTABLE variant — a
+    nightly job can maintain the bucket set for a huge dimension's
+    keys and every downstream query prunes its fact-side scan with
+    :func:`bloom_prefilter` before paying the join shuffle.
+    """
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        _bloom_bucket(key_col, i, hex_digits).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("x")
+    ).select("x.d", "x.bucket")
+    return rows.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    hex_digits: int = 3,
+) -> DataFrame:
+    """Membership test against a :func:`bloom_build` table: a probe is
+    ``maybe_present`` iff ALL ``depth`` of its buckets are occupied.
+    Returns ``probes`` with a ``maybe_present`` boolean appended. The
+    bloom side is bounded by construction so it broadcasts; the probe
+    keys are tested via a keyed count — relational (oracle-checkable)
+    rather than bit-packed, so use :func:`bloom_prefilter` on the
+    hot fact-table path instead."""
+    keys = probes.select(key_col).where(
+        F.col(key_col).isNotNull()
+    ).distinct()
+    exploded = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        _bloom_bucket(key_col, i, hex_digits).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select(key_col, "x.d", "x.bucket")
+    flags = (
+        exploded.join(
+            F.broadcast(bloom.withColumn("__hit", F.lit(1))),
+            ["d", "bucket"],
+            "left",
+        )
+        .groupBy(key_col)
+        .agg(
+            (F.count("__hit") == F.lit(depth)).alias("maybe_present")
+        )
+    )
+    return probes.join(flags, [key_col], "left").withColumn(
+        "maybe_present", F.coalesce("maybe_present", F.lit(False))
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    depth: int = 4,
+    hex_digits: int = 3,
+) -> DataFrame:
+    """Prune a huge fact table against a :func:`bloom_build` table with
+    PURE COLUMN EXPRESSIONS — no join, no shuffle, no Python in the
+    row path. The bounded bucket table (``<= depth * 16^hex_digits``
+    rows by construction) is collected once and packed driver-side
+    into 32-bit words; each fact row then evaluates ``depth`` bit
+    tests (md5 -> conv -> element_at -> bitwiseAND) inside whole-stage
+    codegen. Rows with a NULL key are dropped (same as the inner join
+    this guards). No false negatives: the filtered frame joined to the
+    dimension equals the unfiltered join exactly; false positives just
+    ride along to the join that kills them.
+
+    This is the 100 TB shape: the fact side's scan->filter stays
+    narrow, and only the (tiny) surviving fraction pays the join
+    shuffle. ``hex_digits`` is capped at 5 so the driver-side collect
+    stays bounded (``depth * 2^20`` worst case)."""
+    if not 1 <= hex_digits <= 5:
+        raise ValueError(
+            f"hex_digits must be in [1, 5], got {hex_digits}"
+        )
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    n_bits = 16**hex_digits
+    n_words = (n_bits + 31) // 32
+    words = [[0] * n_words for _ in range(depth)]
+    for row in bloom.select("d", "bucket").collect():  # bounded above
+        idx = int(row["bucket"], 16)
+        words[row["d"]][idx // 32] |= 1 << (idx % 32)
+
+    def _test(i: int):
+        idx = F.conv(
+            _bloom_bucket(key_col, i, hex_digits), 16, 10
+        ).cast("long")
+        word = F.element_at(
+            F.lit(words[i]), (F.shiftright(idx, 5) + 1).cast("int")
+        )
+        # shiftleft takes a literal shift amount, so dynamic bit
+        # masks come from a 32-entry literal lookup instead
+        mask = F.element_at(
+            F.lit([1 << b for b in range(32)]),
+            (idx % 32).cast("int") + 1,
+        )
+        return word.bitwiseAND(mask) != F.lit(0)
+
+    cond = F.col(key_col).isNotNull()
+    for i in range(depth):
+        cond = cond & _test(i)
+    return df.where(cond)

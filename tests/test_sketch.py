@@ -170,3 +170,89 @@ def test_histogram_counts_merge_by_addition(spark):
     w = {(r.g, r.bucket): r.bucket_count for r in whole.collect()}
     m = {(r.g, r.bucket): r.bucket_count for r in merged.collect()}
     assert w == m
+
+
+def _bloom_fixture(spark):
+    # 300 inserted keys (multiples of 7) out of a 4000-key universe.
+    universe = spark.range(4000).select(F.col("id").alias("k"))
+    present = universe.where(F.col("k") % 7 == 0).where(F.col("k") < 2100)
+    return universe, present
+
+
+def test_bloom_no_false_negatives(spark):
+    universe, present = _bloom_fixture(spark)
+    bloom = sketch.bloom_build(present, "k", depth=4, hex_digits=2)
+    probed = sketch.bloom_probe(bloom, universe, "k", depth=4, hex_digits=2)
+    truly = {r.k for r in present.collect()}
+    rows = probed.collect()
+    assert len(rows) == 4000
+    for r in rows:
+        if r.k in truly:
+            assert r.maybe_present, f"false negative on {r.k}"
+    # a 256-bit-per-row filter with 300 keys must also reject SOME
+    # absent keys, or the test is vacuous
+    rejected = [r.k for r in rows if not r.maybe_present]
+    assert rejected and all(k not in truly for k in rejected)
+
+
+def test_bloom_build_is_bounded_and_mergeable(spark):
+    universe, present = _bloom_fixture(spark)
+    a = present.where(F.col("k") < 1000)
+    b = present.where(F.col("k") >= 1000)
+    whole = sketch.bloom_build(present, "k", depth=4, hex_digits=2)
+    merged = (
+        sketch.bloom_build(a, "k", depth=4, hex_digits=2)
+        .union(sketch.bloom_build(b, "k", depth=4, hex_digits=2))
+        .distinct()
+    )
+    assert whole.count() <= 4 * 256
+    assert (
+        whole.exceptAll(merged).isEmpty()
+        and merged.exceptAll(whole).isEmpty()
+    )
+
+
+def test_bloom_prefilter_matches_probe_and_join(spark):
+    universe, present = _bloom_fixture(spark)
+    bloom = sketch.bloom_build(present, "k", depth=4, hex_digits=2)
+    kept = sketch.bloom_prefilter(
+        universe, "k", bloom, depth=4, hex_digits=2
+    )
+    # bit-packed prefilter decides exactly what the relational probe
+    # decides...
+    probe_yes = {
+        r.k
+        for r in sketch.bloom_probe(
+            bloom, universe, "k", depth=4, hex_digits=2
+        ).collect()
+        if r.maybe_present
+    }
+    kept_keys = {r.k for r in kept.collect()}
+    assert kept_keys == probe_yes
+    # ...and the guarded join equals the unguarded join exactly
+    joined = kept.join(present.withColumnRenamed("k", "p"),
+                       F.col("k") == F.col("p"))
+    assert joined.count() == present.count()
+
+
+def test_bloom_prefilter_plan_is_narrow(spark):
+    """The fact-side prefilter must be a plain scan->filter: no join,
+    no exchange — that IS the 100 TB point."""
+    universe, present = _bloom_fixture(spark)
+    bloom = sketch.bloom_build(present, "k", depth=4, hex_digits=2)
+    kept = sketch.bloom_prefilter(
+        universe, "k", bloom, depth=4, hex_digits=2
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_bloom_prefilter_validates_params(spark):
+    import pytest as _pytest
+
+    universe, present = _bloom_fixture(spark)
+    bloom = sketch.bloom_build(present, "k", depth=4, hex_digits=2)
+    with _pytest.raises(ValueError):
+        sketch.bloom_prefilter(universe, "k", bloom, hex_digits=9)
+    with _pytest.raises(ValueError):
+        sketch.bloom_prefilter(universe, "k", bloom, depth=0)
