@@ -1009,22 +1009,24 @@ def _broadcast_threshold_bytes(spark) -> int:
 
 def _pick_over_bound_path(
     on_over_bound: str,
-    queries: DataFrame,
+    spark,
     m: int,
     k_codes: int,
-    max_collect_queries: int,
+    n_queries: int,
 ) -> str:
     """Resolve 'chunk'/'broadcast' for an over-bound query set.
     ``'chunk'`` auto-upgrades to the broadcast search when the LUT
     table (one m·k_codes float64 array per query) fits the session's
     broadcast threshold — one scan of the codes instead of a serial
     per-chunk loop; explicit ``'broadcast'`` skips the size check
-    (the JVM's own broadcast limit is then the backstop)."""
+    (the JVM's own broadcast limit is then the backstop). The caller
+    supplies ``n_queries`` (counted ONCE in ``_pq_dispatch`` and
+    shared with the chunked path) so routing never re-runs an action
+    over an arbitrarily large query set."""
     if on_over_bound != "chunk":
         return on_over_bound
-    n = queries.count()
-    lut_bytes = n * (m * k_codes * 8 + 32)  # array + row overhead
-    threshold = _broadcast_threshold_bytes(queries.sparkSession)
+    lut_bytes = n_queries * (m * k_codes * 8 + 32)  # array + row overhead
+    threshold = _broadcast_threshold_bytes(spark)
     return "broadcast" if 0 < lut_bytes <= threshold else "chunk"
 
 
@@ -1063,7 +1065,9 @@ def _pq_chunked_topk(
     vec_col: str,
     query_id_col: str,
     max_collect_queries: int,
+    n_queries: int | None = None,
     _salt: int = 0,
+    _depth: int = 0,
 ) -> DataFrame:
     """Over-bound PQ search by hash-chunking the query side: split the
     queries into ~0.8·bound-sized chunks on ``pmod(xxhash64(id,
@@ -1075,17 +1079,33 @@ def _pq_chunked_topk(
     instead of a driver OOM; per-chunk results compose exactly because
     codes and codebooks are immutable. The query table and code table
     are localCheckpointed once so neither's upstream plan re-executes
-    per chunk.
+    per chunk. ``n_queries`` is the caller's already-counted query-side
+    size (``_pq_dispatch`` counts once for routing + chunking); when
+    absent (direct calls, recursion) the count runs here.
 
     Chunks are ~uniform in expectation, but the hash could still land
     >bound ids in one chunk; such a chunk RE-CHUNKS recursively under a
     fresh hash salt (changing the salt re-randomizes the assignment —
     re-splitting on the same hash would put the whole chunk in one
-    sub-chunk) instead of surfacing ``QueryBatchTooLarge`` from a path
-    whose whole point is handling over-bound query sets."""
+    sub-chunk). DUPLICATE query-id values defeat this: xxhash64(id,
+    salt) keeps equal ids together under every salt, so >bound copies
+    of one id would recurse forever — the depth cap converts that into
+    a clear error instead."""
     import math as _math
 
-    n = queries.count()
+    if _depth > 3:
+        raise QueryBatchTooLarge(
+            "pq chunked top-k: a hash chunk stayed over "
+            f"max_collect_queries={max_collect_queries} after "
+            f"{_depth} re-chunks under fresh salts. Re-salting "
+            "separates distinct ids with overwhelming probability, so "
+            "this almost certainly means one query id value has more "
+            "than the bound's worth of DUPLICATE rows — equal ids land "
+            "in the same chunk under every salt. De-duplicate the "
+            "query side on the id column (or raise "
+            "max_collect_queries) and retry."
+        )
+    n = queries.count() if n_queries is None else n_queries
     n_chunks = max(2, _math.ceil(n / (max_collect_queries * 0.8)))
     q = queries.select(id_col, vec_col).withColumn(
         "__chunk",
@@ -1107,7 +1127,7 @@ def _pq_chunked_topk(
                 _pq_chunked_topk(
                     enc, books, chunk, k,
                     id_col, vec_col, query_id_col, max_collect_queries,
-                    _salt=_salt + 1,
+                    _salt=_salt + 1, _depth=_depth + 1,
                 )
             )
     out = parts[0]
