@@ -603,30 +603,42 @@ def _decode_wav_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _decode_bmp_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """REAL (pure-NumPy) BMP decode: parse BITMAPFILEHEADER +
-    BITMAPINFOHEADER, strip the 4-byte row padding, aggregate the
-    unpadded 24-bit pixel bytes."""
+def _bmp_pixels(aid, buf: bytes):
+    """Parse one 24-bit BMP payload into an ``(h, w*3)`` int64 pixel
+    array in FILE-ROW order (BMP stores rows bottom-up; we deliberately
+    do NOT flip — every consumer here either sums all pixels or
+    compares two images hashed under the same convention, and a global
+    vertical flip applied to both sides is orientation-invariant)."""
     import struct
 
     import numpy as np
 
+    if buf[:2] != b"BM":
+        raise ValueError(f"asset {aid}: not a BMP payload")
+    (offset,) = struct.unpack("<I", buf[10:14])
+    hdr_size, w, h, _, bpp = struct.unpack("<IiiHH", buf[14:30])
+    if hdr_size < 40 or bpp != 24:
+        raise ValueError(f"asset {aid}: unsupported BMP variant")
+    stride = (w * 3 + 3) // 4 * 4
+    return (
+        np.frombuffer(
+            buf[offset : offset + stride * abs(h)], dtype=np.uint8
+        )
+        .reshape(abs(h), stride)[:, : w * 3]
+        .astype(np.int64)
+    )
+
+
+def _decode_bmp_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """REAL (pure-NumPy) BMP decode: parse BITMAPFILEHEADER +
+    BITMAPINFOHEADER, strip the 4-byte row padding, aggregate the
+    unpadded 24-bit pixel bytes."""
     out = []
     for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-        buf = bytes(payload)
-        if buf[:2] != b"BM":
-            raise ValueError(f"asset {aid}: not a BMP payload")
-        (offset,) = struct.unpack("<I", buf[10:14])
-        hdr_size, w, h, _, bpp = struct.unpack("<IiiHH", buf[14:30])
-        if hdr_size < 40 or bpp != 24:
-            raise ValueError(f"asset {aid}: unsupported BMP variant")
-        stride = (w * 3 + 3) // 4 * 4
-        px = np.frombuffer(
-            buf[offset : offset + stride * abs(h)], dtype=np.uint8
-        ).reshape(abs(h), stride)[:, : w * 3]
-        out.append(
-            (aid, w, abs(h), bpp, w * abs(h), int(px.astype(np.int64).sum()))
-        )
+        px = _bmp_pixels(aid, bytes(payload))
+        h, w3 = px.shape
+        w = w3 // 3
+        out.append((aid, w, h, 24, w * h, int(px.sum())))
     return pd.DataFrame(
         out,
         columns=[f.name for f in BMP_FEATURE_SCHEMA.fields],
@@ -710,7 +722,10 @@ def resample_wav_assets(assets: DataFrame, out_rate: int) -> DataFrame:
                     -1, channels
                 )
                 n = len(frames)
-                out_n = max(1, -(-n * out_rate // in_rate))  # ceil
+                # ceil; a zero-sample source stays zero-sample — the
+                # old max(1, ...) floor made src=[0] index an empty
+                # frames array and killed the whole Arrow batch.
+                out_n = -(-n * out_rate // in_rate)
                 src = (np.arange(out_n) * in_rate) // out_rate
                 out = frames[src]
                 ids.append(int(aid))
@@ -995,4 +1010,158 @@ def resize_bmp_assets(
             F.lit(1).alias("n_frames"),
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
+    )
+
+
+# ===========================================================================
+# Image perceptual near-dup: dHash + Hamming-banded pair join (r9).
+# ===========================================================================
+
+#: image_dhash output: one 8-entry int array per asset — grid-row
+#: bytes of the 64-bit difference hash, kept unpacked so banding and
+#: Hamming distance stay in plain integer expressions on both engines
+#: (a packed 64-bit value would need unsigned semantics BIGINT lacks).
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("dhash", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def image_dhash(
+    assets: DataFrame, decode_fn: str = "bmp", grid: int = 8
+) -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL decoded pixels:
+    decode (BMP or PNG codec), grayscale by exact integer channel sum
+    (r+g+b — scale-free since only ORDER between adjacent cells
+    matters), nearest-neighbor downsample to a ``grid x (grid+1)``
+    luminance grid (the same ``src = (dst * in) // out`` index map as
+    ``resize_bmp_assets``), then one bit per adjacent-column
+    comparison: ``bit[dy, dx] = g[dy, dx+1] > g[dy, dx]``. Returns
+    ``(asset_id, dhash array<int>)`` — ``grid`` bytes, row dy packed
+    LSB-first (``bit dx -> 1 << dx``).
+
+    Integer-exact end to end (no float resize, no float luminance), so
+    a DuckDB oracle rebuilds every byte from the synthetic pixel
+    formula — and near-identical images (re-encodes, resizes, small
+    crops) land within a few bits while distinct images sit near the
+    32-bit random-hash mean. Row order is the decoder's file-row
+    order; both sides of any comparison hash under the same
+    convention, so orientation cancels (see :func:`_bmp_pixels`).
+    """
+    import numpy as np
+
+    if decode_fn not in ("bmp", "png"):
+        raise ValueError(
+            f"image_dhash supports decode_fn 'bmp'|'png', got "
+            f"{decode_fn!r}"
+        )
+    pixel_fn = _bmp_pixels if decode_fn == "bmp" else _png_pixels
+
+    def _hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = pixel_fn(aid, bytes(payload))
+                h, w3 = px.shape
+                w = w3 // 3
+                g = px.reshape(h, w, 3).sum(axis=2)  # (h, w) int64
+                sy = (np.arange(grid) * h) // grid
+                sx = (np.arange(grid + 1) * w) // (grid + 1)
+                small = g[np.ix_(sy, sx)]  # (grid, grid+1)
+                bits = small[:, 1:] > small[:, :-1]  # (grid, grid)
+                weights = 1 << np.arange(grid)
+                hashes.append((bits * weights).sum(axis=1).astype("int32"))
+                ids.append(int(aid))
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _hasher, schema=DHASH_SCHEMA
+    )
+
+
+def hamming_distance(a, b):
+    """Column expression: Hamming distance between two equal-length
+    int-array hashes (XOR each element pair, popcount, sum) — stays in
+    whole-stage codegen, no Python in the row path."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 2,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate image pairs from :func:`image_dhash` output via
+    the banded-LSH join pattern (same shape as
+    ``dedup.minhash_lsh_pairs``): split the 64-bit hash into
+    ``64 / band_bits`` bands, bucket-join on (band index, band value),
+    then verify candidates with the exact Hamming distance. Returns
+    ``(a, b, hamming)`` with ``a < b``, distinct.
+
+    EXACT for small radii by pigeonhole: ``max_hamming`` differing
+    bits can touch at most ``max_hamming`` bands, so any pair within
+    ``max_hamming <= n_bands - 1`` shares at least one untouched band
+    and is guaranteed a candidate — banding prunes the quadratic scan
+    without losing a single true pair (the oracle recomputes pairs
+    from ALL-pairs Hamming to prove it). At 100 TB: candidates are one
+    shuffle on ~``n_bands * 2^band_bits`` keys; identical hashes (the
+    exact-duplicate mass) concentrate per-bucket, the same hot-bucket
+    regime the MinHash path documents — cluster exact dups first
+    (``dedup.exact_dedup``) when that mass is large.
+    """
+    n_bands = (64 + band_bits - 1) // band_bits
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall "
+            f"guarantee for {n_bands} bands of {band_bits} bits "
+            f"(needs max_hamming <= {n_bands - 1}); lower max_hamming "
+            f"or band_bits"
+        )
+    bytes_per_band = band_bits // 8
+    band_val = [
+        F.aggregate(
+            F.slice(
+                F.col(hash_col), i * bytes_per_band + 1, bytes_per_band
+            ),
+            F.lit(0),
+            lambda acc, x: acc * 256 + x,
+        ).alias("band_val")
+        for i in range(n_bands)
+    ]
+    banded = hashes.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(F.array(*band_val)).alias("band_idx", "band_val"),
+    )
+    left = banded.select(
+        F.col("__id").alias("a"),
+        F.col("__h").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col("__id").alias("b"),
+        F.col("__h").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = left.join(
+        right, ["band_idx", "band_val"]
+    ).where(F.col("a") < F.col("b"))
+    return (
+        cand.select(
+            "a", "b", hamming_distance(F.col("ha"), F.col("hb")).alias(
+                "hamming"
+            )
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

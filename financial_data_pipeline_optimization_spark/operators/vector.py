@@ -1218,9 +1218,12 @@ def _pq_broadcast_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    # NB: numpy's inner-axis sum is sequential below its 128-element
-    # pairwise blocksize, so for m < 128 (every real PQ config) this
-    # sequential fold reproduces the chunked path's sims bit-for-bit.
+    # NB: this JVM fold accumulates the m LUT entries strictly left to
+    # right. The numpy ADC path mirrors it with an explicit per-subspace
+    # sequential fold (NOT ndarray.sum, whose n>=8 unrolled 8-accumulator
+    # reduction differs in the last ulp), so both paths produce
+    # bit-identical sims and the k-boundary row_number ties break the
+    # same way regardless of which path dispatch picked.
     scored = (
         encoded.select(F.col(id_col).alias("neighbor_id"), "pq_codes")
         .join(F.broadcast(luts), F.col("neighbor_id") != F.col(query_id_col))
@@ -1305,9 +1308,13 @@ def _pq_dispatch(
     if on_over_bound != "error" and _check_query_bound(
         queries, max_collect_queries
     ):
+        # One full count of the (over-bound) query side, shared by the
+        # broadcast-vs-chunk routing AND the chunked path's chunk-count
+        # math — neither re-runs an action over an arbitrary query set.
+        n = queries.count()
         path = _pick_over_bound_path(
-            on_over_bound, queries, books.shape[0], books.shape[1],
-            max_collect_queries,
+            on_over_bound, queries.sparkSession,
+            books.shape[0], books.shape[1], n,
         )
         if path == "broadcast":
             return _pq_broadcast_topk(
@@ -1315,7 +1322,7 @@ def _pq_dispatch(
             )
         return _pq_chunked_topk(
             encoded, books, queries, k, id_col, vec_col,
-            query_id_col, max_collect_queries,
+            query_id_col, max_collect_queries, n_queries=n,
         )
     return _pq_adc_topk(
         encoded,
@@ -1392,7 +1399,16 @@ def _pq_adc_topk(
             codes = np.asarray(list(pdf["pq_codes"]), dtype=np.int64)
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(q_ids):
-                sims = luts[qi][jj, codes].sum(axis=1)  # (n,)
+                # Explicit sequential fold over the m subspaces — the
+                # same left-to-right order as the broadcast path's JVM
+                # F.aggregate, so sims match that path bit-for-bit
+                # (ndarray.sum would use numpy's 8-accumulator unrolled
+                # reduction for m >= 8 and differ in the last ulp,
+                # which can swap row_number ties at the k boundary).
+                gathered = luts[qi][jj, codes]  # (n, m)
+                sims = np.zeros(len(codes), dtype=np.float64)
+                for j in range(m):
+                    sims = sims + gathered[:, j]
                 sims[ids == qid] = -np.inf
                 take = min(k, len(ids))
                 order = np.lexsort((ids, -sims))[:take]

@@ -153,6 +153,16 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # (results identical, plans changed — re-prove).
     ("near_dup_clusters", 7),
     ("cluster_representatives", 7),
+    # r09: the numpy ADC sim fold became an explicit sequential loop
+    # (bit-identical to the JVM aggregate path; last-ulp ties at the
+    # k boundary can land differently than ndarray.sum did — re-prove).
+    ("knn_pq_recall_check", 9),
+    # r09: packed-id reversibility guard added in-plan (results
+    # identical, plan changed — re-prove). resample twin: the
+    # zero-sample out_n floor fix is reachable from its plan.
+    ("multimodal_wav_chunk_check", 9),
+    ("multimodal_frame_sample_check", 9),
+    ("multimodal_wav_resample_check", 9),
 )
 
 

@@ -413,6 +413,45 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector.pq_search_store(codes_df, books_df, queries_df, k=5)
 
 
+#: One PQ index per (app-id, sf_dir): q_knn_pq_search times the
+#: RECURRING search cost, so the one-time train+encode must happen
+#: exactly once per bench session and be materialized (eager
+#: localCheckpoint cuts the lineage — re-running the returned plan
+#: re-reads cached codes, never re-trains). Keyed by app id so a
+#: stale checkpoint from a stopped session is never reused.
+_PQ_INDEX_CACHE: dict = {}
+
+
+def q_knn_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the ADC SEARCH leg of the persisted-index PQ path
+    in isolation (same m=16/k_codes=16 config as q_knn_pq). q_knn_pq
+    times train + encode + search together, which buries search-path
+    regressions in the much larger one-time training cost — this twin
+    pre-builds the index once (materialized via eager localCheckpoint)
+    so the timed plan is exactly what a 100 TB serving path re-runs
+    per query batch: one scan of the compressed codes. No SQL oracle
+    (k-means codebooks); knn_pq_recall_check carries driver
+    verification."""
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        codes_df, books_df = vector.pq_store(
+            emb, m=16, k_codes=16, train_iters=1
+        )
+        _PQ_INDEX_CACHE[key] = (
+            codes_df.localCheckpoint(eager=True),
+            books_df.localCheckpoint(eager=True),
+        )
+    codes_df, books_df = _PQ_INDEX_CACHE[key]
+    queries_df = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+    )
+    return vector.pq_search_store(codes_df, books_df, queries_df, k=5)
+
+
 @_register(
     "knn_brute_force",
     """

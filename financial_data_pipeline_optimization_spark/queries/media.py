@@ -174,12 +174,22 @@ def q_multimodal_wav_chunk_check(
     assets = multimodal.synthetic_wav_assets(docs, "doc_id")
     chunks = multimodal.chunk_wav_assets(assets, chunk_samples=48)
     # n <= 128 samples -> at most 3 chunks; pack (asset, chunk) into one
-    # id for the decoder, unpack after
+    # id for the decoder, unpack after. The base-10 packing is only
+    # reversible while chunk_index < 10 — guarded in-plan so a future
+    # fixture change fails loudly instead of silently corrupting ids.
     feats = multimodal.extract_features(
         chunks.select(
-            (F.col("asset_id") * 10 + F.col("chunk_index")).alias(
-                "asset_id"
-            ),
+            F.when(
+                F.col("chunk_index") < 10,
+                F.col("asset_id") * 10 + F.col("chunk_index"),
+            )
+            .otherwise(
+                F.raise_error(
+                    "wav_chunk_check: chunk_index >= 10 breaks the "
+                    "packed-id encoding"
+                )
+            )
+            .alias("asset_id"),
             "payload",
         ),
         decode_fn="wav",
@@ -329,12 +339,21 @@ def q_multimodal_frame_sample_check(
     assets = multimodal.synthetic_video_assets(docs, "doc_id")
     frames = multimodal.sample_video_frames(assets, every_n=2)
     # n_frames <= 5 -> frame_index <= 4; pack (asset, frame) into one
-    # id for the decoder, unpack after (the wav-chunk check's pattern).
+    # id for the decoder, unpack after (the wav-chunk check's pattern,
+    # including its in-plan < 10 reversibility guard).
     feats = multimodal.extract_features(
         frames.select(
-            (F.col("asset_id") * 10 + F.col("frame_index")).alias(
-                "asset_id"
-            ),
+            F.when(
+                F.col("frame_index") < 10,
+                F.col("asset_id") * 10 + F.col("frame_index"),
+            )
+            .otherwise(
+                F.raise_error(
+                    "frame_sample_check: frame_index >= 10 breaks "
+                    "the packed-id encoding"
+                )
+            )
+            .alias("asset_id"),
             "payload",
         ),
         decode_fn="png",
@@ -399,3 +418,107 @@ def q_multimodal_wav_resample_check(
     assets = multimodal.synthetic_wav_assets(docs, "doc_id")
     resampled = multimodal.resample_wav_assets(assets, out_rate=4000)
     return multimodal.extract_features(resampled, decode_fn="wav")
+
+
+@_register_global(
+    "image_near_dup_check",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 250 AS src FROM documents),
+    srcs AS (SELECT DISTINCT src FROM d),
+    grid AS (SELECT dy, dx
+             FROM generate_series(0, 7) t(dy),
+                  generate_series(0, 7) u(dx)),
+    cell AS (
+      SELECT s.src, g.dy, g.dx,
+             ((s.src * 31 + ka) % 256) + ((s.src * 31 + ka + 1) % 256)
+               + ((s.src * 31 + ka + 2) % 256) AS ga,
+             ((s.src * 31 + kb) % 256) + ((s.src * 31 + kb + 1) % 256)
+               + ((s.src * 31 + kb + 2) % 256) AS gb
+      FROM srcs s, grid g,
+      LATERAL (SELECT 4 + s.src % 13 AS w, 3 + s.src % 7 AS h) dim,
+      LATERAL (SELECT (g.dy * dim.h) // 8 AS sy,
+                      (g.dx * dim.w) // 9 AS sxa,
+                      ((g.dx + 1) * dim.w) // 9 AS sxb) m,
+      LATERAL (SELECT (m.sy * dim.w + m.sxa) * 3 AS ka,
+                      (m.sy * dim.w + m.sxb) * 3 AS kb) k
+    ),
+    bytes AS (
+      SELECT src, dy,
+             CAST(sum(CASE WHEN gb > ga THEN (1 << dx) ELSE 0 END)
+                  AS INT) AS byte
+      FROM cell GROUP BY src, dy
+    ),
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb,
+             sum(bit_count(xor(ba.byte, bb.byte))) AS hamming
+      FROM d a
+      JOIN d b ON a.doc_id < b.doc_id
+      JOIN bytes ba ON ba.src = a.src
+      JOIN bytes bb ON bb.src = b.src AND bb.dy = ba.dy
+      GROUP BY 1, 2
+    )
+    SELECT
+      CAST((SELECT count(*) FROM pairs WHERE hamming <= 2) AS BIGINT)
+        AS n_near_dup_pairs,
+      CAST((SELECT count(*) FROM pairs
+            WHERE hamming = 0 AND pb = pa + 250) AS BIGINT)
+        AS planted_found,
+      CAST((SELECT count(*) FROM d WHERE doc_id >= 250) AS BIGINT)
+        AS n_planted,
+      ((SELECT count(*) FROM pairs
+        WHERE hamming = 0 AND pb = pa + 250)
+       = (SELECT count(*) FROM d WHERE doc_id >= 250))
+        AS all_planted_found
+    """,
+    doc="Image perceptual near-dup (VERDICT r8 #7 — operators."
+    "multimodal.image_dhash + image_near_dup_pairs): every document "
+    "gets a byte-valid BMP whose pixels derive from doc_id % 250, so "
+    "each doc >= 250 has a planted EXACT image duplicate; payloads "
+    "are decoded by the real BMP codec, dHashed (integer grayscale, "
+    "nearest-neighbor 9x8 grid, adjacent-column bits), and paired "
+    "via the 16-bit Hamming-banded join — exact recall for "
+    "hamming <= 2 by pigeonhole (<= 2 flipped bits touch <= 2 of 4 "
+    "bands). The oracle rebuilds every hash byte from the pixel "
+    "formula and scores ALL pairs with no banding, so a missed "
+    "candidate, a wrong resize index map, or a bit-order flip "
+    "changes a count and fails the hash. Asserts all 250 planted "
+    "pairs are found at distance 0.",
+)
+def q_image_near_dup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 250).alias("src")
+    )
+    srcs = docs.select("src").distinct()
+    assets = multimodal.synthetic_bmp_assets(srcs, "src")
+    hashes = multimodal.image_dhash(assets, decode_fn="bmp")
+    dh = docs.join(
+        hashes.withColumnRenamed("asset_id", "src"), "src"
+    ).select(F.col("doc_id").alias("asset_id"), "dhash")
+    pairs = multimodal.image_near_dup_pairs(
+        dh, max_hamming=2, band_bits=16
+    ).localCheckpoint(eager=False)
+    n_pairs = pairs.agg(
+        F.count("*").cast("long").alias("n_near_dup_pairs")
+    )
+    planted = pairs.where(
+        (F.col("hamming") == 0) & (F.col("b") == F.col("a") + 250)
+    ).agg(F.count("*").cast("long").alias("planted_found"))
+    n_planted = docs.where(F.col("doc_id") >= 250).agg(
+        F.count("*").cast("long").alias("n_planted")
+    )
+    return (
+        n_pairs.crossJoin(planted)
+        .crossJoin(n_planted)
+        .select(
+            "n_near_dup_pairs",
+            "planted_found",
+            "n_planted",
+            (F.col("planted_found") == F.col("n_planted")).alias(
+                "all_planted_found"
+            ),
+        )
+    )

@@ -602,3 +602,228 @@ def q_containment_pairs_report(
     return dedup.containment_pairs(
         docs, "doc_id", "text", n=2, min_containment=0.9
     ).select("a", "b", _r4(F.col("containment")).alias("containment"))
+
+
+# ===========================================================================
+# Persistable Bloom filter: membership contract + fact-scan pruning (r9).
+# ===========================================================================
+
+
+@_register(
+    "bloom_membership_check",
+    """
+    WITH ins AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_custkey IS NOT NULL
+    ),
+    hs AS (SELECT unnest(range(4)) AS d),
+    bloom AS (
+      SELECT DISTINCT hs.d,
+             substring(md5(CAST(hs.d AS VARCHAR) || ':'
+                           || CAST(ins.k AS VARCHAR)), 1, 3) AS bucket
+      FROM ins, hs
+    ),
+    pkeys AS (
+      SELECT c_custkey AS k FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000 FROM customer
+    ),
+    probe AS (
+      SELECT p.k, hs.d,
+             substring(md5(CAST(hs.d AS VARCHAR) || ':'
+                           || CAST(p.k AS VARCHAR)), 1, 3) AS bucket
+      FROM pkeys p, hs
+    ),
+    flags AS (
+      SELECT p.k, (count(b.bucket) = 4) AS maybe_present
+      FROM probe p
+      LEFT JOIN bloom b ON p.d = b.d AND p.bucket = b.bucket
+      GROUP BY p.k
+    ),
+    lab AS (
+      SELECT f.maybe_present, (ins.k IS NOT NULL) AS inserted
+      FROM flags f LEFT JOIN ins ON f.k = ins.k
+    )
+    SELECT
+      CAST(sum(CASE WHEN inserted THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_inserted,
+      (sum(CASE WHEN inserted AND NOT maybe_present THEN 1 ELSE 0 END)
+        = 0) AS no_false_negatives,
+      CAST(sum(CASE WHEN NOT inserted THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_absent,
+      CAST(sum(CASE WHEN NOT inserted AND maybe_present THEN 1 ELSE 0
+               END) AS BIGINT) AS n_absent_present,
+      floor(CAST(sum(CASE WHEN NOT inserted AND maybe_present THEN 1
+                     ELSE 0 END) AS DOUBLE)
+            / sum(CASE WHEN NOT inserted THEN 1 ELSE 0 END)
+            * 10000 + 0.5000005) / 10000 AS fp_rate,
+      (CAST(sum(CASE WHEN NOT inserted AND maybe_present THEN 1 ELSE 0
+                END) AS DOUBLE)
+       / sum(CASE WHEN NOT inserted THEN 1 ELSE 0 END)
+       <= 1.5 * pow(1 - exp(-CAST(sum(CASE WHEN inserted THEN 1 ELSE 0
+                                   END) AS DOUBLE) / 4096), 4))
+        AS fp_within_bound
+    FROM lab
+    """,
+    doc="Bloom-filter membership contract (operators.sketch."
+    "bloom_build/bloom_probe): filter built over every custkey with "
+    "orders (depth=4, 16^3 buckets per hash row), probed with every "
+    "customer key plus a shifted never-inserted twin per customer "
+    "(custkey+10M — at sf0.01 every customer has orders, so absent "
+    "probes must be synthesized). Pins the two Bloom guarantees: "
+    "zero false negatives "
+    "(every inserted key tests present), and the false-positive rate "
+    "among never-inserted keys within 1.5x the (1-e^(-n/m))^k bound. "
+    "md5-bucketed so DuckDB rebuilds the filter bit-for-bit — a hash "
+    "match proves the bucket construction AND the probe semantics, "
+    "not just the counters.",
+)
+def q_bloom_membership_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    bloom = sketch.bloom_build(
+        orders, "o_custkey", depth=4, hex_digits=3
+    )
+    probes = customer.select("c_custkey").unionAll(
+        customer.select(
+            (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey")
+        )
+    )
+    flagged = sketch.bloom_probe(
+        bloom, probes, "c_custkey", depth=4, hex_digits=3
+    )
+    inserted = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("inserted", F.lit(True))
+    )
+    lab = flagged.join(inserted, "c_custkey", "left").select(
+        "maybe_present",
+        F.coalesce("inserted", F.lit(False)).alias("inserted"),
+    )
+    n_ins = F.sum(F.when(F.col("inserted"), 1).otherwise(0))
+    n_abs = F.sum(F.when(~F.col("inserted"), 1).otherwise(0))
+    n_fp = F.sum(
+        F.when(~F.col("inserted") & F.col("maybe_present"), 1)
+        .otherwise(0)
+    )
+    n_fn = F.sum(
+        F.when(F.col("inserted") & ~F.col("maybe_present"), 1)
+        .otherwise(0)
+    )
+    return lab.agg(
+        n_ins.cast("long").alias("n_inserted"),
+        (n_fn == 0).alias("no_false_negatives"),
+        n_abs.cast("long").alias("n_absent"),
+        n_fp.cast("long").alias("n_absent_present"),
+        _r4(n_fp.cast("double") / n_abs).alias("fp_rate"),
+        (
+            n_fp.cast("double") / n_abs
+            <= 1.5
+            * F.pow(
+                1 - F.exp(-n_ins.cast("double") / F.lit(4096.0)), 4
+            )
+        ).alias("fp_within_bound"),
+    )
+
+
+@_register(
+    "bloom_prefilter_prune",
+    """
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    hs AS (SELECT unnest(range(4)) AS d),
+    bloom AS (
+      SELECT DISTINCT hs.d,
+             substring(md5(CAST(hs.d AS VARCHAR) || ':'
+                           || CAST(dim.c_custkey AS VARCHAR)), 1, 3)
+               AS bucket
+      FROM dim, hs
+    ),
+    keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_custkey IS NOT NULL
+    ),
+    pk AS (
+      SELECT keys.k, hs.d,
+             substring(md5(CAST(hs.d AS VARCHAR) || ':'
+                           || CAST(keys.k AS VARCHAR)), 1, 3) AS bucket
+      FROM keys, hs
+    ),
+    present AS (
+      SELECT pk.k
+      FROM pk LEFT JOIN bloom b ON pk.d = b.d AND pk.bucket = b.bucket
+      GROUP BY pk.k HAVING count(b.bucket) = 4
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+         JOIN present p ON o.o_custkey = p.k) AS n_kept,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+         JOIN dim d ON o.o_custkey = d.c_custkey) AS n_match,
+      ((SELECT count(*) FROM orders o
+          JOIN dim d ON o.o_custkey = d.c_custkey)
+       = (SELECT count(*) FROM orders o
+            JOIN present p ON o.o_custkey = p.k
+            JOIN dim d ON o.o_custkey = d.c_custkey))
+        AS no_false_negatives,
+      floor((1 - (SELECT count(*) FROM orders o
+                    JOIN present p ON o.o_custkey = p.k)
+                 / CAST((SELECT count(*) FROM orders) AS DOUBLE))
+            * 10000 + 0.5000005) / 10000 AS prune_rate
+    """,
+    doc="Bloom fact-scan pruning (operators.sketch.bloom_prefilter): "
+    "filter built from the BUILDING-segment customers only, then the "
+    "orders fact pruned with pure column expressions (md5 -> conv -> "
+    "bit test inside whole-stage codegen — no join, no shuffle, no "
+    "Python) before any join would run. Pins the 100 TB contract: "
+    "every order whose customer IS in the segment survives the "
+    "prefilter (no false negatives => prefilter-then-join == join), "
+    "and the prune rate is reported. The oracle rebuilds the bucket "
+    "table and the per-key 4-of-4 test relationally from md5.",
+)
+def q_bloom_prefilter_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    dim = customer.where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    bloom = sketch.bloom_build(dim, "c_custkey", depth=4, hex_digits=3)
+    kept = sketch.bloom_prefilter(
+        orders, "o_custkey", bloom, depth=4, hex_digits=3
+    )
+    dim_k = F.broadcast(
+        dim.select(F.col("c_custkey").alias("o_custkey"))
+    )
+    total = orders.agg(F.count("*").cast("long").alias("n_orders"))
+    keptc = kept.agg(F.count("*").cast("long").alias("n_kept"))
+    matchc = orders.join(dim_k, "o_custkey").agg(
+        F.count("*").cast("long").alias("n_match")
+    )
+    kept_matchc = kept.join(dim_k, "o_custkey").agg(
+        F.count("*").cast("long").alias("n_kept_match")
+    )
+    return (
+        total.crossJoin(keptc)
+        .crossJoin(matchc)
+        .crossJoin(kept_matchc)
+        .select(
+            "n_orders",
+            "n_kept",
+            "n_match",
+            (F.col("n_kept_match") == F.col("n_match")).alias(
+                "no_false_negatives"
+            ),
+            _r4(
+                1
+                - F.col("n_kept").cast("double")
+                / F.col("n_orders")
+            ).alias("prune_rate"),
+        )
+    )

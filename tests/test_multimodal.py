@@ -374,3 +374,106 @@ def test_wav_resample_stdlib_valid_and_exact(spark):
             r["asset_id"], bytes(r["payload"])
         )
         assert d_out == d_src, r["asset_id"]
+
+
+def test_wav_resample_zero_sample_payload(spark):
+    """ADVICE r8: a zero-sample WAV (valid header, empty data section)
+    must resample to a zero-sample WAV — the old max(1, ...) output
+    floor indexed an empty frames array and failed the whole Arrow
+    batch executor-side."""
+    import io
+    import wave
+
+    empty = multimodal._wav_header(8000, 1, 0)
+    assets = spark.createDataFrame(
+        [(0, bytearray(empty)), (1, bytearray(empty))],
+        "asset_id long, payload binary",
+    )
+    out = multimodal.resample_wav_assets(assets, out_rate=4000).collect()
+    assert len(out) == 2
+    for r in out:
+        with wave.open(io.BytesIO(bytes(r["payload"]))) as w:
+            assert w.getnframes() == 0
+            assert w.getframerate() == 4000
+
+
+def test_image_dhash_bmp_png_agree_and_banding_exact(spark):
+    """dHash is a pixel-level function, so the BMP and PNG codecs must
+    hash identical pixel content to identical hashes; and the 16-bit
+    Hamming-banded pair join must equal the all-pairs brute force at
+    its guaranteed radius (hamming <= 2, pigeonhole over 4 bands)."""
+    import itertools
+
+    base = spark.range(24).select(F.col("id").alias("doc_id"))
+    bmp_h = {
+        r["asset_id"]: list(r["dhash"])
+        for r in multimodal.image_dhash(
+            multimodal.synthetic_bmp_assets(base, "doc_id"), "bmp"
+        ).collect()
+    }
+    png_h = {
+        r["asset_id"]: list(r["dhash"])
+        for r in multimodal.image_dhash(
+            multimodal.synthetic_png_assets(base, "doc_id"), "png"
+        ).collect()
+    }
+    assert bmp_h == png_h and len(bmp_h) == 24
+    assert all(
+        len(v) == 8 and all(0 <= b <= 255 for b in v)
+        for v in bmp_h.values()
+    )
+    hashes = spark.createDataFrame(
+        [(k, v) for k, v in bmp_h.items()],
+        "asset_id long, dhash array<int>",
+    )
+    got = sorted(
+        (r.a, r.b, r.hamming)
+        for r in multimodal.image_near_dup_pairs(
+            hashes, max_hamming=2
+        ).collect()
+    )
+    want = sorted(
+        (a, b, d)
+        for a, b in itertools.combinations(sorted(bmp_h), 2)
+        if (
+            d := sum(
+                bin(x ^ y).count("1")
+                for x, y in zip(bmp_h[a], bmp_h[b])
+            )
+        )
+        <= 2
+    )
+    assert got == want
+
+
+def test_image_near_dup_finds_planted_duplicates(spark):
+    """Two assets built from the same source id are exact perceptual
+    duplicates: hamming 0, always paired."""
+    base = spark.range(12).select((F.col("id") % 6).alias("src"))
+    hashes = multimodal.image_dhash(
+        multimodal.synthetic_bmp_assets(base.distinct(), "src"), "bmp"
+    )
+    docs = spark.range(12).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 6).alias("src")
+    )
+    dh = docs.join(
+        hashes.withColumnRenamed("asset_id", "src"), "src"
+    ).select(F.col("doc_id").alias("asset_id"), "dhash")
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in multimodal.image_near_dup_pairs(dh).collect()
+    }
+    for i in range(6):
+        assert pairs.get((i, i + 6)) == 0, (i, i + 6)
+
+
+def test_image_near_dup_rejects_radius_beyond_guarantee(spark):
+    """max_hamming past the pigeonhole guarantee (n_bands - 1) would
+    silently lose true pairs — must fail fast instead."""
+    import pytest
+
+    hashes = spark.createDataFrame(
+        [(0, [0] * 8)], "asset_id long, dhash array<int>"
+    )
+    with pytest.raises(ValueError, match="exact-recall"):
+        multimodal.image_near_dup_pairs(hashes, max_hamming=4)
