@@ -42,12 +42,13 @@ from financial_data_pipeline_optimization_spark.queries import (  # noqa: E402,F
     monitoring,
     media,
     vector_checks,
+    ranking,
 )
 
 # Back-compat: every name that was reachable as ``queries.<name>`` on
 # the single file stays reachable on the package (tests, bench and the
 # driver entry address query callables and oracle helpers this way).
-for _m in (core, documents, breadth, finance, tpch, curation, tpch_ext, warehouse, linkage, analytics, governance, monitoring, media, vector_checks):
+for _m in (core, documents, breadth, finance, tpch, curation, tpch_ext, warehouse, linkage, analytics, governance, monitoring, media, vector_checks, ranking):
     for _k, _v in vars(_m).items():
         if _k.startswith(("q_", "_")) and not _k.startswith("__"):
             globals().setdefault(_k, _v)
