@@ -94,11 +94,13 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
-    # r9 addition (VERDICT r8 #5): the PQ SEARCH leg alone over a
-    # pre-built, materialized index — knn_pq times train+encode+search
-    # together (its 1.1 s spread is mostly training noise), so the
-    # recurring serving cost gets its own trend line.
+    # r9 additions (VERDICT r8 #5): the ANN SEARCH legs alone over
+    # pre-built, materialized indexes — knn_pq/knn_ivf time
+    # train+encode+search together (knn_pq's 1.1 s spread was mostly
+    # training noise), so the recurring serving cost gets its own
+    # trend line.
     "knn_pq_search",
+    "knn_ivf_search",
 ]
 
 
@@ -132,7 +134,10 @@ def main() -> None:
     # ANN bench twins: approximate paths have no SQL oracle (the
     # *_recall_check queries carry driver verification) but need
     # measured trend lines.
-    for _ann in ("knn_lsh", "knn_ivf", "knn_pq", "knn_pq_search"):
+    for _ann in (
+        "knn_lsh", "knn_ivf", "knn_pq", "knn_pq_search",
+        "knn_ivf_search",
+    ):
         specs.setdefault(
             _ann, q.QuerySpec(_ann, getattr(q, f"q_{_ann}"), None)
         )
@@ -146,10 +151,11 @@ def main() -> None:
     spark.range(1024).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).count()
-    # Build + materialize the PQ index OUTSIDE the timed region so the
-    # knn_pq_search headliner's every sample (including the first) is
+    # Build + materialize the ANN indexes OUTSIDE the timed region so
+    # the *_search headliners' every sample (including the first) is
     # search-only — that is the whole point of the train/search split.
     specs["knn_pq_search"].spark(spark, SF_DIR).limit(1).collect()
+    specs["knn_ivf_search"].spark(spark, SF_DIR).limit(1).collect()
 
     # Median of N runs per query: the first run carries one-time
     # codegen/JIT for that query's operators and the host is shared, so

@@ -549,18 +549,101 @@ def ivf_topk(
     exact cosine re-rank within the probed cells only. Corpus-side cost
     is one scan + a cell-keyed broadcast join — the corpus is never
     duplicated and never all-pairs scored."""
-    from pyspark.sql import Window
-
     cen_unit = _unit_rows(
         train_ivf_centroids(
             corpus, num_centroids, train_iters, id_col, vec_col
         )
     )
     cells = _nearest_cells(
-        corpus, cen_unit, 1, id_col, vec_col, "neighbor_id"
-    ).select(
-        "neighbor_id",
-        F.col("__v").alias("__cv"),
+        corpus, cen_unit, 1, id_col, vec_col, id_col
+    ).select(id_col, F.col("__v").alias(vec_col), "cell")
+    return _ivf_cell_search(
+        cells, cen_unit, queries, k, nprobe, id_col, vec_col,
+        query_id_col,
+    )
+
+
+def ivf_store(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF index: ``(cells_df, centroids_df)``
+    where ``cells_df`` is the corpus with its nearest-cell assignment
+    appended (``(id, vec, cell int)`` — write it as parquet
+    PARTITIONED BY cell and every future search scans only the probed
+    cells' files) and ``centroids_df`` is the ``num_centroids`` unit
+    centroid rows ``(cell int, centroid array<double>)``. The IVF twin
+    of :func:`pq_store` (train once — on a sample at 100 TB — then
+    assign/search forever): a new ingest batch appends its own cell
+    assignments via one Arrow-matmul scan against the saved centroids
+    without touching existing rows."""
+    cen_unit = _unit_rows(
+        train_ivf_centroids(
+            corpus, num_centroids, train_iters, id_col, vec_col
+        )
+    )
+    cells = _nearest_cells(
+        corpus, cen_unit, 1, id_col, vec_col, id_col
+    ).select(id_col, F.col("__v").alias(vec_col), "cell")
+    spark = corpus.sparkSession
+    centroids_df = spark.createDataFrame(
+        [(i, cen_unit[i].tolist()) for i in range(cen_unit.shape[0])],
+        "cell int, centroid array<double>",
+    )
+    return cells, centroids_df
+
+
+def ivf_search_store(
+    cells_df: DataFrame,
+    centroids_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVF index from :func:`ivf_store`: the bounded
+    centroid table is the only collect; each query batch is assigned
+    its ``nprobe`` nearest cells by one Arrow matmul and broadcast
+    into the cell-keyed join, so the corpus-side scan touches only the
+    probed cells (with the cells table written partitioned-by-cell,
+    that is literal partition pruning at 100 TB). Same result contract
+    as :func:`ivf_topk` over the same centroids."""
+    import numpy as np
+
+    rows = centroids_df.collect()  # bounded: num_centroids rows
+    cen_unit = np.zeros(
+        (1 + max(r["cell"] for r in rows), len(rows[0]["centroid"]))
+    )
+    for r in rows:
+        cen_unit[r["cell"]] = r["centroid"]
+    return _ivf_cell_search(
+        cells_df, cen_unit, queries, k, nprobe, id_col, vec_col,
+        query_id_col,
+    )
+
+
+def _ivf_cell_search(
+    cells: DataFrame,
+    cen_unit,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF search tail: broadcast the probe assignments into the
+    cell-keyed join, exact cosine re-rank within probed cells only."""
+    from pyspark.sql import Window
+
+    cell_side = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
         "cell",
     ).withColumn("__cn", l2_norm(F.col("__cv")))
     probes = _nearest_cells(
@@ -571,7 +654,7 @@ def ivf_topk(
         "cell",
     ).withColumn("__qn", l2_norm(F.col("__qv")))
     scored = (
-        cells.join(F.broadcast(probes), "cell")
+        cell_side.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,

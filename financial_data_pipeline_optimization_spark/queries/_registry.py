@@ -163,6 +163,10 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("multimodal_wav_chunk_check", 9),
     ("multimodal_frame_sample_check", 9),
     ("multimodal_wav_resample_check", 9),
+    # r09: ivf_topk re-composed over the shared _ivf_cell_search tail
+    # (results pinned identical by the store round-trip test; plan
+    # re-assembled — re-prove).
+    ("knn_ivf_recall_check", 9),
 )
 
 

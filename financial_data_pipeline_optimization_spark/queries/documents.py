@@ -452,6 +452,41 @@ def q_knn_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector.pq_search_store(codes_df, books_df, queries_df, k=5)
 
 
+#: Same one-index-per-session discipline as _PQ_INDEX_CACHE, for the
+#: IVF serving-leg headliner.
+_IVF_INDEX_CACHE: dict = {}
+
+
+def q_knn_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the probed-cell SEARCH leg of the persisted IVF
+    index in isolation (operators.vector.ivf_store ->
+    ivf_search_store, q_knn_ivf's 16-centroid/nprobe-4 config) — the
+    train+assign cost is paid once per session and materialized, so
+    this times exactly the recurring serving scan: probe assignment
+    (one Arrow matmul over the 8-query batch) + the cell-keyed
+    broadcast join over probed cells only. No SQL oracle (iterative
+    k-means); knn_ivf_recall_check + the store round-trip test carry
+    verification."""
+    from financial_data_pipeline_optimization_spark.operators import vector
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        cells_df, cents_df = vector.ivf_store(emb, num_centroids=16)
+        _IVF_INDEX_CACHE[key] = (
+            cells_df.localCheckpoint(eager=True),
+            cents_df.localCheckpoint(eager=True),
+        )
+    cells_df, cents_df = _IVF_INDEX_CACHE[key]
+    queries_df = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+    )
+    return vector.ivf_search_store(
+        cells_df, cents_df, queries_df, k=5, nprobe=4
+    )
+
+
 @_register(
     "knn_brute_force",
     """

@@ -679,3 +679,39 @@ def test_pq_numpy_jvm_sims_bit_identical(spark):
                 f"m={m}: sims not bit-identical at {key}: "
                 f"{sim!r} != {bc[key]!r}"
             )
+
+
+def test_ivf_store_roundtrip_matches_direct(spark, tmp_path):
+    """ivf_store -> parquet (partitioned by cell) -> ivf_search_store
+    must reproduce ivf_topk exactly over the same centroids — the IVF
+    twin of the PQ persisted-index contract. Also pins the layout
+    property the docstring sells: the cells table round-trips through
+    a partitioned-by-cell write, so probed-cell scans are partition
+    pruning at scale."""
+    emb = (
+        load_table(spark, SF_CORRECTNESS, "embeddings")
+        .select("vec_id", "embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    direct = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cosine_sim)
+        for r in vector.ivf_topk(
+            emb, q, k=4, num_centroids=8, nprobe=3, train_iters=1
+        ).collect()
+    }
+    cells, cents = vector.ivf_store(
+        emb, num_centroids=8, train_iters=1
+    )
+    cells.write.partitionBy("cell").parquet(str(tmp_path / "cells"))
+    cents.write.parquet(str(tmp_path / "cents"))
+    got = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cosine_sim)
+        for r in vector.ivf_search_store(
+            spark.read.parquet(str(tmp_path / "cells")),
+            spark.read.parquet(str(tmp_path / "cents")),
+            q,
+            k=4,
+            nprobe=3,
+        ).collect()
+    }
+    assert got == direct and len(direct) > 0
