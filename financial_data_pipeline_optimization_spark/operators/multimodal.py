@@ -1092,19 +1092,21 @@ def hamming_distance(a, b):
     )
 
 
-def image_near_dup_pairs(
+def hamming_banded_pairs(
     hashes: DataFrame,
     id_col: str = "asset_id",
     hash_col: str = "dhash",
     max_hamming: int = 2,
     band_bits: int = 16,
 ) -> DataFrame:
-    """Near-duplicate image pairs from :func:`image_dhash` output via
-    the banded-LSH join pattern (same shape as
-    ``dedup.minhash_lsh_pairs``): split the 64-bit hash into
-    ``64 / band_bits`` bands, bucket-join on (band index, band value),
-    then verify candidates with the exact Hamming distance. Returns
-    ``(a, b, hamming)`` with ``a < b``, distinct.
+    """Near-duplicate pairs over any 8-byte (64-bit) perceptual hash
+    column — :func:`image_dhash` output, :func:`audio_fingerprint`
+    output, or any ``array<int>`` of 8 row-bytes — via the banded-LSH
+    join pattern (same shape as ``dedup.minhash_lsh_pairs``): split
+    the 64-bit hash into ``64 / band_bits`` bands, bucket-join on
+    (band index, band value), then verify candidates with the exact
+    Hamming distance. Returns ``(a, b, hamming)`` with ``a < b``,
+    distinct.
 
     EXACT for small radii by pigeonhole: ``max_hamming`` differing
     bits can touch at most ``max_hamming`` bands, so any pair within
@@ -1164,4 +1166,68 @@ def image_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+#: Back-compat / intent-revealing alias: the image near-dup entry
+#: point is the generic 64-bit Hamming-banded join.
+image_near_dup_pairs = hamming_banded_pairs
+
+
+#: audio_fingerprint output: 8 envelope bytes per asset — the audio
+#: twin of DHASH_SCHEMA, same unpacked representation for the same
+#: reason (banding + Hamming stay in integer expressions).
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("afp", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint over REAL decoded PCM16 WAVs — the
+    1-D twin of :func:`image_dhash`: parse the payload with the real
+    RIFF codec, bucket samples into 65 time windows by the inverse
+    index map ``window(i) = (i * 65) // n`` (empty windows at short
+    clips have energy 0), take per-window absolute-amplitude energy,
+    then one bit per adjacent-window comparison ``bit[k] = e[k+1] >
+    e[k]`` — 64 bits packed LSB-first into 8 bytes, exactly the
+    :func:`hamming_banded_pairs` input shape. Returns ``(asset_id,
+    afp array<int>)``.
+
+    Integer-exact end to end (integer window map, integer energy
+    sums), so a DuckDB oracle rebuilds every byte from the synthetic
+    sample formula; the envelope-ORDER encoding (not raw energy) makes
+    the fingerprint invariant to uniform gain changes, the audio
+    analog of dHash's illumination invariance."""
+    import numpy as np
+
+    n_windows = 65
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, channels, _, data = _parse_wav(aid, bytes(payload))
+                samples = np.frombuffer(data, dtype="<i2").astype(
+                    np.int64
+                )
+                n = len(samples)
+                e = np.zeros(n_windows, dtype=np.int64)
+                if n:
+                    k = (np.arange(n) * n_windows) // n
+                    np.add.at(e, k, np.abs(samples))
+                bits = e[1:] > e[:-1]  # (64,)
+                weights = 1 << np.arange(8)
+                fps.append(
+                    (bits.reshape(8, 8) * weights).sum(axis=1).astype(
+                        "int32"
+                    )
+                )
+                ids.append(int(aid))
+            yield pd.DataFrame({"asset_id": ids, "afp": fps})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _fp, schema=AUDIO_FP_SCHEMA
     )

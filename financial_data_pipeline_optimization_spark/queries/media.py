@@ -522,3 +522,107 @@ def q_image_near_dup_check(
             ),
         )
     )
+
+
+@_register_global(
+    "audio_near_dup_check",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 250 AS src FROM documents),
+    srcs AS (SELECT DISTINCT src, 32 + src % 97 AS n FROM d),
+    idx AS (SELECT i FROM generate_series(0, 127) t(i)),
+    en0 AS (
+      SELECT s.src, (t.i * 65) // s.n AS k,
+             sum(abs(((s.src * 2654435761 + t.i * 40503) % 65536)
+                     - 32768)) AS e
+      FROM srcs s, idx t WHERE t.i < s.n
+      GROUP BY 1, 2
+    ),
+    wk AS (SELECT k FROM generate_series(0, 64) t(k)),
+    en AS (
+      SELECT s.src, w.k, coalesce(e0.e, 0) AS e
+      FROM srcs s CROSS JOIN wk w
+      LEFT JOIN en0 e0 ON e0.src = s.src AND e0.k = w.k
+    ),
+    bits AS (
+      SELECT a.src, a.k AS kb, (b.e > a.e) AS bit
+      FROM en a JOIN en b ON b.src = a.src AND b.k = a.k + 1
+    ),
+    bytes AS (
+      SELECT src, kb // 8 AS dy,
+             CAST(sum(CASE WHEN bit THEN (1 << (kb % 8)) ELSE 0 END)
+                  AS INT) AS byte
+      FROM bits GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb,
+             sum(bit_count(xor(ba.byte, bb.byte))) AS hamming
+      FROM d a
+      JOIN d b ON a.doc_id < b.doc_id
+      JOIN bytes ba ON ba.src = a.src
+      JOIN bytes bb ON bb.src = b.src AND bb.dy = ba.dy
+      GROUP BY 1, 2
+    )
+    SELECT
+      CAST((SELECT count(*) FROM pairs WHERE hamming <= 2) AS BIGINT)
+        AS n_near_dup_pairs,
+      CAST((SELECT count(*) FROM pairs
+            WHERE hamming = 0 AND pb = pa + 250) AS BIGINT)
+        AS planted_found,
+      CAST((SELECT count(*) FROM d WHERE doc_id >= 250) AS BIGINT)
+        AS n_planted,
+      ((SELECT count(*) FROM pairs
+        WHERE hamming = 0 AND pb = pa + 250)
+       = (SELECT count(*) FROM d WHERE doc_id >= 250))
+        AS all_planted_found
+    """,
+    doc="Audio perceptual near-dup (operators.multimodal."
+    "audio_fingerprint + hamming_banded_pairs — the 1-D twin of "
+    "image_near_dup_check): every document gets a byte-valid PCM16 "
+    "WAV whose samples derive from doc_id % 250, so each doc >= 250 "
+    "has a planted exact audio duplicate; payloads are decoded by the "
+    "real RIFF codec, fingerprinted (65-window integer energy "
+    "envelope, adjacent-window comparison bits, 8 bytes), and paired "
+    "via the same 16-bit Hamming-banded join with pigeonhole-exact "
+    "recall at hamming <= 2. The oracle rebuilds every envelope "
+    "window, bit and byte from the synthetic sample formula and "
+    "scores ALL pairs unbanded. Asserts all 250 planted pairs are "
+    "found at distance 0.",
+)
+def q_audio_near_dup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 250).alias("src")
+    )
+    srcs = docs.select("src").distinct()
+    assets = multimodal.synthetic_wav_assets(srcs, "src")
+    fps = multimodal.audio_fingerprint(assets)
+    dh = docs.join(
+        fps.withColumnRenamed("asset_id", "src"), "src"
+    ).select(F.col("doc_id").alias("asset_id"), "afp")
+    pairs = multimodal.hamming_banded_pairs(
+        dh, hash_col="afp", max_hamming=2, band_bits=16
+    ).localCheckpoint(eager=False)
+    n_pairs = pairs.agg(
+        F.count("*").cast("long").alias("n_near_dup_pairs")
+    )
+    planted = pairs.where(
+        (F.col("hamming") == 0) & (F.col("b") == F.col("a") + 250)
+    ).agg(F.count("*").cast("long").alias("planted_found"))
+    n_planted = docs.where(F.col("doc_id") >= 250).agg(
+        F.count("*").cast("long").alias("n_planted")
+    )
+    return (
+        n_pairs.crossJoin(planted)
+        .crossJoin(n_planted)
+        .select(
+            "n_near_dup_pairs",
+            "planted_found",
+            "n_planted",
+            (F.col("planted_found") == F.col("n_planted")).alias(
+                "all_planted_found"
+            ),
+        )
+    )

@@ -477,3 +477,42 @@ def test_image_near_dup_rejects_radius_beyond_guarantee(spark):
     )
     with pytest.raises(ValueError, match="exact-recall"):
         multimodal.image_near_dup_pairs(hashes, max_hamming=4)
+
+
+def test_audio_fingerprint_shape_and_planted_dups(spark):
+    """audio_fingerprint emits 8 bytes per asset; two assets built from
+    the same source id are exact perceptual duplicates (hamming 0);
+    the banded join surfaces them; and a zero-sample WAV fingerprints
+    to all-zero bytes instead of crashing."""
+    base = spark.range(12).select((F.col("id") % 6).alias("src"))
+    fps = multimodal.audio_fingerprint(
+        multimodal.synthetic_wav_assets(base.distinct(), "src")
+    )
+    by_id = {r["asset_id"]: list(r["afp"]) for r in fps.collect()}
+    assert len(by_id) == 6
+    assert all(
+        len(v) == 8 and all(0 <= b <= 255 for b in v)
+        for v in by_id.values()
+    )
+    docs = spark.range(12).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 6).alias("src")
+    )
+    dh = docs.join(
+        fps.withColumnRenamed("asset_id", "src"), "src"
+    ).select(F.col("doc_id").alias("asset_id"), "afp")
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in multimodal.hamming_banded_pairs(
+            dh, hash_col="afp"
+        ).collect()
+    }
+    for i in range(6):
+        assert pairs.get((i, i + 6)) == 0, (i, i + 6)
+    # zero-sample WAV: valid header, no data -> all-zero fingerprint
+    empty = multimodal._wav_header(8000, 1, 0)
+    out = multimodal.audio_fingerprint(
+        spark.createDataFrame(
+            [(99, bytearray(empty))], "asset_id long, payload binary"
+        )
+    ).collect()
+    assert list(out[0]["afp"]) == [0] * 8

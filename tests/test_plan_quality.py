@@ -642,3 +642,78 @@ def test_pq_broadcast_search_plan_stays_jvm_side(spark):
     nodes = [n.nodeName() for n in _walk(_executed_plan(out))]
     assert not any("BatchEvalPython" in n for n in nodes), nodes
     assert any("Broadcast" in n for n in nodes), nodes
+
+
+def test_perceptual_near_dup_plans_are_banded_not_quadratic(spark):
+    """hamming_banded_pairs must pair via the banded bucket JOIN,
+    never a cartesian (the report wrappers hide this subtree behind a
+    lazy localCheckpoint, so the gate runs on the operator plan
+    itself, over both hash sources), and its only Python boundaries
+    are the Arrow-batched hashers (no row-at-a-time Python)."""
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id"
+    ).limit(32)
+    sources = {
+        "image": multimodal.image_dhash(
+            multimodal.synthetic_bmp_assets(docs, "doc_id"), "bmp"
+        ),
+        "audio": multimodal.audio_fingerprint(
+            multimodal.synthetic_wav_assets(docs, "doc_id")
+        ).withColumnRenamed("afp", "dhash"),
+    }
+    for name, hashes in sources.items():
+        df = multimodal.hamming_banded_pairs(hashes, max_hamming=2)
+        nodes = [n.nodeName() for n in _walk(_executed_plan(df))]
+        assert not any(
+            "CartesianProduct" in n or "NestedLoop" in n for n in nodes
+        ), (name, nodes)
+        assert any(
+            "HashJoin" in n or "SortMergeJoin" in n for n in nodes
+        ), (name, nodes)
+        assert not any("BatchEvalPython" in n for n in nodes), name
+        # the hashers ride the Arrow boundary
+        assert any("ArrowEvalPython" in n or "MapInPandas" in n
+                   for n in nodes), (name, nodes)
+
+
+def test_ann_serving_legs_search_without_retraining(spark):
+    """knn_pq_search / knn_ivf_search time the RECURRING serving scan:
+    their plans must read the materialized (checkpointed) index — no
+    k-means/encode lineage — which shows as the index side scanning an
+    ExistingRDD/LocalTableScan rather than a parquet re-read of
+    embeddings plus training stages."""
+    from financial_data_pipeline_optimization_spark import queries as qq
+
+    for name in ("q_knn_pq_search", "q_knn_ivf_search"):
+        df = getattr(qq, name)(spark, SF_SMOKE)
+        nodes = [n.nodeName() for n in _walk(_executed_plan(df))]
+        assert any(
+            "RDDScan" in n or "ExistingRDD" in n or "Scan ExistingRDD" in n
+            for n in nodes
+        ), (name, nodes)
+        assert not any("BatchEvalPython" in n for n in nodes), name
+
+
+def test_bloom_prefilter_is_expression_only(spark):
+    """bloom_prefilter's 100 TB contract is scan->filter with ZERO
+    joins and ZERO exchanges — the bucket table is packed driver-side
+    into literal words and each row evaluates depth bit tests inside
+    codegen. Gate the executed plan: no Join, no Exchange, no Python,
+    and the filter survives down at/next to the scan."""
+    from financial_data_pipeline_optimization_spark.operators import sketch
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    dim = load_table(spark, SF_SMOKE, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    bloom = sketch.bloom_build(dim, "c_custkey", depth=4, hex_digits=3)
+    kept = sketch.bloom_prefilter(
+        orders, "o_custkey", bloom, depth=4, hex_digits=3
+    )
+    nodes = [n.nodeName() for n in _walk(_executed_plan(kept))]
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any("Exchange" in n for n in nodes), nodes
+    assert not any("Python" in n for n in nodes), nodes
+    assert any("Filter" in n for n in nodes), nodes
