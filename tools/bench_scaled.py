@@ -1,0 +1,135 @@
+"""Wall time vs corpus size in the COMPUTE-dominated regime.
+
+`bench.py` tracks the driver scale factors (sf0.001-sf0.1), where every
+headliner is overhead-dominated (SCALING.md: a 10x data step costs at
+most ~3x). This harness times a representative subset of the headliners
+on the k-replicated corpora from `tools/gen_replicated_sf.py` (10x and
+100x the sf0.1 row counts — 6M / 60M lineitem rows, 50k / 500k docs),
+where per-query cost is dominated by real shuffle/scan/compute work, so
+the measured growth factor is the scaling exponent the 100 TB claim
+rides on.
+
+Methodology mirrors bench.py: one warm session, noop sink (full
+column-set execution, nothing collected), median of SPARK_GRAFT_BENCH_REPS
+(default 2) after a warm-up of the Python worker pool.
+
+Usage:
+  python tools/gen_replicated_sf.py /root/testdata/sf0.1 10 /tmp/sfx10
+  python tools/gen_replicated_sf.py /root/testdata/sf0.1 100 /tmp/sfx100
+  python tools/bench_scaled.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from financial_data_pipeline_optimization_spark import get_spark
+from financial_data_pipeline_optimization_spark import queries as q
+
+DATASETS = [
+    ("x1", "/root/testdata/sf0.1"),
+    ("x10", "/tmp/sfx10"),
+    ("x100", "/tmp/sfx100"),
+]
+
+#: Representative compute-heavy subset of the bench headliners — one
+#: per physical shape (scan-agg, fact-dim joins, window, dedup chain,
+#: LSH banding, CC iteration, graph iteration, token shuffles, ANN
+#: serving, interval join, packing).
+QUERIES = [
+    "group_agg_pricing_summary",
+    "flagship_monthly_segment_revenue",
+    "star_join_revenue_by_region",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "dedup_keep_latest",
+    "window_moving_avg",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "near_dup_clusters_lsh",
+    "pmi_bigram_phrases",
+    "bm25_topk_docs",
+    "unigram_logprob_score",
+    "pagerank_3iter",
+    "triangle_count_order_bursts",
+    "kcore_trade_graph",
+    "pack_chunks_bins",
+    "knn_brute_force",
+    "knn_ivf_search",
+    "knn_pq_search",
+    "pca_top_component",
+    "interval_overlap_weekly",
+    "asof_join_last_view",
+]
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_scaled.json"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    spark = get_spark(app_name="fdpo-bench-scaled")
+    specs = {s.name: s for s in q.registry()}
+    specs.setdefault(
+        "minhash_lsh_pairs",
+        q.QuerySpec("minhash_lsh_pairs", q.q_minhash_pairs, None),
+    )
+    specs.setdefault(
+        "near_dup_clusters_lsh",
+        q.QuerySpec("near_dup_clusters_lsh", q.q_near_dup_clusters_lsh, None),
+    )
+    for _ann in ("knn_ivf_search", "knn_pq_search"):
+        specs.setdefault(
+            _ann, q.QuerySpec(_ann, getattr(q, f"q_{_ann}"), None)
+        )
+    # Spin up the Python worker pool once (startup, not query cost).
+    spark.range(1024).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    results: dict[str, dict[str, float]] = {}
+    for label, sf_dir in DATASETS:
+        if not Path(sf_dir).exists():
+            print(f"skip {label}: {sf_dir} missing", file=sys.stderr)
+            continue
+        # Pre-build ANN indexes outside the timed region (bench.py's
+        # train/search split contract).
+        for warm in ("knn_pq_search", "knn_ivf_search"):
+            if warm in QUERIES:
+                specs[warm].spark(spark, sf_dir).limit(1).collect()
+        for name in QUERIES:
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                specs[name].spark(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            results.setdefault(name, {})[label] = round(
+                samples[len(samples) // 2], 2
+            )
+            print(f"{label} {name}: {results[name][label]}", flush=True)
+        Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+
+    # Markdown table for SCALING.md.
+    labels = [lb for lb, d in DATASETS if Path(d).exists()]
+    print("\n| query | " + " | ".join(labels) + " | x10→x100 × |")
+    print("|---|" + "---|" * (len(labels) + 1))
+    for name in QUERIES:
+        row = results.get(name, {})
+        vals = [f"{row.get(lb, float('nan')):.2f}" for lb in labels]
+        growth = (
+            f"{row['x100'] / row['x10']:.1f}×"
+            if row.get("x10") and row.get("x100")
+            else "—"
+        )
+        print(f"| {name} | " + " | ".join(vals) + f" | {growth} |")
+
+
+if __name__ == "__main__":
+    main()
