@@ -57,6 +57,19 @@ def get_spark(
         # Parquet scans: larger row-group-aligned splits; at cluster scale
         # this bounds per-task memory for 100 TB inputs.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Long-session block hygiene. The engine truncates iterative /
+        # reused lineage with localCheckpoint; the BlockManager holds
+        # those blocks STRONGLY until ContextCleaner processes the
+        # RDDs' weak references, which only happens after a driver GC.
+        # Spark's safety-net GC fires every 30min by default — a
+        # many-query session on a big corpus can OOM the heap on
+        # superseded checkpoint blocks long before that (observed on
+        # the 100x replicated corpus: 19 minutes of queries filled a
+        # 48g heap with dropped blocks and died in a 5-word
+        # allocation). 5min keeps reclamation ahead of accumulation;
+        # one periodic driver GC per 5min is noise even at bench
+        # granularity.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -147,3 +147,18 @@ def test_expectations_report_empty_input_passes_explicitly(spark):
         assert r.n_rows == 0
         assert r.n_violations == 0
         assert r.passed is True
+
+
+def test_session_long_run_block_hygiene_confs(spark):
+    """The session factory pins the ContextCleaner safety-net GC to
+    5min (default 30min). The engine's iterative operators truncate
+    lineage with localCheckpoint and rely on the cleaner to release
+    superseded blocks; the BlockManager holds them strongly until a
+    driver GC processes their weak refs, so the default cadence lets a
+    many-query session accumulate dropped blocks for half an hour —
+    measured fatal on the 100x replicated corpus (48g heap OOM after
+    13 queries / 19 minutes). See session.py and SCALING.md."""
+    core_conf = spark.sparkContext.getConf()
+    assert core_conf.get("spark.cleaner.periodicGC.interval") == "5min"
+    # The block-producing checkpoints these confs exist for:
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

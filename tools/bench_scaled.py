@@ -72,6 +72,17 @@ QUERIES = [
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_scaled.json"
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Resumable: re-runs merge into an existing out.json, and
+    # SPARK_GRAFT_SCALED_SETS=x100 (comma list) restricts the datasets
+    # — so an OOM'd x100 leg can be retried with a bigger
+    # SPARK_DRIVER_MEMORY without re-timing x1/x10. NOTE on memory: the
+    # x100 corpus (60M lineitem, 500k embeddings) needs ~1.5 GiB of
+    # unified memory per local[32] thread for the heaviest headliners;
+    # the 8g default that fits the driver SFs dies in
+    # UNABLE_TO_ACQUIRE_MEMORY during the ANN index builds.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SCALED_SETS", "").split(",") if s
+    }
     spark = get_spark(app_name="fdpo-bench-scaled")
     specs = {s.name: s for s in q.registry()}
     specs.setdefault(
@@ -92,9 +103,11 @@ def main() -> None:
     ).count()
 
     results: dict[str, dict[str, float]] = {}
+    if Path(out_path).exists():
+        results = json.loads(Path(out_path).read_text())
     for label, sf_dir in DATASETS:
-        if not Path(sf_dir).exists():
-            print(f"skip {label}: {sf_dir} missing", file=sys.stderr)
+        if not Path(sf_dir).exists() or (only and label not in only):
+            print(f"skip {label}", file=sys.stderr)
             continue
         # Pre-build ANN indexes outside the timed region (bench.py's
         # train/search split contract).
@@ -102,19 +115,36 @@ def main() -> None:
             if warm in QUERIES:
                 specs[warm].spark(spark, sf_dir).limit(1).collect()
         for name in QUERIES:
+            if isinstance(results.get(name, {}).get(label), float):
+                print(f"{label} {name}: kept {results[name][label]}")
+                continue
+            # Drive ContextCleaner NOW (paired with the session's
+            # 5min periodicGC safety net): a full driver GC enqueues
+            # the weak refs of the previous query's dropped
+            # localCheckpoint RDDs, so their blocks are unpersisted
+            # before — not during — the next timed region. This is
+            # exactly what a well-behaved long-running service does
+            # between requests; without it the x100 leg OOM'd a 48g
+            # heap on superseded blocks after 13 queries.
+            spark._jvm.System.gc()
             samples = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                specs[name].spark(spark, sf_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
+            try:
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    specs[name].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+            except Exception as exc:  # record and keep sweeping
+                print(f"{label} {name}: FAILED {exc!r}"[:500], flush=True)
+                results.setdefault(name, {})[label] = None
+                continue
             samples.sort()
             results.setdefault(name, {})[label] = round(
                 samples[len(samples) // 2], 2
             )
             print(f"{label} {name}: {results[name][label]}", flush=True)
-        Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+            Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
 
     # Markdown table for SCALING.md.
     labels = [lb for lb, d in DATASETS if Path(d).exists()]
@@ -122,7 +152,10 @@ def main() -> None:
     print("|---|" + "---|" * (len(labels) + 1))
     for name in QUERIES:
         row = results.get(name, {})
-        vals = [f"{row.get(lb, float('nan')):.2f}" for lb in labels]
+        vals = [
+            f"{row[lb]:.2f}" if isinstance(row.get(lb), float) else "—"
+            for lb in labels
+        ]
         growth = (
             f"{row['x100'] / row['x10']:.1f}×"
             if row.get("x10") and row.get("x100")
