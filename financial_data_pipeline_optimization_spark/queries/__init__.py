@@ -38,6 +38,8 @@ from financial_data_pipeline_optimization_spark.queries import (  # noqa: E402,F
     warehouse,
     linkage,
     analytics,
+    curation_ml,
+    statsfit,
     governance,
     monitoring,
     media,
@@ -48,7 +50,7 @@ from financial_data_pipeline_optimization_spark.queries import (  # noqa: E402,F
 # Back-compat: every name that was reachable as ``queries.<name>`` on
 # the single file stays reachable on the package (tests, bench and the
 # driver entry address query callables and oracle helpers this way).
-for _m in (core, documents, breadth, finance, tpch, curation, tpch_ext, warehouse, linkage, analytics, governance, monitoring, media, vector_checks, ranking):
+for _m in (core, documents, breadth, finance, tpch, curation, tpch_ext, warehouse, linkage, analytics, curation_ml, statsfit, governance, monitoring, media, vector_checks, ranking):
     for _k, _v in vars(_m).items():
         if _k.startswith(("q_", "_")) and not _k.startswith("__"):
             globals().setdefault(_k, _v)
