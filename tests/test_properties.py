@@ -608,3 +608,59 @@ def test_elect_representatives_matches_python_reference(
         rep = max(members, key=lambda m: (m[1], -m[0]))
         want.add((cid, len(members), rep[0], rep[1]))
     assert got == want
+
+
+#: (day, integer price) rows; negative days exercise floor-toward-−∞
+#: week bucketing, duplicate days exercise the day-grain aggregation.
+DAY_PRICES = st.lists(
+    st.tuples(st.integers(-10, 24), st.integers(1, 1000)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(a=DAY_PRICES, b=DAY_PRICES)
+@SET
+def test_interval_weekly_factorization_matches_pair_enumeration(a, b):
+    """The day-grain factorization behind ``interval_overlap_weekly``
+    (queries/governance.py): per-week COUNT and SUM over the pair set
+    {(a,b): |a.day − b.day| ≤ 3} equal Σ n_d·n_e and
+    Σ (n_d·s_e + n_e·s_d) over day pairs. Integer prices make both
+    sides exact (no float tolerance), so this pins the algebra —
+    including duplicate days, empty weeks, and negative day
+    coordinates — against a naive pair enumeration."""
+    adf = SPARK.createDataFrame(list(a), "asd long, p long")
+    bdf = SPARK.createDataFrame(list(b), "bsd long, p long")
+    a_day = adf.groupBy("asd").agg(
+        F.count(F.lit(1)).alias("an"), F.sum("p").alias("as")
+    )
+    b_day = bdf.groupBy("bsd").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("p").alias("bs")
+    )
+    got = {
+        r["wk"]: (r["n_pairs"], r["pv"])
+        for r in (
+            a_day.withColumn(
+                "bsd",
+                F.explode(F.sequence(F.col("asd") - 3, F.col("asd") + 3)),
+            )
+            .join(F.broadcast(b_day), "bsd")
+            .groupBy(F.floor(F.col("asd") / 7).cast("long").alias("wk"))
+            .agg(
+                F.sum(F.col("an") * F.col("bn")).alias("n_pairs"),
+                F.sum(
+                    F.col("an") * F.col("bs") + F.col("bn") * F.col("as")
+                ).alias("pv"),
+            )
+            .collect()
+        )
+    }
+    expect: dict[int, list[int]] = {}
+    for ad, ap in a:
+        for bd, bp in b:
+            if abs(ad - bd) <= 3:
+                wk = ad // 7
+                acc = expect.setdefault(wk, [0, 0])
+                acc[0] += 1
+                acc[1] += ap + bp
+    assert got == {k: tuple(v) for k, v in expect.items()}
