@@ -626,7 +626,14 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
-    doc="4-way star join with broadcast dims (TPC-H Q5 shape).",
+    doc="4-way star join with broadcast dims (TPC-H Q5 shape). "
+    "Region is an ORDER-level attribute (via custkey), so lineitems "
+    "pre-aggregate to one revenue row per order before entering the "
+    "star: the orderkey groupBy combines map-side (lineitem is "
+    "clustered by orderkey) and every join — including the customer "
+    "join that outgrows the broadcast threshold at scale — moves "
+    "order-grain rows instead of 4x the lineitems. The oracle keeps "
+    "the flat lineitem-grain join+SUM.",
 )
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -634,17 +641,18 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("order_rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(
-            _r2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("revenue")
-        )
+        .agg(_r2(F.sum("order_rev")).alias("revenue"))
     )
 
 
