@@ -717,3 +717,46 @@ def test_bloom_prefilter_is_expression_only(spark):
     assert not any("Exchange" in n for n in nodes), nodes
     assert not any("Python" in n for n in nodes), nodes
     assert any("Filter" in n for n in nodes), nodes
+
+
+def test_flagship_factorization_has_no_distinct_expand(spark):
+    """The order-grain factorization (r9) must hold: lineitems
+    pre-aggregate to one revenue row per order, so the plan contains
+    NO Expand (the distinct-aggregate rewrite COUNT DISTINCT plans
+    as) and at most 3 shuffle exchanges (order-grain aggregate, final
+    segment×month aggregate, rank window)."""
+    df = SPECS["flagship_monthly_segment_revenue"].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "Expand" not in plan, "distinct-expand came back"
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) <= 3, exchanges
+
+
+def test_star_join_factorization_order_grain(spark):
+    """star_join_revenue_by_region (r9): the 4 dim joins must all
+    broadcast, and the only shuffles are the order-grain aggregate
+    and the final region aggregate."""
+    df = SPECS["star_join_revenue_by_region"].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 4, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) <= 2, exchanges
+
+
+def test_interval_weekly_stays_day_grain(spark):
+    """interval_overlap_weekly (r9): the day-grain factorization must
+    hold — the b-day side broadcasts (one BroadcastHashJoin, no
+    sort-merge join) so no pair stream is ever shuffled."""
+    df = SPECS["interval_overlap_weekly"].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
