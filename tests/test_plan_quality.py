@@ -217,15 +217,16 @@ def test_sampling_filters_are_narrow(spark):
 
 def test_plan_report_summarizes_shapes(spark):
     """plan_report must agree with the string gates above on the
-    canonical plans: star join = all-broadcast + one shuffle; chunking
-    = zero exchanges, codegen, no Python; knn = Arrow eval, no
-    row-Python."""
+    canonical plans: star join = all-broadcast + two shuffles (the
+    r9 order-grain pre-aggregate and the final region aggregate);
+    chunking = zero exchanges, codegen, no Python; knn = Arrow eval,
+    no row-Python."""
     from financial_data_pipeline_optimization_spark import plan_report
 
     star = plan_report(SPECS["star_join_revenue_by_region"].spark(spark, SF_SMOKE))
     assert star["broadcast_hash_joins"] == 4
     assert star["sort_merge_joins"] == 0
-    assert star["exchanges"] == 1  # the final aggregate
+    assert star["exchanges"] == 2  # order-grain + final aggregates
     assert star["cartesian_products"] == 0
     assert any(star["pushed_filters"])
 
