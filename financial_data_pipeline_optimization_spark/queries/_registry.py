@@ -167,6 +167,13 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # (results pinned identical by the store round-trip test; plan
     # re-assembled — re-prove).
     ("knn_ivf_recall_check", 9),
+    # r09 (late): order-grain pre-aggregation factorizations — the
+    # lineitem-grain COUNT DISTINCT / join expansion was replaced by a
+    # pre-aggregated order-grain join (oracles unchanged, plans
+    # reshaped; plan-shape gates in tests/test_plan_quality.py) — the
+    # driver must re-prove the changed plans.
+    ("flagship_monthly_segment_revenue", 9),
+    ("star_join_revenue_by_region", 9),
 )
 
 
