@@ -16,12 +16,21 @@ column-set execution, nothing collected), median of SPARK_GRAFT_BENCH_REPS
 Usage:
   python tools/gen_replicated_sf.py /root/testdata/sf0.1 10 /tmp/sfx10
   python tools/gen_replicated_sf.py /root/testdata/sf0.1 100 /tmp/sfx100
-  python tools/bench_scaled.py [out.json]
+  python tools/bench_scaled.py [out.json] [--check]
+
+``--check`` (or SPARK_GRAFT_SCALED_CHECK=1) turns the sweep into a
+regression gate: every query with both an x10 and an x100 cell is held
+to its growth budget in ``tools/scale_budgets.json`` (~2x the r9
+measured growth; see the budget file's _doc). Violations are printed
+and the process exits 1 — this is the gate that would have caught the
+three r9 scale bugs (output-quadratic interval pairs, lineitem-grain
+join expansion) before they shipped.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -69,8 +78,64 @@ QUERIES = [
 ]
 
 
+BUDGETS_PATH = Path(__file__).resolve().parent / "scale_budgets.json"
+
+
+def load_budgets(path: Path = BUDGETS_PATH) -> dict[str, float]:
+    """Per-query max x10->x100 growth, keys starting with ``_doc``
+    stripped; ``_default`` covers unbudgeted queries."""
+    raw = json.loads(path.read_text())
+    return {k: float(v) for k, v in raw.items() if not k.startswith("_doc")}
+
+
+def allowed_growth(max_x10_growth: float, ratio: float = 10.0) -> float:
+    """Budgeted growth for a data-scale step of ``ratio``.
+
+    Budgets are stated for a x10 step; a plan whose cost is c*n^e grows
+    by ratio^e per step, so the implied exponent cap e = log10(budget)
+    extrapolates to budget^log10(ratio) for other step sizes (used by
+    the toy-query gate test, which runs a smaller step to stay fast).
+    """
+    return max_x10_growth ** math.log10(ratio)
+
+
+def check_growth(
+    results: dict[str, dict[str, float | None]],
+    budgets: dict[str, float] | None = None,
+    lo: str = "x10",
+    hi: str = "x100",
+    ratio: float = 10.0,
+) -> list[str]:
+    """Return one violation line per query whose lo->hi growth exceeds
+    its budget. Cells that are missing/None/sub-overhead (<0.2 s lo —
+    growth over a startup-noise floor is meaningless) are skipped."""
+    budgets = load_budgets() if budgets is None else budgets
+    default = budgets.get("_default", 25.0)
+    violations = []
+    for name, row in sorted(results.items()):
+        t_lo, t_hi = row.get(lo), row.get(hi)
+        if not isinstance(t_lo, (int, float)) or not isinstance(
+            t_hi, (int, float)
+        ):
+            continue
+        if t_lo < 0.2:
+            continue
+        growth = t_hi / t_lo
+        cap = allowed_growth(budgets.get(name, default), ratio)
+        if growth > cap:
+            violations.append(
+                f"{name}: {lo}->{hi} growth {growth:.1f}x exceeds "
+                f"budget {cap:.1f}x ({t_lo:.2f}s -> {t_hi:.2f}s)"
+            )
+    return violations
+
+
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_scaled.json"
+    check = "--check" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_SCALED_CHECK"
+    ) == "1"
+    args = [a for a in sys.argv[1:] if a != "--check"]
+    out_path = args[0] if args else "/tmp/bench_scaled.json"
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # Resumable: re-runs merge into an existing out.json, and
     # SPARK_GRAFT_SCALED_SETS=x100 (comma list) restricts the datasets
@@ -162,6 +227,14 @@ def main() -> None:
             else "—"
         )
         print(f"| {name} | " + " | ".join(vals) + f" | {growth} |")
+
+    if check:
+        violations = check_growth(results)
+        for v in violations:
+            print(f"SCALE-GATE VIOLATION: {v}")
+        if violations:
+            sys.exit(1)
+        print("SCALE-GATE: all growth budgets held")
 
 
 if __name__ == "__main__":
