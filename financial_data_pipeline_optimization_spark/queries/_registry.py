@@ -174,6 +174,11 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # driver must re-prove the changed plans.
     ("flagship_monthly_segment_revenue", 9),
     ("star_join_revenue_by_region", 9),
+    # r10: pack_chunks_bins' shard count is now derived from the data
+    # (greatest(8, n_docs/2500), mirrored in the oracle) instead of a
+    # fixed 8 — values change above 20k docs and the plan gained the
+    # scalar broadcast, so re-prove.
+    ("pack_chunks_bins", 10),
 )
 
 

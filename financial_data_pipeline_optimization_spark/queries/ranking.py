@@ -146,9 +146,10 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("bm25_score").desc(), "doc_id").limit(20)
 
 
-@_register(
-    "pagerank_3iter",
-    """
+#: Shared by the plain and bucketed PageRank registrations: both
+#: compute the SAME function of the input tables (the bucketed variant
+#: only changes the physical layout), so they share one oracle text.
+_PAGERANK_ORACLE = """
     WITH cs AS (
       SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -195,7 +196,43 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS node_type,
            floor(rank * 10000000 + 0.50000005) / 10000000 AS pagerank
     FROM r3 ORDER BY pagerank DESC, node LIMIT 15
-    """,
+    """
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric bipartite customer-supplier trade edges (node ids
+    disjoint by parity: customers even, suppliers odd)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _pagerank_top15(ranks: DataFrame) -> DataFrame:
+    out = ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (
+            F.floor(F.col("rank") * 10000000 + F.lit(0.50000005)) / 10000000
+        ).alias("pagerank"),
+    )
+    return out.orderBy(F.col("pagerank").desc(), "node").limit(15)
+
+
+@_register(
+    "pagerank_3iter",
+    _PAGERANK_ORACLE,
     doc="PageRank, 3 fixed power iterations (damping 0.85, uniform "
     "init) over the bipartite customer-supplier trade graph "
     "(orders x lineitem, both directions so no dangling mass), top-15 "
@@ -209,39 +246,80 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-stable.",
 )
 def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = cs.union(
-        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)  # graph build runs once, not 3x
+    # graph build runs once, not 3x
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     # Iteration lives in operators.graph.pagerank_on: degree rides ON
     # the checkpointed edge list so each round is exactly one join +
     # one keyed aggregation, and the symmetric edge set guarantees
     # every node receives mass (no node-list left join, no dangling
     # redistribution). Feed pagerank_on a src-bucketed TABLE with
     # checkpoint_edges=False to additionally drop the per-round edge
-    # shuffles (see tests/test_bucketing.py).
+    # shuffles (see tests/test_bucketing.py and
+    # q_pagerank_3iter_bucketed below).
     from financial_data_pipeline_optimization_spark.operators.graph import pagerank_on
 
     ranks = pagerank_on(edges, iters=3, reset=0.15)
-    out = ranks.select(
-        "node",
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("node_type"),
-        (
-            F.floor(F.col("rank") * 10000000 + F.lit(0.50000005)) / 10000000
-        ).alias("pagerank"),
+    return _pagerank_top15(ranks)
+
+
+#: One bucketed edge table per (app-id, sf_dir), same discipline as
+#: the ANN index caches in queries.documents: the layout build (write
+#: the symmetric edge set bucketed by src) is one-time index cost, the
+#: registered query re-runs only the iteration over the bucketed
+#: table. Keyed by app id so a table left by a stopped session is
+#: rebuilt, never trusted.
+_PR_EDGE_TABLES: dict = {}
+
+
+def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import re
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PR_EDGE_TABLES:
+        from financial_data_pipeline_optimization_spark.sources.bucketing import (
+            write_bucketed_table,
+        )
+
+        edges = _trade_edges(spark, sf_dir)
+        # Size buckets from the data (the write-time decision bucketing
+        # demands): ~2M edge rows (~32 MB) per bucket, so one bucket is
+        # one healthy task at any scale — 8 at the driver SFs, ~60 at
+        # the x100 replicated corpus, ~1000 toward the 100 TB point.
+        n_edges = edges.count()
+        n_buckets = max(8, min(1024, math.ceil(n_edges / 2_000_000)))
+        table = "pr_edges_by_src_" + re.sub(
+            r"\W+", "_", sf_dir
+        ).strip("_")
+        write_bucketed_table(edges, table, ["src"], n_buckets)
+        _PR_EDGE_TABLES[key] = table
+    return spark.table(_PR_EDGE_TABLES[key])
+
+
+@_register(
+    "pagerank_3iter_bucketed",
+    _PAGERANK_ORACLE,
+    doc="pagerank_3iter over a src-BUCKETED edge table — the layout "
+    "that survives 100 TB. The plain variant re-shuffles the full "
+    "edge relation (the data-sized side) once per iteration; here the "
+    "edge set is materialized once via write_bucketed_table (bucket "
+    "count sized from the edge count, ~2M rows/bucket) and "
+    "pagerank_on(checkpoint_edges=False) reads it pre-partitioned, so "
+    "every iteration's edges-x-ranks join moves only the node-sized "
+    "rank table. Same function of the inputs, same oracle text as "
+    "pagerank_3iter; the layout build is one-time index cost (cached "
+    "per session, the ANN-store discipline). "
+    "tests/test_bucketing.py pins the exchange elimination and "
+    "rank equality.",
+)
+def q_pagerank_3iter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators.graph import pagerank_on
+
+    edges = _bucketed_trade_edges(spark, sf_dir)
+    ranks = pagerank_on(
+        edges, iters=3, reset=0.15, checkpoint_edges=False
     )
-    return out.orderBy(F.col("pagerank").desc(), "node").limit(15)
+    return _pagerank_top15(ranks)
 
 
 @_register(
@@ -520,3 +598,11 @@ def q_last_touch_attribution(
     )
 
 
+
+
+# New-in-r10 name: appended to the END of the global registry (ranking
+# imports last in queries/__init__, so this lands after every pre-split
+# position — the load-bearing original order is untouched).
+from financial_data_pipeline_optimization_spark.queries._registry import _REGISTRY  # noqa: E402
+
+_REGISTRY.append(SPECS["pagerank_3iter_bucketed"])

@@ -426,6 +426,11 @@ def q_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, t, len(t) AS n FROM toks
       WHERE len(t) > 0 AND NOT (len(t) = 1 AND t[1] = '')
     ),
+    nd AS (
+      SELECT GREATEST(8, CAST(floor(count(*) / 2500.0) AS BIGINT))
+               AS n_shards
+      FROM documents
+    ),
     chunks AS (
       SELECT doc_id,
              unnest(range(0, greatest(1,
@@ -434,13 +439,13 @@ def q_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     ),
     sized AS (
-      SELECT CAST(doc_id % 8 AS INT) AS shard,
+      SELECT CAST(doc_id % n_shards AS INT) AS shard,
              doc_id,
              CAST(ci AS INT) AS chunk_index,
              CAST(len(list_slice(t, CAST(ci * 32 + 1 AS INT),
                                  CAST(ci * 32 + 40 AS INT))) AS INT)
                AS n_chunk_tokens
-      FROM chunks
+      FROM chunks, nd
     )
     SELECT shard, doc_id, chunk_index, n_chunk_tokens,
            CAST(floor((SUM(n_chunk_tokens) OVER (
@@ -452,15 +457,36 @@ def q_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sequence packing (operators.text.pack_chunks): token-window "
     "chunks concatenated per shard and cut every 200 tokens — the "
     "concat-and-cut packing of GPT-style pretraining as one window "
-    "cumsum; one shuffle on the shard key.",
+    "cumsum; one shuffle on the shard key. The shard count is DERIVED "
+    "FROM THE DATA (greatest(8, n_docs/2500), mirrored in the oracle): "
+    "shards bound the packing window's parallelism, so a fixed count "
+    "caps the stage at that many tasks regardless of corpus size — "
+    "~2500 docs/shard keeps tasks output-file-sized (the "
+    "operators.text.pack_chunks sizing rule) at every scale: 8 at the "
+    "driver SFs, ~200 at the x100 replicated corpus, thousands at "
+    "100 TB. n_docs rides as a broadcast scalar, never a collect.",
 )
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import text as text_ops
 
     docs = _t(spark, sf_dir, "documents")
-    chunks = text_ops.chunk_tokens(
-        docs, "doc_id", "text", chunk_size=40, overlap=8
-    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+    nd = docs.agg(
+        F.greatest(
+            F.lit(8).cast("long"),
+            F.floor(F.count(F.lit(1)) / F.lit(2500.0)).cast("long"),
+        ).alias("__n_shards")
+    )
+    chunks = (
+        text_ops.chunk_tokens(
+            docs, "doc_id", "text", chunk_size=40, overlap=8
+        )
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "shard",
+            F.pmod(F.col("doc_id"), F.col("__n_shards")).cast("int"),
+        )
+        .drop("__n_shards")
+    )
     packed = text_ops.pack_chunks(
         chunks, "shard", ["doc_id", "chunk_index"], "n_chunk_tokens", 200
     )

@@ -314,3 +314,26 @@ def test_minhash_store_bucketed_join_moves_only_new_batch(
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_bands_store")
+
+
+def test_registered_bucketed_pagerank_matches_plain(spark):
+    """q_pagerank_3iter_bucketed is the same function of the input
+    tables as q_pagerank_3iter — only the edge layout differs. Pin
+    value equality of the full registered outputs (top-15 rows,
+    rounded ranks) and that the bucketed variant's edge scan reads a
+    catalog table (the bucketed store, not a re-derived join)."""
+    from financial_data_pipeline_optimization_spark.queries.ranking import (
+        SPECS,
+        _PR_EDGE_TABLES,
+    )
+
+    plain = SPECS["pagerank_3iter"].spark(spark, SF_SMOKE).collect()
+    bucketed = (
+        SPECS["pagerank_3iter_bucketed"].spark(spark, SF_SMOKE).collect()
+    )
+    assert [tuple(r) for r in plain] == [tuple(r) for r in bucketed]
+    assert len(plain) == 15
+    # The store cache is keyed per (app, sf_dir) and the table exists.
+    key = (spark.sparkContext.applicationId, SF_SMOKE)
+    assert key in _PR_EDGE_TABLES
+    assert spark.catalog.tableExists(_PR_EDGE_TABLES[key])
