@@ -281,7 +281,10 @@ def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_bucketed_table,
         )
 
-        edges = _trade_edges(spark, sf_dir)
+        # localCheckpoint so the sizing count() and the bucketed write
+        # share ONE materialization of the join+distinct+union graph
+        # build instead of computing it twice.
+        edges = _trade_edges(spark, sf_dir).localCheckpoint()
         # Size buckets from the data (the write-time decision bucketing
         # demands): ~2M edge rows (~32 MB) per bucket, so one bucket is
         # one healthy task at any scale — 8 at the driver SFs, ~60 at
@@ -600,9 +603,12 @@ def q_last_touch_attribution(
 
 
 
-# New-in-r10 name: appended to the END of the global registry (ranking
-# imports last in queries/__init__, so this lands after every pre-split
-# position — the load-bearing original order is untouched).
+# New-in-r10 name, appended here rather than via @_register so it
+# joins the rotation as a FRESH name. Note this append executes
+# mid-registration (warehouse.py imports ranking at its top, so later
+# modules register after it) — that is fine: the relative order of
+# previously-registered names is preserved, and registry() sorts
+# fresh/never-green names to the front of the driver window anyway.
 from financial_data_pipeline_optimization_spark.queries._registry import _REGISTRY  # noqa: E402
 
 _REGISTRY.append(SPECS["pagerank_3iter_bucketed"])

@@ -23,6 +23,18 @@ Guidance encoded here:
   sort-merge join;
 - bucket pruning applies equality filters on the bucket key to skip
   whole files.
+
+Idempotence contract (learned the hard way in round 10): with the
+default in-memory catalog, a MANAGED ``saveAsTable(mode="overwrite")``
+is only idempotent *within* one session. A fresh session's catalog has
+no entry to overwrite, but the files under ``spark.sql.warehouse.dir``
+persist — so the create throws ``LOCATION_ALREADY_EXISTS`` on every
+rerun after the first. ``write_bucketed_table`` therefore always
+``DROP TABLE IF EXISTS`` first and, for managed tables, deletes an
+orphaned warehouse location via the Hadoop FS API before writing.
+External (``path=``) tables don't have the failure mode — overwrite
+rewrites the files regardless of catalog state — but get the DROP too
+so a stale catalog entry pointing elsewhere can't shadow the write.
 """
 
 from __future__ import annotations
@@ -43,7 +55,17 @@ def write_bucketed_table(
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally in-bucket sorted)
     catalog table. ``path`` makes it an external table (parquet files
-    at ``path``, metadata in the session catalog)."""
+    at ``path``, metadata in the session catalog).
+
+    Idempotent across sessions (see module docstring): drops any
+    existing catalog entry, and for managed tables removes an orphaned
+    warehouse location left by an earlier session before writing.
+    """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if path is None:
+            _delete_orphaned_managed_location(spark, table)
     writer = df.write.format("parquet").mode(mode).bucketBy(
         num_buckets, *bucket_cols
     )
@@ -52,6 +74,28 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def _delete_orphaned_managed_location(
+    spark: SparkSession, table: str
+) -> None:
+    """Remove the warehouse directory a managed ``table`` would occupy
+    if (and only if) the catalog no longer knows the table — i.e. a
+    prior session wrote it and died, leaving files without metadata.
+    A table the CURRENT catalog tracks was already dropped (DROP TABLE
+    on a managed table deletes its data), so this only ever touches
+    orphans."""
+    name = table.split(".")[-1].lower()
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(warehouse, name)
+    fs = hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def bucketed_join(

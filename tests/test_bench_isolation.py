@@ -1,0 +1,94 @@
+"""bench.py failure isolation: one red query must never zero the
+artifact.
+
+Round 10's lesson: the bucketed-pagerank warm-up crashed at
+bench.py's fail-fast warm-up line and BENCH_r10.json carried ZERO
+numbers for the other 37 headliners. The contract pinned here: a
+deliberately-raising spec (in warm-up AND in the timed loop) records a
+per-query error while every healthy query still reports a timing, and
+the stdout JSON line parses.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .conftest import SF_SMOKE
+
+
+def test_raising_spec_does_not_zero_the_artifact(
+    spark, monkeypatch, capsys, tmp_path
+):
+    import bench
+    from financial_data_pipeline_optimization_spark import queries as q
+
+    def _boom(spark, sf_dir):
+        raise RuntimeError("deliberate bench-isolation probe")
+
+    monkeypatch.setattr(
+        bench,
+        "HEADLINE",
+        ["group_agg_pricing_summary", "boom_spec", "topk_orders"],
+    )
+    monkeypatch.setattr(bench, "SF_DIR", SF_SMOKE)
+    monkeypatch.setattr(bench, "INDEX_WARMUPS", ("boom_spec",))
+    monkeypatch.setattr(
+        bench,
+        "EXTRA_SPECS",
+        {"boom_spec": q.QuerySpec("boom_spec", _boom, None)},
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "1")
+    monkeypatch.setattr(bench, "DETAIL_PATH", tmp_path / "detail.json")
+
+    bench.main()
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    detail = json.loads((tmp_path / "detail.json").read_text())
+    assert "boom_spec" in detail["errors"]
+    assert "deliberate bench-isolation probe" in detail["errors"]["boom_spec"]
+    assert out["metric"] == "headline_queries_total_sec"
+    # The two healthy queries report medians; the raiser reports err.
+    assert "group_agg_pricing_summary" in out["queries"]
+    assert "topk_orders" in out["queries"]
+    assert "boom_spec" not in out["queries"]
+    assert "boom_spec" in out["err"]
+    assert out["value"] > 0
+
+
+def test_timed_loop_failure_is_isolated(
+    spark, monkeypatch, capsys, tmp_path
+):
+    """A spec that passes warm-up but raises while being TIMED is also
+    contained (warm-up isolation alone wouldn't have saved r10 had the
+    crash been data-dependent). Warm-up only touches HEADLINE[0] and
+    INDEX_WARMUPS, so a raiser in second position reaches the timed
+    loop directly."""
+    import bench
+    from financial_data_pipeline_optimization_spark import queries as q
+
+    calls = {"n": 0}
+
+    def _flaky(spark, sf_dir):
+        calls["n"] += 1
+        raise RuntimeError("timed-loop probe")
+
+    monkeypatch.setattr(
+        bench, "HEADLINE", ["topk_orders", "flaky_spec"]
+    )
+    monkeypatch.setattr(bench, "SF_DIR", SF_SMOKE)
+    monkeypatch.setattr(bench, "INDEX_WARMUPS", ())
+    monkeypatch.setattr(bench, "DETAIL_PATH", tmp_path / "detail.json")
+    monkeypatch.setattr(
+        bench,
+        "EXTRA_SPECS",
+        {"flaky_spec": q.QuerySpec("flaky_spec", _flaky, None)},
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "1")
+
+    bench.main()
+
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "topk_orders" in out["queries"]
+    assert "flaky_spec" in out["err"]
+    assert calls["n"] >= 1

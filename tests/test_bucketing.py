@@ -316,24 +316,71 @@ def test_minhash_store_bucketed_join_moves_only_new_batch(
         spark.sql("DROP TABLE IF EXISTS mh_bands_store")
 
 
+def test_managed_write_survives_orphaned_location(spark):
+    """The round-10 regression, pinned: a MANAGED bucketed table whose
+    warehouse directory was left behind by a DEAD session (files on
+    disk, no catalog entry — the in-memory catalog forgets everything
+    at session end) must be rewritable, not LOCATION_ALREADY_EXISTS.
+    Reproduces the orphan state directly: plant files at the location
+    a managed table would occupy while the catalog has no entry, then
+    write — write_bucketed_table must clear the orphan and succeed."""
+    import os
+
+    table = "orphan_idempotence_probe"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    try:
+        # The orphan: a prior session's files, no catalog entry.
+        assert not spark.catalog.tableExists(table)
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "part-stale.parquet"), "wb") as fh:
+            fh.write(b"stale")
+
+        write_bucketed_table(df, table, ["k"], 4)  # no path= → managed
+        assert spark.table(table).count() == 100
+
+        # And within-session rerun (catalog entry present) still works.
+        write_bucketed_table(df, table, ["k"], 4)
+        assert spark.table(table).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_registered_bucketed_pagerank_matches_plain(spark):
     """q_pagerank_3iter_bucketed is the same function of the input
     tables as q_pagerank_3iter — only the edge layout differs. Pin
     value equality of the full registered outputs (top-15 rows,
     rounded ranks) and that the bucketed variant's edge scan reads a
-    catalog table (the bucketed store, not a re-derived join)."""
+    catalog table (the bucketed store, not a re-derived join).
+    Cleans up the managed table + cache entry afterwards so a test run
+    can never seed stale warehouse state for a later bench/driver
+    session (the r10 poisoning vector)."""
     from financial_data_pipeline_optimization_spark.queries.ranking import (
         SPECS,
         _PR_EDGE_TABLES,
     )
 
-    plain = SPECS["pagerank_3iter"].spark(spark, SF_SMOKE).collect()
-    bucketed = (
-        SPECS["pagerank_3iter_bucketed"].spark(spark, SF_SMOKE).collect()
-    )
-    assert [tuple(r) for r in plain] == [tuple(r) for r in bucketed]
-    assert len(plain) == 15
-    # The store cache is keyed per (app, sf_dir) and the table exists.
     key = (spark.sparkContext.applicationId, SF_SMOKE)
-    assert key in _PR_EDGE_TABLES
-    assert spark.catalog.tableExists(_PR_EDGE_TABLES[key])
+    try:
+        plain = SPECS["pagerank_3iter"].spark(spark, SF_SMOKE).collect()
+        bucketed = (
+            SPECS["pagerank_3iter_bucketed"]
+            .spark(spark, SF_SMOKE)
+            .collect()
+        )
+        assert [tuple(r) for r in plain] == [tuple(r) for r in bucketed]
+        assert len(plain) == 15
+        # The store cache is keyed per (app, sf_dir), table exists.
+        assert key in _PR_EDGE_TABLES
+        assert spark.catalog.tableExists(_PR_EDGE_TABLES[key])
+    finally:
+        table = _PR_EDGE_TABLES.pop(key, None)
+        if table is not None:
+            # DROP on a managed table also deletes its warehouse dir.
+            spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -105,14 +105,25 @@ def test_deliberately_quadratic_toy_fails_the_gate(spark):
             .agg(F.sum(F.shiftright(F.xxhash64("id"), 33)).alias("s"))
         )
 
-    n_lo, ratio = 8000, 4
+    ratio = 4
     # Warm both shapes once so JIT/codegen cost lands outside the
     # timed cells (the harness's worker-pool warm-up analogue).
     time_noop(quadratic(500))
     time_noop(linear(500))
+    # Adaptive sizing: the assertion is about wall-clock GROWTH of real
+    # Spark jobs, so the lo cell must comfortably clear both the gate's
+    # 0.2 s floor and fixed job-launch overhead (which compresses the
+    # measured ratio) on any host speed. Double n until the lo cell
+    # costs >= 0.5 s — quadratic cost quadruples per doubling, so this
+    # converges in a few steps on even a very fast host.
+    n_lo, t_lo = 8000, time_noop(quadratic(8000))
+    while t_lo < 0.5 and n_lo < 256_000:
+        n_lo *= 2
+        t_lo = time_noop(quadratic(n_lo))
+    assert t_lo >= 0.5, f"host too fast even at n={n_lo}: {t_lo}"
     results = {
         "toy_quadratic": {
-            "x10": time_noop(quadratic(n_lo)),
+            "x10": t_lo,
             "x100": time_noop(quadratic(n_lo * ratio)),
         },
         "toy_linear": {

@@ -149,6 +149,16 @@ def main() -> None:
     only = {
         s for s in os.environ.get("SPARK_GRAFT_SCALED_SETS", "").split(",") if s
     }
+    # SPARK_GRAFT_SCALED_QUERIES=name1,name2 restricts the sweep to a
+    # subset (and skips warm-ups the subset doesn't need) — for adding
+    # one new query's rows to an existing out.json without re-warming
+    # every ANN index at x100.
+    only_q = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_SCALED_QUERIES", "").split(",")
+        if s
+    }
+    queries = [n for n in QUERIES if not only_q or n in only_q]
     spark = get_spark(app_name="fdpo-bench-scaled")
     specs = {s.name: s for s in q.registry()}
     specs.setdefault(
@@ -182,9 +192,11 @@ def main() -> None:
             "knn_ivf_search",
             "pagerank_3iter_bucketed",  # src-bucketed edge-table write
         ):
-            if warm in QUERIES:
+            if warm in queries and not isinstance(
+                results.get(warm, {}).get(label), float
+            ):
                 specs[warm].spark(spark, sf_dir).limit(1).collect()
-        for name in QUERIES:
+        for name in queries:
             if isinstance(results.get(name, {}).get(label), float):
                 print(f"{label} {name}: kept {results[name][label]}")
                 continue
