@@ -151,6 +151,171 @@ def funnel_counts(
     }
 
 
+def multimodal_funnel_counts_df(
+    docs: DataFrame,
+    images: DataFrame | None = None,
+    audio: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_tokens: int = 20,
+    min_jaccard: float = 0.8,
+    max_hamming: int = 2,
+    image_decode: str = "bmp",
+    text_pair_source: str = "exact",
+) -> DataFrame:
+    """The CROSS-MODAL curation funnel: the text funnel's hygiene /
+    language / quality / exact-dedup front-end, then ONE transitive
+    near-dedup pass whose duplicate edges come from every modality at
+    once —
+
+    - **text**: n-gram Jaccard pairs (``text_pair_source='exact'``,
+      the oracle-verifiable path) or MinHash+LSH banded pairs
+      (``'lsh'``, the 100 TB path — same banding, approximate);
+    - **image**: dHash over the REAL decoded payloads
+      (``operators.multimodal.image_dhash``) → 16-bit Hamming-banded
+      pairs at ``hamming <= max_hamming``;
+    - **audio**: energy-envelope fingerprint
+      (``operators.multimodal.audio_fingerprint``) → the same banded
+      pair join.
+
+    Edges from all modalities union (distinct) into ONE
+    ``graph.connected_components`` pass, so a document whose text was
+    paraphrased but whose image is pixel-identical still lands in the
+    same cluster — the property three per-modality dedups can't give
+    without a cross-modality join. Per-stage survivor counts return as
+    one row: ``(n_input, n_lang_filtered, n_quality_filtered,
+    n_exact_deduped, n_text_pairs, n_image_pairs, n_audio_pairs,
+    n_edges, n_multimodal_deduped)``.
+
+    Scale shape: the narrow row-local text gates shrink the corpus
+    before any payload is decoded or any pair join runs; every pair
+    source is banded/prefix-filtered (never all-pairs); the union of
+    edge sets is id-pairs only (16 bytes/row — payloads never reach
+    the CC pass); and connected_components is the same
+    large-star/small-star loop every other dedup path rides. Like
+    ``funnel_counts_df``, NOT action-free at construction (the CC loop
+    runs bounded actions when the DataFrame is built).
+
+    ``images`` / ``audio``: ``(id_col, payload)`` frames — binary
+    BMP/PNG payloads and PCM16 WAVs; either may be None to drop that
+    modality's edges.
+    """
+    from financial_data_pipeline_optimization_spark.operators import (
+        graph,
+        multimodal,
+    )
+
+    cleaned = text.redact_pii(
+        text.clean_text(docs.select(id_col, text_col), text_col), text_col
+    )
+    lang = (
+        text.with_lang_id(cleaned, text_col)
+        .filter(F.col("lang_pred").isin(*languages))
+        .localCheckpoint(eager=False)
+    )
+    quality = text.quality_filter(
+        lang.select(id_col, text_col), text_col, min_tokens=min_tokens
+    ).localCheckpoint(eager=False)
+    exact = dedup.exact_dedup(quality, [text_col], id_col).localCheckpoint(
+        eager=False
+    )
+    surviving_ids = exact.select(id_col)
+
+    if text_pair_source == "exact":
+        text_pairs = dedup.ngram_jaccard_pairs(
+            exact, id_col, text_col, n=2, min_jaccard=min_jaccard
+        ).select("a", "b")
+    elif text_pair_source == "lsh":
+        text_pairs = dedup.minhash_lsh_pairs(
+            exact, id_col, text_col, shingle_n=2, min_jaccard=min_jaccard
+        ).select("a", "b")
+    else:
+        raise ValueError(
+            f"text_pair_source must be 'exact' or 'lsh', got "
+            f"{text_pair_source!r}"
+        )
+    text_pairs = text_pairs.localCheckpoint(eager=False)
+
+    def _payload_pairs(assets, hasher, hash_col):
+        # Decode/hash ONLY the text-stage survivors' payloads.
+        alive = assets.withColumnRenamed(id_col, "asset_id").join(
+            surviving_ids.withColumnRenamed(id_col, "asset_id"),
+            "asset_id",
+            "left_semi",
+        )
+        return (
+            multimodal.hamming_banded_pairs(
+                hasher(alive),
+                hash_col=hash_col,
+                max_hamming=max_hamming,
+                band_bits=16,
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+
+    image_pairs = (
+        _payload_pairs(
+            images,
+            lambda a: multimodal.image_dhash(a, decode_fn=image_decode),
+            "dhash",
+        )
+        if images is not None
+        else None
+    )
+    audio_pairs = (
+        _payload_pairs(audio, multimodal.audio_fingerprint, "afp")
+        if audio is not None
+        else None
+    )
+
+    edges = text_pairs
+    for p in (image_pairs, audio_pairs):
+        if p is not None:
+            edges = edges.unionByName(p)
+    edges = edges.distinct()
+
+    comp = graph.connected_components(edges)
+    survivors = (
+        exact.join(
+            comp.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .where(
+            F.coalesce(F.col("component"), F.col(id_col))
+            == F.col(id_col)
+        )
+        .select(id_col)
+    )
+
+    def n(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    zero = docs.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("_z")
+    )
+    out = (
+        n(docs, "n_input")
+        .crossJoin(n(lang, "n_lang_filtered"))
+        .crossJoin(n(quality, "n_quality_filtered"))
+        .crossJoin(n(exact, "n_exact_deduped"))
+        .crossJoin(n(text_pairs, "n_text_pairs"))
+        .crossJoin(
+            n(image_pairs, "n_image_pairs")
+            if image_pairs is not None
+            else zero.select(F.col("_z").alias("n_image_pairs"))
+        )
+        .crossJoin(
+            n(audio_pairs, "n_audio_pairs")
+            if audio_pairs is not None
+            else zero.select(F.col("_z").alias("n_audio_pairs"))
+        )
+        .crossJoin(n(edges, "n_edges"))
+        .crossJoin(n(survivors, "n_multimodal_deduped"))
+    )
+    return out
+
+
 def incremental_ingest(
     old: DataFrame,
     new: DataFrame,

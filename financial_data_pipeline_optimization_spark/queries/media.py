@@ -626,3 +626,240 @@ def q_audio_near_dup_check(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal curation funnel (r11; VERDICT r9 #5 / r10 #5)
+# ---------------------------------------------------------------------------
+
+from financial_data_pipeline_optimization_spark.queries.behavior import (  # noqa: E402
+    _ORACLE_CLEANED,
+)
+from financial_data_pipeline_optimization_spark.queries.documents import (  # noqa: E402
+    _ORACLE_TOKENS,
+)
+
+
+@_register_global(
+    "multimodal_curation_funnel",
+    f"""
+    WITH RECURSIVE cleaned AS (
+      SELECT doc_id, {_ORACLE_CLEANED} AS text FROM documents
+    ),
+    lang_toks AS (
+      SELECT doc_id, list_distinct({_ORACLE_TOKENS}) AS ts FROM cleaned
+    ),
+    scores AS (
+      SELECT doc_id, 'de' AS lang, len(list_intersect(ts, ['der', 'die', 'das', 'und', 'ist', 'nicht'])) AS sc FROM lang_toks
+      UNION ALL SELECT doc_id, 'en' AS lang, len(list_intersect(ts, ['the', 'and', 'of', 'to', 'a', 'in', 'is'])) AS sc FROM lang_toks
+      UNION ALL SELECT doc_id, 'es' AS lang, len(list_intersect(ts, ['el', 'la', 'los', 'las', 'es', 'y', 'en'])) AS sc FROM lang_toks
+      UNION ALL SELECT doc_id, 'fr' AS lang, len(list_intersect(ts, ['le', 'la', 'les', 'et', 'est', 'dans'])) AS sc FROM lang_toks
+      UNION ALL SELECT doc_id, 'zh' AS lang, len(list_intersect(ts, ['de', 'shi', 'le', 'bu', 'wo'])) AS sc FROM lang_toks
+    ),
+    best AS (
+      SELECT doc_id, lang, sc,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY sc DESC, lang) AS rn
+      FROM scores
+    ),
+    lang_keep AS (
+      SELECT c.doc_id, c.text
+      FROM cleaned c JOIN best b ON c.doc_id = b.doc_id
+      WHERE b.rn = 1 AND b.sc > 0 AND b.lang = 'en'
+    ),
+    q_stats AS (
+      SELECT doc_id, text,
+             length(text) AS nc,
+             len({_ORACLE_TOKENS}) AS nt,
+             len(list_distinct({_ORACLE_TOKENS})) AS nd,
+             len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS np
+      FROM lang_keep
+    ),
+    quality AS (
+      SELECT doc_id, text FROM q_stats
+      WHERE nt >= 20 AND CAST(np AS DOUBLE)/nc <= 0.3
+        AND CAST(nd AS DOUBLE)/nt >= 0.1
+    ),
+    exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+                 ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, {_ORACLE_TOKENS} AS t FROM exact),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+2], ' ') AS s
+      FROM toks, UNNEST(range(greatest(len(t)-1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    tpairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+    ),
+    sv AS (SELECT doc_id, doc_id % 250 AS src FROM exact),
+    isrcs AS (SELECT DISTINCT src FROM sv),
+    igrid AS (SELECT dy, dx
+              FROM generate_series(0, 7) t(dy),
+                   generate_series(0, 7) u(dx)),
+    icell AS (
+      SELECT s.src, g.dy, g.dx,
+             ((s.src * 31 + ka) % 256) + ((s.src * 31 + ka + 1) % 256)
+               + ((s.src * 31 + ka + 2) % 256) AS ga,
+             ((s.src * 31 + kb) % 256) + ((s.src * 31 + kb + 1) % 256)
+               + ((s.src * 31 + kb + 2) % 256) AS gb
+      FROM isrcs s, igrid g,
+      LATERAL (SELECT 4 + s.src % 13 AS w, 3 + s.src % 7 AS h) dim,
+      LATERAL (SELECT (g.dy * dim.h) // 8 AS sy,
+                      (g.dx * dim.w) // 9 AS sxa,
+                      ((g.dx + 1) * dim.w) // 9 AS sxb) m,
+      LATERAL (SELECT (m.sy * dim.w + m.sxa) * 3 AS ka,
+                      (m.sy * dim.w + m.sxb) * 3 AS kb) k
+    ),
+    ibytes AS (
+      SELECT src, dy,
+             CAST(sum(CASE WHEN gb > ga THEN (1 << dx) ELSE 0 END)
+                  AS INT) AS byte
+      FROM icell GROUP BY src, dy
+    ),
+    ihd AS (
+      SELECT ba.src AS sa, bb.src AS sb,
+             sum(bit_count(xor(ba.byte, bb.byte))) AS h
+      FROM ibytes ba JOIN ibytes bb
+        ON bb.dy = ba.dy AND ba.src < bb.src
+      GROUP BY 1, 2
+    ),
+    ipairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM sv x JOIN sv y ON x.doc_id < y.doc_id
+      LEFT JOIN ihd ON ihd.sa = least(x.src, y.src)
+                   AND ihd.sb = greatest(x.src, y.src)
+      WHERE x.src = y.src OR coalesce(ihd.h, 999) <= 2
+    ),
+    asrcs AS (SELECT DISTINCT src, 32 + src % 97 AS n FROM sv),
+    aidx AS (SELECT i FROM generate_series(0, 127) t(i)),
+    aen0 AS (
+      SELECT s.src, (t.i * 65) // s.n AS k,
+             sum(abs(((s.src * 2654435761 + t.i * 40503) % 65536)
+                     - 32768)) AS e
+      FROM asrcs s, aidx t WHERE t.i < s.n
+      GROUP BY 1, 2
+    ),
+    awk AS (SELECT k FROM generate_series(0, 64) t(k)),
+    aen AS (
+      SELECT s.src, w.k, coalesce(e0.e, 0) AS e
+      FROM asrcs s CROSS JOIN awk w
+      LEFT JOIN aen0 e0 ON e0.src = s.src AND e0.k = w.k
+    ),
+    abits AS (
+      SELECT a.src, a.k AS kb, (b.e > a.e) AS bit
+      FROM aen a JOIN aen b ON b.src = a.src AND b.k = a.k + 1
+    ),
+    abytes AS (
+      SELECT src, kb // 8 AS dy,
+             CAST(sum(CASE WHEN bit THEN (1 << (kb % 8)) ELSE 0 END)
+                  AS INT) AS byte
+      FROM abits GROUP BY 1, 2
+    ),
+    ahd AS (
+      SELECT ba.src AS sa, bb.src AS sb,
+             sum(bit_count(xor(ba.byte, bb.byte))) AS h
+      FROM abytes ba JOIN abytes bb
+        ON bb.dy = ba.dy AND ba.src < bb.src
+      GROUP BY 1, 2
+    ),
+    apairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM sv x JOIN sv y ON x.doc_id < y.doc_id
+      LEFT JOIN ahd ON ahd.sa = least(x.src, y.src)
+                   AND ahd.sb = greatest(x.src, y.src)
+      WHERE x.src = y.src OR coalesce(ahd.h, 999) <= 2
+    ),
+    alledges AS (
+      SELECT a, b FROM tpairs
+      UNION SELECT a, b FROM ipairs
+      UNION SELECT a, b FROM apairs
+    ),
+    sym AS (SELECT a AS s, b AS d FROM alledges
+            UNION SELECT b AS s, a AS d FROM alledges),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    survivors AS (
+      SELECT e.doc_id
+      FROM exact e
+      LEFT JOIN (SELECT s AS node, least(s, min(d)) AS component
+                 FROM reach GROUP BY s) l
+        ON e.doc_id = l.node
+      WHERE COALESCE(l.component, e.doc_id) = e.doc_id
+    )
+    SELECT
+      CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+      CAST((SELECT count(*) FROM lang_keep) AS BIGINT)
+        AS n_lang_filtered,
+      CAST((SELECT count(*) FROM quality) AS BIGINT)
+        AS n_quality_filtered,
+      CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_deduped,
+      CAST((SELECT count(*) FROM tpairs) AS BIGINT) AS n_text_pairs,
+      CAST((SELECT count(*) FROM ipairs) AS BIGINT) AS n_image_pairs,
+      CAST((SELECT count(*) FROM apairs) AS BIGINT) AS n_audio_pairs,
+      CAST((SELECT count(*) FROM alledges) AS BIGINT) AS n_edges,
+      CAST((SELECT count(*) FROM survivors) AS BIGINT)
+        AS n_multimodal_deduped
+    """,
+    doc="The CROSS-MODAL curation funnel (plans.corpus."
+    "multimodal_funnel_counts_df): the text funnel's hygiene -> "
+    "lang-ID -> quality -> exact-dedup front-end, then ONE transitive "
+    "near-dedup whose edges union text bigram-Jaccard pairs, image "
+    "dHash Hamming<=2 pairs over REAL decoded BMP payloads, and audio "
+    "envelope-fingerprint Hamming<=2 pairs over REAL decoded WAVs — "
+    "one connected-components pass over the union, so a paraphrased "
+    "doc with a pixel-identical image still dedups. Payloads derive "
+    "from doc_id % 250 (each doc >= 250 has planted image+audio "
+    "twins), and only text-stage survivors are decoded/hashed. The "
+    "oracle recomputes EVERYTHING in SQL — the text stages, every "
+    "dHash/envelope byte from the synthetic pixel/sample formulas, "
+    "unbanded all-pairs Hamming, and the CC via a recursive CTE — so "
+    "a missed banding candidate, a wrong stage order, or a broken "
+    "edge union changes a count and fails the hash. Scale shape: "
+    "row-local gates shrink the corpus before any payload decode; "
+    "all pair sources banded/prefix-filtered (never all-pairs); the "
+    "CC input is id-pairs only (payloads never reach the iteration). "
+    "NOT action-free at construction (the CC loop runs bounded "
+    "actions at build time) — plan-only tooling should skip it.",
+)
+def q_multimodal_curation_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+    from financial_data_pipeline_optimization_spark.plans import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", (F.col("doc_id") % 250).alias("src")
+    )
+    srcs = keyed.select("src").distinct()
+    imgs = keyed.join(
+        multimodal.synthetic_bmp_assets(srcs, "src")
+        .withColumnRenamed("asset_id", "src"),
+        "src",
+    ).select("doc_id", "payload")
+    wavs = keyed.join(
+        multimodal.synthetic_wav_assets(srcs, "src")
+        .withColumnRenamed("asset_id", "src"),
+        "src",
+    ).select("doc_id", "payload")
+    return corpus.multimodal_funnel_counts_df(
+        docs, images=imgs, audio=wavs
+    )
