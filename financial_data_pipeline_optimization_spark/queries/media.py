@@ -785,9 +785,14 @@ from financial_data_pipeline_optimization_spark.queries.documents import (  # no
       WHERE x.src = y.src OR coalesce(ahd.h, 999) <= 2
     ),
     alledges AS (
-      SELECT a, b FROM tpairs
-      UNION SELECT a, b FROM ipairs
-      UNION SELECT a, b FROM apairs
+      -- explicit DISTINCT over UNION ALL: a chained bare UNION inside
+      -- this WITH RECURSIVE block was observed NOT to fully dedup in
+      -- DuckDB (the ipairs/apairs overlap survived), so spell it out
+      SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM tpairs
+        UNION ALL SELECT a, b FROM ipairs
+        UNION ALL SELECT a, b FROM apairs
+      )
     ),
     sym AS (SELECT a AS s, b AS d FROM alledges
             UNION SELECT b AS s, a AS d FROM alledges),

@@ -95,3 +95,79 @@ def test_incremental_ingest_lsh_is_verified_subset(spark):
     assert exact_ids <= lsh_ids
     r = rep_lsh.collect()[0]
     assert r.n_new == r.n_exact_dup + r.n_near_dup + r.n_accepted
+
+
+def test_multimodal_funnel_cross_modal_dedup(spark):
+    """The property three per-modality dedups can't give: two documents
+    whose TEXTS are unrelated but whose IMAGES are pixel-identical must
+    land in one cluster (and symmetric for audio), because all
+    modalities' edges union into ONE connected-components pass. Also
+    pins the stage-count arithmetic of the report row."""
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+    from financial_data_pipeline_optimization_spark.plans.corpus import (
+        multimodal_funnel_counts_df,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps in the sun for a long time with a friend of the house "
+    )
+    alt = (
+        "a completely different story about ships and the open sea "
+        "where the sailors sing to the wind and the stars at night is "
+        "told in the harbor by the old captain to anyone who listens "
+    )
+    alt2 = (
+        "meanwhile in the mountains the goats climb on the rocks and "
+        "the river runs cold past the village where the baker makes "
+        "bread each morning for the children on the way to the school "
+    )
+    rows = [
+        (0, base + "alpha"),
+        (1, alt + "beta"),   # text-unrelated to 0; image twin of 0
+        (2, alt2 + "gamma"),  # audio twin of 0, text-unrelated to both
+        (3, base + "alpha"),  # exact text dup of 0 -> exact stage
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # images: docs 0 and 1 share payload src 100; 2 gets its own (200)
+    img_src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id").isin(0, 1), F.lit(100))
+        .otherwise(F.col("doc_id") + 200)
+        .alias("src"),
+    )
+    imgs = img_src.join(
+        multimodal.synthetic_bmp_assets(
+            img_src.select("src").distinct(), "src"
+        ).withColumnRenamed("asset_id", "src"),
+        "src",
+    ).select("doc_id", "payload")
+    # audio: docs 0 and 2 share payload src 7; 1 gets its own (300)
+    wav_src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id").isin(0, 2), F.lit(7))
+        .otherwise(F.col("doc_id") + 300)
+        .alias("src"),
+    )
+    wavs = wav_src.join(
+        multimodal.synthetic_wav_assets(
+            wav_src.select("src").distinct(), "src"
+        ).withColumnRenamed("asset_id", "src"),
+        "src",
+    ).select("doc_id", "payload")
+
+    row = multimodal_funnel_counts_df(
+        docs, images=imgs, audio=wavs, min_tokens=10, max_hamming=0
+    ).collect()[0]
+    assert row.n_input == 4
+    assert row.n_exact_deduped == 3  # doc 3 is an exact text dup of 0
+    # 0-1 joined by the image edge, 0-2 by the audio edge, despite
+    # unrelated text -> one component {0, 1, 2}, survivor = min id.
+    assert row.n_image_pairs >= 1
+    assert row.n_audio_pairs >= 1
+    assert row.n_multimodal_deduped == 1
+    # dropping the payload modalities keeps the text-only funnel: the
+    # three remaining docs have unrelated texts, so all survive.
+    row_t = multimodal_funnel_counts_df(docs, min_tokens=10).collect()[0]
+    assert row_t.n_image_pairs == 0 and row_t.n_audio_pairs == 0
+    assert row_t.n_multimodal_deduped == 3
