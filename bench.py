@@ -121,6 +121,11 @@ HEADLINE = [
     # plain pagerank_3iter. The one-time bucketed write happens in the
     # warm-up (index-build cost, like the ANN stores).
     "pagerank_3iter_bucketed",
+    # r11 addition: the k-core peel over the SAME bucketed edge table
+    # (one layout amortized across two iterative algorithms) — zero
+    # shuffle exchanges across all 3 peel rounds, timed next to the
+    # plain kcore the scaled sweep already tracks.
+    "kcore_trade_graph_bucketed",
 ]
 
 
@@ -138,6 +143,7 @@ def _sf_label(path: str) -> float:
 #: so their timed samples are serving-only (see main()).
 INDEX_WARMUPS = (
     "knn_pq_search", "knn_ivf_search", "pagerank_3iter_bucketed",
+    "kcore_trade_graph_bucketed",
 )
 
 #: Test seam (tests/test_bench_isolation.py): extra specs merged over

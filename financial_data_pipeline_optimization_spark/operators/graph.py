@@ -251,6 +251,8 @@ def kcore_peel(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    broadcast_keeps: bool = False,
+    checkpoint_rounds: bool = True,
 ) -> DataFrame:
     """Fixed-round k-core peeling over a SYMMETRIC edge relation:
     each round computes out-degrees (= total degrees when both edge
@@ -273,18 +275,37 @@ def kcore_peel(
     Returns surviving ``(node, degree)`` — degrees as of the LAST
     peel, i.e. within the (rounds−1)-peeled graph; a converged run
     has all degrees ≥ k.
+
+    ``broadcast_keeps`` + ``checkpoint_rounds=False`` is the
+    LAYOUT-AWARE mode for a src-BUCKETED edge table (the same
+    discipline as ``pagerank_on(checkpoint_edges=False)``, and the
+    same shared ``pr_edges_by_src`` table serves both): the keep list
+    is node-sized (degrees ≥ k survivors), so broadcasting it makes
+    both per-round semi-joins broadcast joins — the streamed edge side
+    keeps the bucketed scan's hash distribution through every round,
+    and every round's degree aggregation runs WITHOUT an exchange.
+    The edge relation (the 100 TB side) then never shuffles at all;
+    only node-sized keep lists move. ``checkpoint_rounds=False`` keeps
+    the whole peel one lazy plan (a localCheckpoint would erase the
+    scan's bucketing from the plan); with only ``rounds`` levels of
+    lineage and no driver actions, truncation buys nothing here.
+    Exchange elimination + value equality are pinned in
+    ``tests/test_bucketing.py``.
     """
     e = edges.select(src, dst)
     for r in range(max(1, rounds)):
         deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select(src)
+        keep_dst = keep.withColumnRenamed(src, dst)
+        if broadcast_keeps:
+            keep, keep_dst = F.broadcast(keep), F.broadcast(keep_dst)
         if r == rounds - 1:
             return deg.join(keep, src, "left_semi").select(
                 F.col(src).alias("node"),
                 F.col("__deg").cast("long").alias("degree"),
             )
-        e = (
-            e.join(keep, src, "left_semi")
-            .join(keep.withColumnRenamed(src, dst), dst, "left_semi")
-            .localCheckpoint(eager=False)
+        e = e.join(keep, src, "left_semi").join(
+            keep_dst, dst, "left_semi"
         )
+        if checkpoint_rounds:
+            e = e.localCheckpoint(eager=False)

@@ -349,9 +349,10 @@ def q_template_prefix_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "kcore_trade_graph",
-    """
+#: 3-round k=16 peel unrolled as chained CTEs — shared by the plain
+#: and bucketed k-core registrations (same function of the inputs,
+#: different physical layout).
+_KCORE_ORACLE = """
     WITH cs AS (
       SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -370,7 +371,22 @@ def q_template_prefix_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS node_type,
            CAST(deg AS BIGINT) AS degree
     FROM d2 WHERE deg >= 16
-    """,
+    """
+
+
+def _kcore_report(core: DataFrame) -> DataFrame:
+    return core.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        "degree",
+    )
+
+
+@_register(
+    "kcore_trade_graph",
+    _KCORE_ORACLE,
     doc="Fixed-round k-core peel (operators.graph.kcore_peel, k=16, "
     "3 rounds) over the bipartite customer-supplier trade graph — "
     "the iterative-PEEL graph shape (degree agg + two node-keyed "
@@ -397,13 +413,39 @@ def q_kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)  # graph build runs once, not per round
     core = graph_ops.kcore_peel(edges, k=16, rounds=3)
-    return core.select(
-        "node",
-        F.when(F.col("node") % 2 == 0, "customer")
-        .otherwise("supplier")
-        .alias("node_type"),
-        "degree",
+    return _kcore_report(core)
+
+
+@_register(
+    "kcore_trade_graph_bucketed",
+    _KCORE_ORACLE,
+    doc="kcore_trade_graph over the SAME src-bucketed edge table the "
+    "bucketed PageRank reads (queries.ranking._bucketed_trade_edges — "
+    "one layout build amortizes across every iterative algorithm on "
+    "the graph): kcore_peel(broadcast_keeps=True, "
+    "checkpoint_rounds=False) broadcasts the node-sized keep lists so "
+    "both per-round semi-joins are broadcast joins, the edge side "
+    "keeps the bucketed scan's distribution through every round, and "
+    "every round's degree aggregation runs with ZERO exchanges — the "
+    "edge relation (the 100 TB side) never shuffles at all. Same "
+    "function of the inputs and same oracle text as kcore_trade_graph; "
+    "exchange elimination + value equality pinned in "
+    "tests/test_bucketing.py.",
+)
+def q_kcore_trade_graph_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import graph as graph_ops
+    from financial_data_pipeline_optimization_spark.queries.ranking import (
+        _bucketed_trade_edges,
     )
+
+    edges = _bucketed_trade_edges(spark, sf_dir)
+    core = graph_ops.kcore_peel(
+        edges, k=16, rounds=3, broadcast_keeps=True,
+        checkpoint_rounds=False,
+    )
+    return _kcore_report(core)
 
 
 @_register(

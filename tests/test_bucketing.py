@@ -210,6 +210,78 @@ def test_bucketed_pagerank_drops_edge_shuffles(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS pr_edges_b")
 
 
+def test_bucketed_kcore_has_zero_shuffle_exchanges(
+    spark, tmp_path_factory
+):
+    """Layout-aware k-core: over a src-bucketed edge table with
+    broadcast keep lists (kcore_peel(broadcast_keeps=True,
+    checkpoint_rounds=False)), the ENTIRE 3-round peel plan contains
+    ZERO shuffle exchanges — every per-round degree aggregation rides
+    the bucketed scan's distribution and both semi-joins broadcast the
+    node-sized keep list. The plain run shuffles every round. Results
+    must be identical."""
+    from financial_data_pipeline_optimization_spark.operators.graph import kcore_peel
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    base = tmp_path_factory.mktemp("kcore_edges")
+    write_bucketed_table(
+        edges, "kcore_edges_b", ["src"], 8,
+        path=str(base / "kcore_edges_b"),
+    )
+    try:
+        bucketed = kcore_peel(
+            spark.table("kcore_edges_b"), k=4, rounds=3,
+            broadcast_keeps=True, checkpoint_rounds=False,
+        )
+        plain = kcore_peel(edges, k=4, rounds=3)
+
+        def _shuffles(df) -> int:
+            plan = df._jdf.queryExecution().executedPlan()
+            if "AdaptiveSparkPlan" in plan.nodeName():
+                plan = plan.initialPlan()
+
+            def walk(node):
+                yield node
+                ch = node.children()
+                for i in range(ch.length()):
+                    yield from walk(ch.apply(i))
+
+            # ShuffleExchangeExec prints as "Exchange";
+            # BroadcastExchangeExec as "BroadcastExchange" — only the
+            # former moves data-sized rows.
+            return sum(
+                1
+                for n in walk(plan)
+                if "Exchange" in n.nodeName()
+                and "Broadcast" not in n.nodeName()
+            )
+
+        assert _shuffles(bucketed) == 0, "bucketed peel must not shuffle"
+        assert _shuffles(plain) > 0
+
+        got = sorted(map(tuple, bucketed.collect()))
+        want = sorted(map(tuple, plain.collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kcore_edges_b")
+
+
 def test_minhash_store_bucketed_join_moves_only_new_batch(
     spark, tmp_path_factory
 ):

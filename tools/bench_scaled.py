@@ -69,6 +69,7 @@ QUERIES = [
     "pagerank_3iter_bucketed",
     "triangle_count_order_bursts",
     "kcore_trade_graph",
+    "kcore_trade_graph_bucketed",
     "pack_chunks_bins",
     "knn_brute_force",
     "knn_ivf_search",
@@ -191,6 +192,7 @@ def main() -> None:
             "knn_pq_search",
             "knn_ivf_search",
             "pagerank_3iter_bucketed",  # src-bucketed edge-table write
+            "kcore_trade_graph_bucketed",  # shares the same table
         ):
             if warm in queries and not isinstance(
                 results.get(warm, {}).get(label), float
