@@ -270,6 +270,14 @@ def main() -> None:
             continue
         samples: list[float] = []
         try:
+            # One UNTIMED run first: each query's first execution pays
+            # its own whole-stage-codegen compile, which at sub-second
+            # medians dominated the reported spread (max−min) even on
+            # a quiet host. Excluding it makes every timed sample
+            # steady-state, so spread measures host noise only.
+            spec.spark(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             while True:
                 start = time.perf_counter()
                 df = spec.spark(spark, SF_DIR)
