@@ -171,3 +171,32 @@ def test_multimodal_funnel_cross_modal_dedup(spark):
     row_t = multimodal_funnel_counts_df(docs, min_tokens=10).collect()[0]
     assert row_t.n_image_pairs == 0 and row_t.n_audio_pairs == 0
     assert row_t.n_multimodal_deduped == 3
+
+
+def test_multimodal_funnel_lsh_path_is_verified_subset(spark):
+    """The 100 TB text-pair path: minhash_lsh_pairs verifies its
+    banding candidates with exact Jaccard, so its pair set is a SUBSET
+    of the exact path's — fewer (or equal) edges can only merge fewer
+    nodes, so the LSH funnel keeps at least as many survivors, and the
+    payload-modality pair counts are identical (they don't depend on
+    the text pair source)."""
+    from financial_data_pipeline_optimization_spark.plans.corpus import (
+        multimodal_funnel_counts_df,
+    )
+    from .conftest import SF_SMOKE as _SF
+
+    docs = (
+        load_table(spark, _SF, "documents")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    exact = multimodal_funnel_counts_df(
+        docs, text_pair_source="exact"
+    ).collect()[0]
+    lsh = multimodal_funnel_counts_df(
+        docs, text_pair_source="lsh"
+    ).collect()[0]
+    assert lsh.n_text_pairs <= exact.n_text_pairs
+    assert lsh.n_multimodal_deduped >= exact.n_multimodal_deduped
+    assert lsh.n_image_pairs == exact.n_image_pairs == 0  # no payloads
+    assert lsh.n_exact_deduped == exact.n_exact_deduped
