@@ -832,7 +832,13 @@ from financial_data_pipeline_optimization_spark.queries.documents import (  # no
     "one connected-components pass over the union, so a paraphrased "
     "doc with a pixel-identical image still dedups. Payloads derive "
     "from doc_id % 250 (each doc >= 250 has planted image+audio "
-    "twins), and only text-stage survivors are decoded/hashed. The "
+    "twins), and only text-stage survivors are decoded/hashed. NOTE "
+    "on the counts: the tiny synthetic ramp images collide heavily "
+    "under dHash (~21% of src pairs within Hamming 2), so the image "
+    "edge set is dense and the CC merges aggressively — a property of "
+    "the synthetic corpus, verified bit-exactly by the oracle, not of "
+    "the operator (real photos near the 32-bit random-hash mean pair "
+    "only with true near-duplicates). The "
     "oracle recomputes EVERYTHING in SQL — the text stages, every "
     "dHash/envelope byte from the synthetic pixel/sample formulas, "
     "unbanded all-pairs Hamming, and the CC via a recursive CTE — so "
