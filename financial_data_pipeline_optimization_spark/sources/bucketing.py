@@ -35,6 +35,11 @@ orphaned warehouse location via the Hadoop FS API before writing.
 External (``path=``) tables don't have the failure mode — overwrite
 rewrites the files regardless of catalog state — but get the DROP too
 so a stale catalog entry pointing elsewhere can't shadow the write.
+Single-writer assumption: two sessions overwriting the SAME table name
+concurrently can still race (one's cleanup deletes the other's
+in-flight write) — callers that need concurrent builds should key the
+table name per application, the way the query-layer caches key their
+entries per applicationId.
 """
 
 from __future__ import annotations
