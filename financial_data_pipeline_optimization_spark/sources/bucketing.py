@@ -89,7 +89,10 @@ def _delete_orphaned_managed_location(
     prior session wrote it and died, leaving files without metadata.
     A table the CURRENT catalog tracks was already dropped (DROP TABLE
     on a managed table deletes its data), so this only ever touches
-    orphans."""
+    orphans. Assumes the DEFAULT database (location ``warehouse/<name>``
+    — a db-qualified table lives at ``warehouse/<db>.db/<name>`` and
+    would simply not be cleaned here); every engine caller writes
+    unqualified names."""
     name = table.split(".")[-1].lower()
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
