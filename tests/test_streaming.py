@@ -487,3 +487,28 @@ def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
     got = finalized()
     assert "01:00" not in got, got  # ...and never will be: dropped
     assert got == {"00:00": 1, "10:00": 1, "11:00": 1}, got
+
+
+def test_streaming_bench_scenarios_build(spark):
+    """tools/bench_streaming.py's scenarios must stay buildable: each
+    one composes a streaming DataFrame from the rate-micro-batch
+    source (plan construction only — the throughput harness itself is
+    run manually and its artifact checked in as STREAMING_BENCH.json)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / "tools")
+    )
+    import bench_streaming as bs
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .load()
+    )
+    for name, (build, mode, rpb) in bs.SCENARIOS.items():
+        df = build(src)
+        assert df.isStreaming, name
+        assert mode in ("append", "update"), name
+        assert rpb > 0, name
