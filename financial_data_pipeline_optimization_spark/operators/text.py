@@ -525,6 +525,103 @@ def dup_span_stats(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    sep: str = " ",
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL, keep-first — the rewrite
+    half of :func:`dup_span_stats` (which only measures): every word
+    ``n``-gram window that occurs more than once in the corpus keeps
+    its single lowest-``(id, position)`` occurrence; every OTHER
+    occurrence's ``n`` tokens are excised from their documents and the
+    survivors are reassembled in order. This is the distributable
+    word-grain form of exact-substring training-data dedup (Lee et
+    al., ACL 2022 build a corpus suffix array for character-grain
+    spans; a positional n-gram multiset catches the same verbatim
+    boilerplate at n=50-token grain, the threshold the paper uses).
+
+    Semantics worth pinning:
+
+    - operates on the NORMALIZED token stream (:func:`tokens` —
+      lowercased, punctuation stripped); the output ``text_col`` is
+      the surviving tokens joined with ``sep`` for every document,
+      so downstream length/quality stats see one consistent form;
+    - documents shorter than ``n`` tokens have no windows and pass
+      through (token-normalized) unchanged;
+    - a token is removed when ANY non-surviving window covers it —
+      where a kept first-occurrence window overlaps a removed one
+      inside the same document, removal wins on the shared tokens
+      (the conservative choice: never emit a token that is part of a
+      known duplicated span's later occurrence);
+    - a document whose every token is covered disappears from the
+      output (same contract as :func:`line_dedup`; callers left-join
+      if empty docs must survive);
+    - excision splices previously-distant tokens together, which CAN
+      mint new duplicated windows across the splice boundary — one
+      pass removes every duplicate that existed in the input; callers
+      wanting literally zero duplicated windows in the OUTPUT iterate
+      to fixpoint (1-2 passes in practice; the idempotence test pins
+      that a clean corpus passes through unchanged).
+
+    Scale shape: positional windows are hashed to 8 bytes at the scan
+    (window text never shuffles); one ``(hash)``-keyed occurrence
+    window picks global first occurrences; the removed ``(id, pos)``
+    pairs — duplicates only, a vanishing fraction of a healthy corpus
+    — fold to one per-doc position array that joins back id-keyed; the
+    excision itself is a row-local higher-order filter costing
+    O(tokens x removed-windows) per document, bounded because a doc
+    has at most tokens/1 removed windows and pathological all-dup docs
+    are exactly the ones shrinking to nothing.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__t")).localCheckpoint(
+        eager=False  # two consumers: window derivation + reassembly
+    )
+    spans = base.where(F.size("__t") >= n).select(
+        id_col,
+        explode_nonempty(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("__pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice("__t", i, n))
+                    ).alias("__h"),
+                ),
+            )
+        ).alias("__w"),
+    ).select(id_col, "__w.__pos", "__w.__h")
+    occ = Window.partitionBy("__h").orderBy(id_col, "__pos")
+    removed = (
+        spans.withColumn("__rn", F.row_number().over(occ))
+        .where(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__rm"))
+    )
+    kept = base.join(removed, id_col, "left").select(
+        id_col,
+        F.when(F.col("__rm").isNull(), F.col("__t"))
+        .otherwise(
+            F.filter(
+                "__t",
+                lambda x, i: ~F.exists(
+                    "__rm",
+                    lambda p: (p <= i + 1) & (i + 1 < p + n),
+                ),
+            )
+        )
+        .alias("__kept"),
+    )
+    return kept.where(F.size("__kept") > 0).select(
+        id_col, F.concat_ws(sep, "__kept").alias(text_col)
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame, text_col: str, top_k: int = 20
 ) -> DataFrame:

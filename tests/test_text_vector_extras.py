@@ -549,3 +549,104 @@ def test_bpe_train_learns_textbook_merges(spark):
         for r in t.bpe_train_merges(df, "text", rounds=2).collect()
     ]
     assert out == [(1, "lo", 5), (2, "low", 5)]
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """substring_dedup vs an independent in-Python reference of the
+    same keep-first window semantics: planted cross-doc duplicate
+    span, an intra-doc repeat, a short passthrough doc, and a fully
+    duplicated doc that must disappear."""
+    import re
+
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    n = 3
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        # shares the 5-token prefix with doc 1 -> its windows lose
+        # keep-first and the prefix is excised
+        (2, "alpha beta gamma delta epsilon different tail words here"),
+        # intra-doc repeat: 'one two three' twice in one doc
+        (3, "one two three filler filler one two three trailing bit"),
+        (4, "tiny doc"),  # < n tokens, passes through normalized
+        (5, "alpha beta gamma delta"),  # fully covered -> disappears
+    ]
+
+    def tok(s):
+        return [
+            t
+            for t in re.sub(r"[^a-z0-9\s]", " ", s.lower()).split()
+            if t
+        ]
+
+    toked = {i: tok(t) for i, t in rows}
+    occ = {}
+    for i in sorted(toked):
+        ts = toked[i]
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(tuple(ts[p : p + n]), []).append((i, p + 1))
+    removed = {}
+    for lst in occ.values():
+        lst.sort()
+        for i, p in lst[1:]:
+            removed.setdefault(i, set()).add(p)
+    expected = {}
+    for i, ts in toked.items():
+        rm = removed.get(i, set())
+        kept = [
+            t
+            for idx, t in enumerate(ts)
+            if not any(p <= idx + 1 < p + n for p in rm)
+        ]
+        if kept:
+            expected[i] = " ".join(kept)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in text_ops.substring_dedup(
+            df, "doc_id", "text", n=n
+        ).collect()
+    }
+    assert got == expected
+    assert 5 not in got  # fully duplicated doc disappeared
+    assert got[4] == "tiny doc"  # short doc untouched
+    assert "alpha" not in got[2]  # doc 2 lost the shared prefix
+    # doc 3's second 'one two three' occurrence is excised
+    assert got[3].count("one two three") == 1
+
+
+def test_substring_dedup_idempotent_and_consistent_with_stats(spark):
+    """Running the rewrite twice changes nothing (all surviving
+    windows are unique), and afterwards dup_span_stats at the same n
+    sees zero duplicated spans — the two operators agree on what a
+    duplicate is."""
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+    from financial_data_pipeline_optimization_spark.sources import load_table
+    from .conftest import SF_SMOKE
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .limit(150)
+    )
+    n = 5
+    once = text_ops.substring_dedup(docs, "doc_id", "text", n=n)
+    once.localCheckpoint()
+    twice = text_ops.substring_dedup(once, "doc_id", "text", n=n)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
+    # Consistency with the stats twin HOLDS ON THE REWRITE'S DOMAIN:
+    # full n-token windows. (dup_span_stats additionally counts the
+    # sub-n remainder of docs shorter than n — identical short docs
+    # register there but are deliberately outside substring_dedup's
+    # window semantics.)
+    full = once.where(
+        F.size(F.filter(text_ops.tokens("text"), lambda x: x != ""))
+        >= n
+    )
+    stats = text_ops.dup_span_stats(full, "doc_id", "text", n=n)
+    assert (
+        stats.agg({"n_dup_spans": "sum"}).collect()[0][0] or 0
+    ) == 0
