@@ -566,3 +566,65 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+
+
+@_register(
+    "substring_dedup_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter({_ORACLE_TOKENS}, x -> x <> '') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS w
+      FROM toks, UNNEST(range(1, len(t) - 6)) u(i)
+      WHERE len(t) >= 8
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY w
+                                ORDER BY doc_id, pos) AS rn
+      FROM spans
+    ),
+    removed AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+    tok_rows AS (
+      SELECT tk.doc_id, u.i AS idx, tk.t[u.i] AS tok
+      FROM toks tk, UNNEST(range(1, len(tk.t) + 1)) u(i)
+    ),
+    kept AS (
+      SELECT tr.doc_id,
+             string_agg(tr.tok, ' ' ORDER BY tr.idx) AS text
+      FROM tok_rows tr
+      WHERE NOT EXISTS (
+        SELECT 1 FROM removed r
+        WHERE r.doc_id = tr.doc_id
+          AND r.pos <= tr.idx AND tr.idx < r.pos + 8
+      )
+      GROUP BY tr.doc_id
+    )
+    SELECT doc_id, text FROM kept WHERE text <> ''
+    """,
+    doc="Exact duplicated-substring REMOVAL over the corpus "
+    "(operators.text.substring_dedup, n=8 word-gram windows — the "
+    "rewrite half of dup_span_stats): every 8-token window occurring "
+    "more than once keeps its lowest-(doc_id, position) occurrence; "
+    "every other occurrence's tokens are excised and documents "
+    "reassemble from the survivors (word-grain form of Lee et al. "
+    "ACL 2022 exact-substring dedup; at sf0.01 it actually rewrites "
+    "~24 documents and removes ~1.1k duplicated windows, so the check "
+    "is non-vacuous). Spark shuffles 8-byte window hashes; the oracle "
+    "groups the RAW window strings — verifying the hashed plan "
+    "against unhashed semantics (the template_prefix_flags pattern) — "
+    "and re-derives every surviving token with a positional "
+    "anti-exists. A wrong window bound, an off-by-one in the excision "
+    "interval, or a broken keep-first order changes document text and "
+    "fails the hash.",
+)
+def q_substring_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.substring_dedup(docs, "doc_id", "text", n=8)
