@@ -63,6 +63,7 @@ QUERIES = [
     "minhash_lsh_pairs",
     "near_dup_clusters_lsh",
     "pmi_bigram_phrases",
+    "substring_dedup_docs",
     "bm25_topk_docs",
     "unigram_logprob_score",
     "pagerank_3iter",
