@@ -92,7 +92,7 @@ def main() -> None:
             dim = _dim(spark)
             row: dict[str, float] = {}
 
-            def median_of(build, variant: str) -> float:
+            def median_of(build) -> float:
                 samples = []
                 build().limit(1).collect()  # warm codegen
                 for _ in range(REPS):
@@ -103,18 +103,17 @@ def main() -> None:
 
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             row["skew_straggler"] = median_of(
-                lambda: _agg(fact.join(dim, "k")), "straggler"
+                lambda: _agg(fact.join(dim, "k"))
             )
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
             row["aqe_skew_join"] = median_of(
-                lambda: _agg(fact.join(dim, "k")), "aqe"
+                lambda: _agg(fact.join(dim, "k"))
             )
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             row["salted_join"] = median_of(
                 lambda: _agg(
                     joins.salted_join(fact, dim, ["k"], salt_factor=32)
-                ),
-                "salted",
+                )
             )
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
             out[label] = row
