@@ -790,6 +790,7 @@ def minhash_store(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the PERSISTABLE signature store for incremental near-dup
     detection: ``(bands_df, sets_df)`` where ``bands_df`` is
@@ -801,7 +802,16 @@ def minhash_store(
     them partitioned/bucketed by their join keys and every future
     batch joins against the store instead of re-scanning the corpus
     (the MinHash signatures are row-local, so a doc's store rows never
-    change as the corpus grows)."""
+    change as the corpus grows).
+
+    ``materialize=True`` lazily checkpoints the shared signature base
+    so consuming BOTH outputs as separate actions (the store-persist
+    shape: write bands, then write sets) computes the corpus
+    shingle+minhash scan once instead of twice — the same opt-in
+    discipline as ``near_dup_clusters(materialize=...)``. Leave False
+    (default) when only one output is acted on, or when both feed ONE
+    action (e.g. ``incremental_near_dups``' single job), where a
+    checkpoint would only add a materialization barrier."""
     base = with_minhash_signature(
         with_shingles(
             _spread(df.select(id_col, text_col), id_col),
@@ -810,6 +820,8 @@ def minhash_store(
         ),
         num_hashes=num_hashes,
     )
+    if materialize:
+        base = base.localCheckpoint(eager=False)
     bands_df = base.select(
         F.col(id_col).alias("id"),
         F.posexplode(

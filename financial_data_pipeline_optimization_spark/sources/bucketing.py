@@ -89,11 +89,31 @@ def _delete_orphaned_managed_location(
     prior session wrote it and died, leaving files without metadata.
     A table the CURRENT catalog tracks was already dropped (DROP TABLE
     on a managed table deletes its data), so this only ever touches
-    orphans. Assumes the DEFAULT database (location ``warehouse/<name>``
-    — a db-qualified table lives at ``warehouse/<db>.db/<name>`` and
-    would simply not be cleaned here); every engine caller writes
-    unqualified names."""
-    name = table.split(".")[-1].lower()
+    orphans.
+
+    Guards (a wrong delete here is live-data loss, so every ambiguous
+    case no-ops):
+
+    - db-qualified names skip cleanup entirely — their managed
+      location is ``warehouse/<db>.db/<name>``, NOT
+      ``warehouse/<name>``, so deleting the bare-name path would hit a
+      DIFFERENT (default-db) table's directory;
+    - a non-default current database skips for the same reason (a bare
+      name resolves into ``warehouse/<db>.db/`` there);
+    - if the current catalog still tracks a default-db table with this
+      bare name, its directory is ALIVE, not an orphan — skip.
+
+    Residual ambiguity is inherent: files left by ANOTHER session's
+    table of the same name are indistinguishable from an orphan of
+    this one. Engine callers all write unqualified default-db names,
+    where rebuild-over-orphan is the wanted semantics."""
+    if "." in table:
+        return
+    if spark.catalog.currentDatabase() != "default":
+        return
+    name = table.lower()
+    if spark.catalog.tableExists(name):
+        return
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     )

@@ -424,6 +424,42 @@ def test_managed_write_survives_orphaned_location(spark):
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def test_orphan_cleanup_never_touches_live_or_qualified_tables(spark):
+    """The cleanup helper's guards: a managed table the CURRENT
+    catalog tracks is alive (its directory must survive a cleanup call
+    with its name), and db-qualified names no-op entirely (their
+    managed location is warehouse/<db>.db/<name> — deleting the
+    bare-name path would hit a DIFFERENT table's directory)."""
+    import os
+
+    from financial_data_pipeline_optimization_spark.sources.bucketing import (
+        _delete_orphaned_managed_location,
+    )
+
+    table = "live_guard_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        spark.range(10).write.saveAsTable(table)
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            ),
+            table,
+        )
+        assert os.path.isdir(loc)
+        # Live table: guard must refuse to delete its directory.
+        _delete_orphaned_managed_location(spark, table)
+        assert os.path.isdir(loc)
+        assert spark.table(table).count() == 10
+        # Qualified name whose bare part collides with the live
+        # table: must no-op, not delete warehouse/<bare-name>.
+        _delete_orphaned_managed_location(spark, f"otherdb.{table}")
+        assert os.path.isdir(loc)
+        assert spark.table(table).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_registered_bucketed_pagerank_matches_plain(spark):
     """q_pagerank_3iter_bucketed is the same function of the input
     tables as q_pagerank_3iter — only the edge layout differs. Pin

@@ -198,7 +198,20 @@ def main() -> None:
             if warm in queries and not isinstance(
                 results.get(warm, {}).get(label), float
             ):
-                specs[warm].spark(spark, sf_dir).limit(1).collect()
+                # Failure-isolated like bench.py's _warm: an OOM'd
+                # index build (the documented 8g-at-x100 failure) must
+                # red-flag THAT query, not abort the whole sweep.
+                try:
+                    specs[warm].spark(spark, sf_dir).limit(1).collect()
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"{label} {warm}: WARMUP FAILED {exc!r}"[:500],
+                        flush=True,
+                    )
+                    results.setdefault(warm, {})[label] = None
+                    Path(out_path).write_text(
+                        json.dumps(results, indent=1) + "\n"
+                    )
         for name in queries:
             if isinstance(results.get(name, {}).get(label), float):
                 print(f"{label} {name}: kept {results[name][label]}")

@@ -17,10 +17,12 @@ dim that fits in memory is the exception), under three plans:
   operator's default 8 only divides the hot key by 8): the manual fix
   for non-AQE shapes (skewed aggregations, older engines).
 
-Methodology mirrors bench.py: noop sink, median of REPS, one warm
-session; per-variant confs are runtime-settable so all three share
-one JVM. Writes ``SKEW_BENCH.json`` and prints one JSON line. Run
-quiet: ``SPARK_DRIVER_MEMORY=48g python tools/bench_skew.py``.
+Methodology: noop sink, one warm session, WORSE of REPS=2 runs per
+cell (bench_scaled.py's conservative convention — with two samples
+the upper one bounds the cost; not a median); per-variant confs are
+runtime-settable so all three share one JVM. Writes
+``SKEW_BENCH.json`` and prints one JSON line. Run quiet:
+``SPARK_DRIVER_MEMORY=48g python tools/bench_skew.py``.
 """
 
 from __future__ import annotations
@@ -92,25 +94,25 @@ def main() -> None:
             dim = _dim(spark)
             row: dict[str, float] = {}
 
-            def median_of(build) -> float:
+            def worse_of(build) -> float:
+                # Conservative: max of REPS=2 (upper bound, not median).
                 samples = []
                 build().limit(1).collect()  # warm codegen
                 for _ in range(REPS):
                     spark._jvm.System.gc()
                     samples.append(_timed(build()))
-                samples.sort()
-                return round(samples[len(samples) // 2], 2)
+                return round(max(samples), 2)
 
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-            row["skew_straggler"] = median_of(
+            row["skew_straggler"] = worse_of(
                 lambda: _agg(fact.join(dim, "k"))
             )
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-            row["aqe_skew_join"] = median_of(
+            row["aqe_skew_join"] = worse_of(
                 lambda: _agg(fact.join(dim, "k"))
             )
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-            row["salted_join"] = median_of(
+            row["salted_join"] = worse_of(
                 lambda: _agg(
                     joins.salted_join(fact, dim, ["k"], salt_factor=32)
                 )

@@ -85,7 +85,7 @@ SCENARIOS = {
 }
 
 
-def _measure(spark, name, build, mode, rows_per_batch) -> float:
+def _measure(spark, name, build, mode, rows_per_batch) -> tuple[float, int]:
     ckpt = tempfile.mkdtemp(prefix=f"stream_bench_{name}_")
     src = (
         spark.readStream.format("rate-micro-batch")
@@ -114,7 +114,10 @@ def _measure(spark, name, build, mode, rows_per_batch) -> float:
         shutil.rmtree(ckpt, ignore_errors=True)
     assert rates, f"{name}: no steady-state batches observed"
     rates.sort()
-    return round(rates[len(rates) // 2], 0)
+    # n_batches published per scenario: if the deadline expired early
+    # the artifact shows how many post-warm-up batches the median
+    # actually covers instead of silently claiming the full protocol.
+    return round(rates[len(rates) // 2], 0), len(rates)
 
 
 def main() -> None:
@@ -126,15 +129,19 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for name, (build, mode, rpb) in SCENARIOS.items():
         try:
-            rate = _measure(spark, name, build, mode, rpb)
+            rate, n_batches = _measure(spark, name, build, mode, rpb)
         except Exception as exc:  # noqa: BLE001 — isolate per scenario
             results[name] = {"err": str(exc)[:300]}  # type: ignore[dict-item]
             continue
         results[name] = {
             "rows_per_sec": rate,
             "rows_per_batch": rpb,
+            "measured_batches": n_batches,
         }
-        print(f"{name}: {rate:,.0f} rows/s", file=sys.stderr)
+        print(
+            f"{name}: {rate:,.0f} rows/s over {n_batches} batches",
+            file=sys.stderr,
+        )
     out = {
         "metric": "streaming_sustained_rows_per_sec",
         "scenarios": results,
