@@ -171,6 +171,7 @@ def with_minhash_signature(
     shingle_col: str = "shingles",
     num_hashes: int = 64,
     out_col: str = "minhash",
+    prehashed: bool = False,
 ) -> DataFrame:
     """MinHash signature (Broder, "On the resemblance and containment
     of documents", SEQUENCES 1997): for permutation ``i``,
@@ -199,15 +200,29 @@ def with_minhash_signature(
     at equal parallelism: serializing the corpus-sized shingle arrays
     out of the JVM costs more than the interpreted lambda evaluation,
     which is per-shingle-hash-bound, not per-permutation-bound. The
-    HOF form stays."""
+    HOF form stays.
+
+    ``prehashed=True``: ``shingle_col`` already holds the
+    ``xxhash64``'d shingles (``array<bigint>``), so the inner
+    per-shingle hash is skipped and the fold runs straight over the
+    longs. Signatures are bit-identical to the string path (the
+    running minimum is insensitive to the ``array_distinct`` the
+    hashed-set producer applies) — this is how ``minhash_lsh_pairs``
+    shares ONE shingle-hash pass between the signature and the verify
+    join."""
     import random
 
     rng = random.Random(0x5EED ^ num_hashes)
     consts = [rng.getrandbits(63) for _ in range(num_hashes)]
     max_long = (1 << 63) - 1
     xors = ", ".join(f"(h ^ {c}L)" for c in consts)
+    src = (
+        f"`{shingle_col}`"
+        if prehashed
+        else f"transform(`{shingle_col}`, s -> xxhash64(s))"
+    )
     sig = F.expr(
-        f"aggregate(transform(`{shingle_col}`, s -> xxhash64(s)), "
+        f"aggregate({src}, "
         f"array_repeat({max_long}L, {num_hashes}), "
         f"(acc, h) -> zip_with(acc, array({xors}), (a, x) -> least(a, x)))"
     )
@@ -241,17 +256,32 @@ def minhash_lsh_pairs(
     would be computed twice. A lazy ``localCheckpoint`` of just
     ``(id, minhash)`` (``num_hashes``×8 bytes per doc — the standard
     "materialize the signature table" step of a production LSH
-    pipeline) computes them once. Shingle SETS are deliberately NOT
-    materialized: they are corpus-sized, and recomputing them for the
-    verify join is a narrow map. Disable to keep the plan fully lazy
-    (e.g. under a streaming source).
+    pipeline) computes them once. The HASHED shingle sets
+    (``array_distinct`` of the per-shingle ``xxhash64`` longs — 8
+    bytes/shingle) are materialized too, and BOTH the signature fold
+    and the verify join read them: tokenize → shingle-concat →
+    string-hash, the allocation-heavy part of the whole pipeline, runs
+    exactly once per document instead of twice (it used to re-run for
+    the verify join, which an r11 ×100 probe measured as the dominant
+    super-linear cost — compute+GC, not parallelism). Storing hashes
+    rather than shingle strings is strictly smaller than the text
+    column itself; a production run would persist the same table to
+    disk. Disable to keep the plan fully lazy (e.g. under a streaming
+    source).
     """
-    base = with_minhash_signature(
-        with_shingles(_spread(df.select(id_col, text_col), id_col), text_col,
-                      n=shingle_n),
-        num_hashes=num_hashes,
+    hashed = with_shingles(
+        _spread(df.select(id_col, text_col), id_col), text_col, n=shingle_n
+    ).select(
+        F.col(id_col).alias("__sid"),
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("__hsh"),
     )
-    sig = base.select(F.col(id_col).alias("__id"), "minhash")
+    if materialize_signatures:
+        hashed = hashed.localCheckpoint(eager=False)
+    sig = with_minhash_signature(
+        hashed, shingle_col="__hsh", num_hashes=num_hashes, prehashed=True
+    ).select(F.col("__sid").alias("__id"), "minhash")
     if materialize_signatures:
         sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
@@ -277,18 +307,14 @@ def minhash_lsh_pairs(
         # production callers pass None). Feeds the exact-vs-LSH
         # crossover table in SCALING.md.
         stats["candidate_pairs"] = candidates.count()
-    # Verify on hashed shingle sets: xxhash64 each shingle once and
-    # intersect 8-byte longs instead of multi-word strings — the two
-    # rehydration joins shuffle ~3× fewer bytes and compare integers.
+    # Verify on the SAME materialized hashed shingle sets the
+    # signature fold consumed: intersect 8-byte longs instead of
+    # multi-word strings — the two rehydration joins shuffle ~3× fewer
+    # bytes and compare integers, and the corpus is never re-shingled.
     # Jaccard over hashed sets equals Jaccard over string sets modulo
     # 64-bit collisions (~1e-10 per pair) — the same trade
     # ngram_jaccard_pairs documents.
-    sets = base.select(
-        F.col(id_col).alias("__sid"),
-        F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("__hsh"),
-    )
+    sets = hashed
     verified = (
         candidates.join(sets.alias("sa"), F.col("a") == F.col("sa.__sid"))
         .join(sets.alias("sb"), F.col("b") == F.col("sb.__sid"))

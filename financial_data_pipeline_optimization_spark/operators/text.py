@@ -622,6 +622,74 @@ def substring_dedup(
     )
 
 
+def _dup_windows_remain(
+    df: DataFrame, text_col: str, n: int
+) -> bool:
+    """True iff any word ``n``-gram window occurs >= 2 times across the
+    corpus — the fixpoint test for :func:`substring_dedup_fixpoint`.
+    Same hashing as the rewrite (windows become 8-byte longs at the
+    scan); the check is one partial-aggregated groupBy short-circuited
+    by ``isEmpty`` (fetches at most one row to the driver)."""
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    hashes = (
+        df.select(toks.alias("__t"))
+        .where(F.size("__t") >= n)
+        .select(
+            explode_nonempty(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("__t", i, n))
+                    ),
+                )
+            ).alias("__h")
+        )
+    )
+    dups = (
+        hashes.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    return not dups.isEmpty()
+
+
+def substring_dedup_fixpoint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    sep: str = " ",
+    max_passes: int = 4,
+) -> DataFrame:
+    """:func:`substring_dedup` iterated until the OUTPUT contains zero
+    duplicated ``n``-token windows — closing the one-pass caveat that
+    excision can splice previously-distant tokens into a NEW
+    duplicated window across the cut boundary.
+
+    Each round runs one full rewrite pass, eagerly checkpoints the
+    survivors (truncating lineage so pass ``k+1`` doesn't replay
+    passes ``1..k``), and stops as soon as :func:`_dup_windows_remain`
+    is false. In practice 1-2 passes converge (a splice-minted window
+    needs the n-1 tokens on each side of a cut to line up verbatim
+    somewhere else); ``max_passes`` bounds the driver loop for
+    adversarial corpora — a pathological input could need O(doc)
+    passes, and a bounded, reported partial clean beats an unbounded
+    job. Returns the last pass's output either way; callers who must
+    know can re-run the check.
+
+    Scale: the loop is driver-side control flow over full distributed
+    passes — one boolean action per pass (partial-aggregated,
+    ``isEmpty``-short-circuited), never data to the driver.
+    """
+    out = substring_dedup(df, id_col, text_col, n=n, sep=sep)
+    for _ in range(max_passes - 1):
+        out = out.localCheckpoint(eager=True)
+        if not _dup_windows_remain(out, text_col, n):
+            break
+        out = substring_dedup(out, id_col, text_col, n=n, sep=sep)
+    return out
+
+
 def bpe_pair_counts(
     df: DataFrame, text_col: str, top_k: int = 20
 ) -> DataFrame:

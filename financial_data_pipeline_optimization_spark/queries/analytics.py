@@ -69,57 +69,66 @@ from financial_data_pipeline_optimization_spark.queries.statsfit import (
     doc="PMI phrase mining (word2phrase, Mikolov et al. NeurIPS 2013): "
     "adjacent-token pairs scored by pointwise mutual information "
     "ln(P(ab)/(P(a)P(b))) to surface collocations worth merging into "
-    "single tokens before tokenizer training. One tokenize pass feeds "
-    "both tables: unigram counts (token-keyed groupBy) and positional "
-    "bigram counts (row-local transform, pair-keyed groupBy); the two "
-    "corpus totals ride as broadcast scalars, and the bigram→unigram "
-    "joins shuffle only vocabulary-sized count tables — document text "
-    "never crosses the wire. PMI is computed from exact integer counts "
-    "on both engines, so the float is bit-identical pre-rounding. At "
-    "100 TB the shuffles are O(vocab + bigram-vocab), both heavy-tail "
-    "bounded by the cab >= 5 support floor applied before the joins.",
+    "single tokens before tokenizer training. ONE corpus pass feeds "
+    "everything: each token is emitted exactly once as (w1, "
+    "next-token-or-null) via arrays_zip's null-padding, so a single "
+    "pair-keyed groupBy yields the bigram table AND — summed over w2 "
+    "— the unigram table, the token total, and the bigram total; the "
+    "old two-pass shape (separate unigram explode) tokenized the "
+    "corpus twice for the same counts. Downstream of that one "
+    "aggregation everything is (bigram-)vocabulary-sized: the "
+    "frequency joins, both broadcast scalar totals, and the top-k. "
+    "Document text never crosses the wire (gated in "
+    "tests/test_plan_quality.py). PMI is computed from exact integer "
+    "counts on both engines, so the float is bit-identical "
+    "pre-rounding. At 100 TB the corpus contributes one "
+    "tokenize+explode+partial-agg pass and the shuffles are "
+    "O(bigram-vocab), heavy-tail bounded by the cab >= 5 support "
+    "floor applied before the joins.",
 )
 def q_pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import text as text_ops
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(text_ops.tokens(F.col("text")).alias("t"))
-    # Both count tables are CHECKPOINTED because each is consumed more
-    # than once (uni feeds the two frequency joins AND the corpus
-    # total; the unfiltered bigram counts feed the support filter AND
-    # the bigram total). Without the checkpoints every consumer
-    # re-runs the tokenize+explode corpus scan — 5 scans instead of 2.
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cw"))
-        .localCheckpoint(eager=False)
-    )
     t = F.col("t")
-    big = (
-        toks.where((F.size(t) >= 2) & (F.element_at(t, 1) != ""))
+    # tokens() yields either [''] (empty/all-punct doc, dropped by the
+    # w1 != '' filter) or all-nonempty tokens, so pairing each token
+    # with its successor-or-null loses nothing: single-token docs
+    # contribute one (w, null) row (unigram-only, exactly the oracle's
+    # len(t) >= 2 bigram guard), and the last token of every doc
+    # contributes its unigram count through its null-successor row.
+    pc = (
+        docs.select(text_ops.tokens(F.col("text")).alias("t"))
         .select(
             explode_nonempty(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: F.struct(
-                        F.element_at(t, i).alias("w1"),
-                        F.element_at(t, i + 1).alias("w2"),
-                    ),
+                F.arrays_zip(
+                    t.alias("w1"),
+                    F.slice(
+                        t, 2, F.greatest(F.size(t) - 1, F.lit(0))
+                    ).alias("w2"),
                 )
             ).alias("p")
         )
         .select("p.w1", "p.w2")
-    )
-    bigc_all = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("w1") != "")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
-    bigc = bigc_all.where(F.col("cab") >= 5)
-    nt = uni.agg(F.sum("cw").cast("double").alias("nt"))
-    mb = bigc_all.agg(F.sum("cab").cast("double").alias("mb"))
+    # Checkpointed because FIVE consumers read it (uni twice via the
+    # frequency joins, nt, mb, and the support-filtered bigram table);
+    # pc is bigram-vocabulary-sized, so every re-read is cheap while
+    # the corpus pass above runs exactly once.
+    uni = pc.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c").alias("cw")
+    )
+    bigc = pc.where(
+        F.col("w2").isNotNull() & (F.col("c") >= 5)
+    ).select("w1", "w2", F.col("c").alias("cab"))
+    nt = pc.agg(F.sum("c").cast("double").alias("nt"))
+    mb = pc.where(F.col("w2").isNotNull()).agg(
+        F.sum("c").cast("double").alias("mb")
+    )
     a = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
     b = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))
     pmi = F.log(

@@ -628,3 +628,20 @@ def q_substring_dedup_docs(
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return text_ops.substring_dedup(docs, "doc_id", "text", n=8)
+
+
+# Bench-only twin at the PRODUCTION grain: n=50, the Lee et al. (ACL
+# 2022) exact-substring threshold. The oracle pair stays at n=8 (the
+# synthetic docs are short, so n=8 actually rewrites documents at
+# sf0.01 and keeps the DuckDB replay tractable); this variant exists so
+# BENCH_SCALED.json carries a ×100 measurement of the grain a real
+# 100 TB run would use — wider windows mean ~6× more slice/concat/hash
+# bytes per token position, which the n=8 row structurally understates.
+# No SQL oracle (same contract as q_minhash_pairs); the operator's
+# correctness is pinned by the n-parametric bruteforce/fixpoint tests
+# in tests/test_text_vector_extras.py plus the n=8 driver row.
+def q_substring_dedup_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.substring_dedup(docs, "doc_id", "text", n=50)

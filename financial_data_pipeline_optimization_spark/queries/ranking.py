@@ -266,9 +266,47 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the ANN index caches in queries.documents: the layout build (write
 #: the symmetric edge set bucketed by src) is one-time index cost, the
 #: registered query re-runs only the iteration over the bucketed
-#: table. Keyed by app id so a table left by a stopped session is
-#: rebuilt, never trusted.
+#: table. Keyed by app id; a table left by an earlier session is
+#: adopted only when its content-addressed stamp (source-file
+#: fingerprint, sources.bucketing.trust_bucketed_table) matches —
+#: otherwise rebuilt. At 100 TB a rebuild-per-session of a ~100 TB
+#: layout is not amortizable; the stamp is what makes "one-time" true
+#: across sessions while staying crash-safe (a half-written table has
+#: no manifest and is never trusted).
 _PR_EDGE_TABLES: dict = {}
+
+
+def _source_file_fingerprint(
+    spark: SparkSession, sf_dir: str, tables: tuple = ("orders", "lineitem")
+) -> str:
+    """Content address of the edge build's INPUTS: (name, length,
+    mtime) of every data file of every source table, hashed. A
+    manifest/metadata read — never touches row data, so it costs
+    microseconds at any scale. Any rewrite of a source file changes
+    the fingerprint and forces a rebuild."""
+    import hashlib
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    parts = []
+    for t in tables:
+        p = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{t}.parquet")
+        fs = p.getFileSystem(conf)
+        statuses = (
+            [
+                s
+                for s in fs.listStatus(p)
+                if not s.getPath().getName().startswith(("_", "."))
+            ]
+            if fs.isDirectory(p)
+            else [fs.getFileStatus(p)]
+        )
+        for s in statuses:
+            parts.append(
+                f"{t}/{s.getPath().getName()}:{s.getLen()}"
+                f":{s.getModificationTime()}"
+            )
+    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()
 
 
 def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,9 +316,21 @@ def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PR_EDGE_TABLES:
         from financial_data_pipeline_optimization_spark.sources.bucketing import (
+            trust_bucketed_table,
             write_bucketed_table,
         )
 
+        table = "pr_edges_by_src_" + re.sub(
+            r"\W+", "_", sf_dir
+        ).strip("_")
+        stamp = {
+            "fdpo.source.fingerprint": _source_file_fingerprint(
+                spark, sf_dir
+            )
+        }
+        if trust_bucketed_table(spark, table, stamp):
+            _PR_EDGE_TABLES[key] = table
+            return spark.table(table)
         # localCheckpoint so the sizing count() and the bucketed write
         # share ONE materialization of the join+distinct+union graph
         # build instead of computing it twice.
@@ -291,10 +341,13 @@ def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the x100 replicated corpus, ~1000 toward the 100 TB point.
         n_edges = edges.count()
         n_buckets = max(8, min(1024, math.ceil(n_edges / 2_000_000)))
-        table = "pr_edges_by_src_" + re.sub(
-            r"\W+", "_", sf_dir
-        ).strip("_")
-        write_bucketed_table(edges, table, ["src"], n_buckets)
+        write_bucketed_table(
+            edges,
+            table,
+            ["src"],
+            n_buckets,
+            properties={**stamp, "fdpo.n_edges": str(n_edges)},
+        )
         _PR_EDGE_TABLES[key] = table
     return spark.table(_PR_EDGE_TABLES[key])
 

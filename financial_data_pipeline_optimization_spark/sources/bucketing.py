@@ -44,9 +44,19 @@ entries per applicationId.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Sidecar manifest filename written into the table location. The
+#: leading underscore keeps it invisible to Spark's file-source
+#: listing (same convention as ``_SUCCESS``), so data readers never
+#: see it; a FRESH session's in-memory catalog — which forgot the
+#: table — reads it to decide whether the on-disk layout can be
+#: trusted and re-registered instead of rebuilt
+#: (:func:`trust_bucketed_table`).
+MANIFEST_NAME = "_fdpo_manifest.json"
 
 
 def write_bucketed_table(
@@ -57,6 +67,7 @@ def write_bucketed_table(
     sort_cols: Sequence[str] | None = None,
     path: str | None = None,
     mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally in-bucket sorted)
     catalog table. ``path`` makes it an external table (parquet files
@@ -65,6 +76,17 @@ def write_bucketed_table(
     Idempotent across sessions (see module docstring): drops any
     existing catalog entry, and for managed tables removes an orphaned
     warehouse location left by an earlier session before writing.
+
+    ``properties`` (content-addressing stamps such as a source-data
+    fingerprint) are recorded twice: as catalog TBLPROPERTIES for the
+    current session, and in a ``_fdpo_manifest.json`` sidecar inside
+    the table location — together with the schema DDL and the full
+    bucket spec — so a LATER session can verify the stamp and adopt
+    the layout without rebuilding it. Write order makes trust
+    crash-safe: the manifest is written strictly AFTER the data, so a
+    write that dies mid-flight leaves files without a manifest, which
+    the trust check refuses and the next build's orphan cleanup
+    removes.
     """
     spark = df.sparkSession
     if mode == "overwrite":
@@ -79,6 +101,156 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+    props = dict(properties or {})
+    if props:
+        kv = ", ".join(
+            f"'{_q(k)}'='{_q(v)}'" for k, v in sorted(props.items())
+        )
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    manifest = {
+        "table": table.lower(),
+        "schema_ddl": df._jdf.schema().toDDL(),
+        "bucket_cols": list(bucket_cols),
+        "num_buckets": int(num_buckets),
+        "sort_cols": list(sort_cols or []),
+        "properties": props,
+    }
+    location = path
+    if location is None:
+        location = _managed_location(spark, table)
+    if location is not None:
+        _write_text(
+            spark, f"{location}/{MANIFEST_NAME}", json.dumps(manifest)
+        )
+
+
+def _q(s: str) -> str:
+    """Escape single quotes for embedding in SQL string literals."""
+    return str(s).replace("'", "''")
+
+
+def _managed_location(spark: SparkSession, table: str) -> str | None:
+    """Qualified warehouse location a managed default-db ``table``
+    occupies, or None for the cases the orphan-cleanup guards also
+    refuse (db-qualified name, non-default current database) — trust
+    and cleanup must agree on which directories they own."""
+    if "." in table:
+        return None
+    if spark.catalog.currentDatabase() != "default":
+        return None
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return str(fs.makeQualified(hpath).toString())
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file via the Hadoop FS API (works on any
+    Spark-reachable filesystem, not just local disk)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text, "utf-8"))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file via the Hadoop FS API; None if absent."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return str(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+
+
+def trust_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    properties: dict[str, str],
+) -> bool:
+    """Adopt an existing bucketed ``table`` iff its recorded stamp
+    matches ``properties`` — the trust-but-verify half of the
+    "rebuilt, never trusted" contract. Returns True with the table
+    queryable in the current catalog, or False meaning the caller must
+    build (and the build path's DROP + orphan cleanup handles whatever
+    was there).
+
+    Two cases:
+
+    - the CURRENT catalog tracks the table: compare its
+      TBLPROPERTIES; a match means this session (or a shared
+      metastore) already built the current layout.
+    - fresh session, files on disk only: read the sidecar manifest;
+      if every expected property matches, re-register the layout as
+      an external bucketed table over the existing location (schema,
+      bucket spec, and sort spec come from the manifest — written by
+      the same code that wrote the files). No data is read or
+      written; at 100 TB this is what makes the one-time layout cost
+      actually one-time instead of once-per-session.
+
+    Every ambiguous case returns False (same philosophy as the orphan
+    cleanup: a wrong trust serves stale data, so only the exact
+    stamped match passes): db-qualified names, non-default current
+    database, missing manifest, any property mismatch.
+    """
+    if "." in table or spark.catalog.currentDatabase() != "default":
+        return False
+    name = table.lower()
+    if spark.catalog.tableExists(name):
+        got = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+        }
+        return all(got.get(k) == v for k, v in properties.items())
+    location = _managed_location(spark, name)
+    if location is None:
+        return False
+    raw = _read_text(spark, f"{location}/{MANIFEST_NAME}")
+    if raw is None:
+        return False
+    try:
+        manifest = json.loads(raw)
+    except ValueError:
+        return False
+    stamped = manifest.get("properties", {})
+    if not all(stamped.get(k) == v for k, v in properties.items()):
+        return False
+    if not (
+        manifest.get("schema_ddl")
+        and manifest.get("bucket_cols")
+        and manifest.get("num_buckets")
+    ):
+        return False
+    cluster = ", ".join(manifest["bucket_cols"])
+    sort = (
+        "SORTED BY (" + ", ".join(manifest["sort_cols"]) + ") "
+        if manifest.get("sort_cols")
+        else ""
+    )
+    kv = ", ".join(
+        f"'{_q(k)}'='{_q(v)}'" for k, v in sorted(stamped.items())
+    )
+    props_clause = f" TBLPROPERTIES ({kv})" if kv else ""
+    spark.sql(
+        f"CREATE TABLE {name} ({manifest['schema_ddl']}) USING PARQUET "
+        f"CLUSTERED BY ({cluster}) {sort}"
+        f"INTO {int(manifest['num_buckets'])} BUCKETS "
+        f"LOCATION '{_q(location)}'{props_clause}"
+    )
+    return True
 
 
 def _delete_orphaned_managed_location(

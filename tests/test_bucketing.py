@@ -492,3 +492,69 @@ def test_registered_bucketed_pagerank_matches_plain(spark):
         if table is not None:
             # DROP on a managed table also deletes its warehouse dir.
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_trust_bucketed_table_adopts_stamped_layout(spark):
+    """trust_bucketed_table's fresh-session path, without a fresh
+    session: build a stamped managed table, then clone its directory
+    (part files + sidecar manifest) to a name the catalog has never
+    seen — exactly what a new process finds on disk. Trust must
+    (a) refuse when the expected stamp mismatches, (b) adopt on match
+    by re-registering an external bucketed table over the files with
+    no data write, (c) serve identical rows, and (d) preserve the
+    bucketing metadata (catalog reports the bucket spec, so bucket-key
+    operations stay exchange-free)."""
+    import shutil
+
+    from financial_data_pipeline_optimization_spark.sources.bucketing import (
+        trust_bucketed_table,
+    )
+
+    src_table = "trust_probe_src"
+    clone = "trust_probe_clone"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    stamp = {"fdpo.source.fingerprint": "abc123"}
+    try:
+        write_bucketed_table(df, src_table, ["k"], 4, properties=stamp)
+        # In-catalog branch: match trusts, mismatch refuses.
+        assert trust_bucketed_table(spark, src_table, stamp)
+        assert not trust_bucketed_table(
+            spark, src_table, {"fdpo.source.fingerprint": "other"}
+        )
+        shutil.copytree(f"{warehouse}/{src_table}", f"{warehouse}/{clone}")
+        assert not spark.catalog.tableExists(clone)
+        # Fresh-catalog branch: wrong stamp refuses and registers
+        # nothing; right stamp adopts without writing.
+        assert not trust_bucketed_table(
+            spark, clone, {"fdpo.source.fingerprint": "other"}
+        )
+        assert not spark.catalog.tableExists(clone)
+        assert trust_bucketed_table(spark, clone, stamp)
+        got = spark.table(clone)
+        assert got.count() == 1000
+        assert sorted(
+            tuple(r) for r in got.collect()
+        ) == sorted(tuple(r) for r in spark.table(src_table).collect())
+        # Bucket spec survived re-registration: a groupBy on the
+        # bucket key over the adopted table plans without an Exchange.
+        plan = (
+            got.groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        # Qualified names and missing manifests always refuse.
+        assert not trust_bucketed_table(spark, "db.qualified", stamp)
+        assert not trust_bucketed_table(spark, "never_written", stamp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {src_table}")
+        # clone is EXTERNAL: drop leaves files; remove them explicitly.
+        spark.sql(f"DROP TABLE IF EXISTS {clone}")
+        shutil.rmtree(f"{warehouse}/{clone}", ignore_errors=True)

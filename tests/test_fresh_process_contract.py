@@ -7,8 +7,13 @@ session's leftover warehouse files. This test runs the driver's
 actual first moves — import ``__spark_entry__``, build a bucketed
 query, collect — in two SEQUENTIAL subprocesses sharing one CWD, so
 whatever state process 1 leaves behind, process 2 must survive.
-~2 min of JVM startup; it buys the only coverage that would have
-caught r10 before the driver did.
+
+Round 12 tightens the contract from "survive" to "reuse": process 2
+must ADOPT process 1's stamped edge table (trust-but-verify via the
+sidecar manifest, sources/bucketing.py) instead of rebuilding it — the
+warehouse file listing (names, sizes, mtimes) must be bit-identical
+across the two runs. ~2 min of JVM startup; it buys the only coverage
+that would have caught r10 before the driver did.
 """
 
 from __future__ import annotations
@@ -16,6 +21,8 @@ from __future__ import annotations
 import subprocess
 import sys
 from pathlib import Path
+
+from .conftest import SF_SMOKE
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -26,7 +33,7 @@ import __spark_entry__ as e
 from financial_data_pipeline_optimization_spark import get_spark
 spark = get_spark(app_name="fresh-contract-{tag}")
 qs = e.queries()
-sf = "/root/testdata/sf0.001"
+sf = {sf!r}
 n1 = len(qs["pagerank_3iter_bucketed"](spark, sf).collect())
 n2 = len(qs["kcore_trade_graph_bucketed"](spark, sf).collect())
 assert n1 == 15, n1
@@ -37,7 +44,11 @@ spark.stop()
 
 def _run(tag: str) -> str:
     out = subprocess.run(
-        [sys.executable, "-c", _SNIPPET.format(repo=str(REPO), tag=tag)],
+        [
+            sys.executable,
+            "-c",
+            _SNIPPET.format(repo=str(REPO), tag=tag, sf=SF_SMOKE),
+        ],
         cwd=str(REPO),
         capture_output=True,
         text=True,
@@ -48,8 +59,32 @@ def _run(tag: str) -> str:
     return out.stdout
 
 
+def _edge_table_snapshot() -> dict[str, tuple[int, float]]:
+    """(size, mtime) per file under every pr_edges_by_src_* warehouse
+    dir — the no-rewrite witness. Any rebuild rewrites every part file
+    (new names AND new mtimes), so equality means process 2 adopted
+    the layout without touching a byte."""
+    snap = {}
+    for d in (REPO / "spark-warehouse").glob("pr_edges_by_src_*"):
+        for f in sorted(d.rglob("*")):
+            if f.is_file():
+                st = f.stat()
+                snap[str(f.relative_to(REPO))] = (st.st_size, st.st_mtime)
+    return snap
+
+
 def test_bucketed_queries_survive_back_to_back_fresh_sessions():
     _run("one")
+    before = _edge_table_snapshot()
+    assert before, "process 1 left no bucketed edge table to adopt"
     # Process 2 is the r10 crash scenario: a brand-new in-memory
-    # catalog, process 1's managed-table files still on disk.
+    # catalog, process 1's managed-table files still on disk. With the
+    # trust stamp it must not only survive but reuse the table —
+    # zero write jobs, identical file listing.
     _run("two")
+    after = _edge_table_snapshot()
+    assert after == before, (
+        "process 2 rewrote the stamped edge table instead of "
+        "adopting it",
+        sorted(set(before) ^ set(after))[:10],
+    )

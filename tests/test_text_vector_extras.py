@@ -650,3 +650,57 @@ def test_substring_dedup_idempotent_and_consistent_with_stats(spark):
     assert (
         stats.agg({"n_dup_spans": "sum"}).collect()[0][0] or 0
     ) == 0
+
+
+def test_substring_dedup_fixpoint_removes_splice_minted_windows(spark):
+    """The one-pass caveat, reproduced then closed: doc 2's duplicated
+    middle span ('a b c d e', keep-first lost to doc 1) is excised,
+    SPLICING 'p q' onto the single-token tail 'r' — which mints the
+    window 'p q r', a verbatim duplicate of doc 3's prefix that did
+    NOT exist as any window of the input (the tail alone is shorter
+    than n, so no input window of doc 2 could collide with doc 3).
+    One pass must leave that duplicate (pinning the caveat is real);
+    the fixpoint must converge with ZERO duplicated windows in the
+    output and keep-first must resolve the minted duplicate in doc 2's
+    favor (lower id)."""
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    n = 3
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "p q a b c d e r"),
+            (3, "p q r x y"),
+        ],
+        "doc_id long, text string",
+    )
+    once = text_ops.substring_dedup(df, "doc_id", "text", n=n)
+    assert text_ops._dup_windows_remain(once, "text", n)  # caveat is real
+    fixed = text_ops.substring_dedup_fixpoint(
+        df, "doc_id", "text", n=n
+    )
+    got = {r.doc_id: r.text for r in fixed.collect()}
+    # doc 2's splice-minted 'p q r' wins keep-first (lower id); doc 3
+    # loses its copy and keeps only the unshared tail.
+    assert got == {1: "a b c d e", 2: "p q r", 3: "x y"}
+    assert not text_ops._dup_windows_remain(fixed, "text", n)
+
+
+def test_substring_dedup_fixpoint_respects_max_passes(spark):
+    """max_passes bounds the driver loop: with max_passes=1 the
+    splice-minted duplicate survives (exactly the one-pass output);
+    the default converges on the same corpus."""
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "p q a b c d e r"),
+            (3, "p q r x y"),
+        ],
+        "doc_id long, text string",
+    )
+    one = text_ops.substring_dedup_fixpoint(
+        df, "doc_id", "text", n=3, max_passes=1
+    )
+    assert text_ops._dup_windows_remain(one, "text", 3)

@@ -64,6 +64,7 @@ QUERIES = [
     "near_dup_clusters_lsh",
     "pmi_bigram_phrases",
     "substring_dedup_docs",
+    "substring_dedup_n50",
     "bm25_topk_docs",
     "unigram_logprob_score",
     "pagerank_3iter",
@@ -171,6 +172,12 @@ def main() -> None:
         "near_dup_clusters_lsh",
         q.QuerySpec("near_dup_clusters_lsh", q.q_near_dup_clusters_lsh, None),
     )
+    # Production-grain (n=50, Lee et al.) twin of substring_dedup_docs;
+    # bench-only, no oracle (see queries/documents.py).
+    specs.setdefault(
+        "substring_dedup_n50",
+        q.QuerySpec("substring_dedup_n50", q.q_substring_dedup_n50, None),
+    )
     for _ann in ("knn_ivf_search", "knn_pq_search"):
         specs.setdefault(
             _ann, q.QuerySpec(_ann, getattr(q, f"q_{_ann}"), None)
@@ -215,6 +222,14 @@ def main() -> None:
         for name in queries:
             if isinstance(results.get(name, {}).get(label), float):
                 print(f"{label} {name}: kept {results[name][label]}")
+                continue
+            if name in results and results[name].get(label, 0.0) is None:
+                # The warm-up already failed for this (query, dataset)
+                # and recorded None; re-running here would either pay a
+                # deterministic failure twice or — worse — record a
+                # median that silently INCLUDES the one-time
+                # index/layout build the warm-up exists to exclude.
+                print(f"{label} {name}: skipped (warm-up failed)")
                 continue
             # Drive ContextCleaner NOW (paired with the session's
             # 5min periodicGC safety net): a full driver GC enqueues
