@@ -23,6 +23,19 @@ round-over-round spreads >30% of median at reps=3. For quiet-host
 numbers, run with nothing else scheduled (no concurrent pytest/sweep),
 SPARK_GRAFT_BENCH_REPS=5, and trust the reported per-query ``spread``
 (max−min): a round-over-round delta smaller than the spread is noise.
+
+Ramp protocol (sub-second iterative queries): a query that is still
+>30% spread after the top-up gets sampled further (up to ~2x
+fast_reps) and its median/spread are taken over the LAST fast_reps
+samples. Measured motivation: ``kcore_trade_graph_bucketed`` — ~20
+tiny stages per run — decays monotonically 0.98 s -> 0.62 s across 10
+reps as the JVM's C2 compiler finishes warming the loop's stage code;
+that ramp is warm-up, not host noise, and folding it into max−min made
+the cell's round-over-round delta permanently unreadable. The tail
+window is the steady-state estimate a long-running service would see.
+Queries that settle within fast_reps are untouched, and per-query
+sample counts are published as ``n_samples`` in BENCH_DETAIL.json so a
+topped-up cell is visible.
 """
 
 from __future__ import annotations
@@ -261,6 +274,8 @@ def main() -> None:
         calibration = -1.0
 
     spreads: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
+    noisy_reps = max(fast_reps * 2, 10)
     for name in HEADLINE:
         if name in errors:
             continue  # warm-up already failed; recorded, skip timing
@@ -292,21 +307,45 @@ def main() -> None:
                 samples.append(time.perf_counter() - start)
                 # Adaptive reps: sub-second medians are noise-dominated
                 # at 3 samples, so top them up to fast_reps.
+                med = sorted(samples)[len(samples) // 2]
                 done = len(samples) >= reps and (
-                    sorted(samples)[len(samples) // 2] >= 1.0
-                    or len(samples) >= fast_reps
+                    med >= 1.0 or len(samples) >= fast_reps
                 )
+                if (
+                    done
+                    and med < 1.0
+                    and len(samples) < noisy_reps
+                    and max(samples) - min(samples) > 0.30 * med
+                ):
+                    # Ramp protocol (module docstring): spread still
+                    # unreadable at fast_reps — keep sampling so the
+                    # tail window below is steady-state.
+                    done = False
                 if done:
                     break
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = str(exc)[:500]
             continue
+        n_samples[name] = len(samples)
+        # Tail window: if the query needed ramp top-up, the early
+        # samples are JIT warm-up; estimate from the last fast_reps.
+        if len(samples) > fast_reps:
+            samples = samples[-fast_reps:]
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         # Per-query sample spread (max - min): the trend-line trust
         # signal — a round-over-round delta smaller than the spread is
         # noise, not a regression.
         spreads[name] = round(samples[-1] - samples[0], 3)
+
+    # Harness-level failures (worker-pool spin-up, calibration) are
+    # not query results; keeping them in the same map as query errors
+    # forced every artifact consumer to special-case the leading
+    # underscore. Split them out under their own key.
+    harness_errors = {
+        k: v for k, v in errors.items() if k.startswith("_")
+    }
+    errors = {k: v for k, v in errors.items() if not k.startswith("_")}
 
     total = round(sum(timings.values()), 3)
     # Full per-query detail goes to an in-repo file — the driver keeps
@@ -322,8 +361,10 @@ def main() -> None:
         "queries": timings,
         "reps": reps,
         "fast_reps": fast_reps,
+        "n_samples": n_samples,
         "spread": spreads,
         "errors": errors,
+        "harness_errors": harness_errors,
         "calibration_sec": calibration,
         "sf": _sf_label(SF_DIR),
     }
@@ -340,6 +381,8 @@ def main() -> None:
         # Names only on stdout (driver keeps a bounded tail); full
         # messages live in BENCH_DETAIL.json's "errors".
         out["err"] = sorted(errors)
+    if harness_errors:
+        out["harness_err"] = sorted(harness_errors)
     print(json.dumps(out, separators=(",", ":")))
 
 
