@@ -830,36 +830,42 @@ def minhash_store(
     (the MinHash signatures are row-local, so a doc's store rows never
     change as the corpus grows).
 
-    ``materialize=True`` lazily checkpoints the shared signature base
-    so consuming BOTH outputs as separate actions (the store-persist
-    shape: write bands, then write sets) computes the corpus
-    shingle+minhash scan once instead of twice — the same opt-in
+    ``materialize=True`` lazily checkpoints the shared HASHED shingle
+    sets (8 bytes/shingle — the same share-one-pass restructure as
+    ``minhash_lsh_pairs``: both the signature fold and ``sets_df``
+    read the hashed arrays, so tokenize → shingle-concat →
+    string-hash runs once) so consuming BOTH outputs as separate
+    actions (the store-persist shape: write bands, then write sets)
+    computes the corpus scan once instead of twice — the same opt-in
     discipline as ``near_dup_clusters(materialize=...)``. Leave False
     (default) when only one output is acted on, or when both feed ONE
     action (e.g. ``incremental_near_dups``' single job), where a
     checkpoint would only add a materialization barrier."""
-    base = with_minhash_signature(
-        with_shingles(
-            _spread(df.select(id_col, text_col), id_col),
-            text_col,
-            n=shingle_n,
-        ),
-        num_hashes=num_hashes,
-    )
-    if materialize:
-        base = base.localCheckpoint(eager=False)
-    bands_df = base.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            _band_hashes(F.col("minhash"), num_hashes, bands)
-        ).alias("band", "band_hash"),
-    )
-    sets_df = base.select(
+    hashed = with_shingles(
+        _spread(df.select(id_col, text_col), id_col),
+        text_col,
+        n=shingle_n,
+    ).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform("shingles", lambda s: F.xxhash64(s))
         ).alias("sh_hashes"),
     )
+    if materialize:
+        hashed = hashed.localCheckpoint(eager=False)
+    sig = with_minhash_signature(
+        hashed,
+        shingle_col="sh_hashes",
+        num_hashes=num_hashes,
+        prehashed=True,
+    )
+    bands_df = sig.select(
+        "id",
+        F.posexplode(
+            _band_hashes(F.col("minhash"), num_hashes, bands)
+        ).alias("band", "band_hash"),
+    )
+    sets_df = hashed
     return bands_df, sets_df
 
 

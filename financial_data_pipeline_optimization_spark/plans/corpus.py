@@ -155,6 +155,7 @@ def multimodal_funnel_counts_df(
     docs: DataFrame,
     images: DataFrame | None = None,
     audio: DataFrame | None = None,
+    videos: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     languages: tuple[str, ...] = ("en",),
@@ -177,7 +178,13 @@ def multimodal_funnel_counts_df(
       pairs at ``hamming <= max_hamming``;
     - **audio**: energy-envelope fingerprint
       (``operators.multimodal.audio_fingerprint``) → the same banded
-      pair join.
+      pair join;
+    - **video**: REAL frame sampling (``sample_video_frames``, every
+      2nd frame of the concatenated-PNG container) → per-frame dHash
+      through the real PNG codec → the same Hamming-banded join, with
+      MULTIPLE hash rows per asset so two videos pair when ANY
+      sampled-frame pair lands within ``max_hamming`` — the
+      shifted-edit robustness per-container hashing can't give.
 
     Edges from all modalities union (distinct) into ONE
     ``graph.connected_components`` pass, so a document whose text was
@@ -197,9 +204,9 @@ def multimodal_funnel_counts_df(
     ``funnel_counts_df``, NOT action-free at construction (the CC loop
     runs bounded actions when the DataFrame is built).
 
-    ``images`` / ``audio``: ``(id_col, payload)`` frames — binary
-    BMP/PNG payloads and PCM16 WAVs; either may be None to drop that
-    modality's edges.
+    ``images`` / ``audio`` / ``videos``: ``(id_col, payload)`` frames
+    — binary BMP/PNG payloads, PCM16 WAVs, and concatenated-PNG video
+    containers; any may be None to drop that modality's edges.
     """
     from financial_data_pipeline_optimization_spark.operators import (
         graph,
@@ -252,6 +259,12 @@ def multimodal_funnel_counts_df(
                 band_bits=16,
             )
             .select("a", "b")
+            # A pair SOURCE is a set: with several hash rows per asset
+            # (video frames) the banded join emits one row per
+            # matching frame pair at each distinct hamming, so (a, b)
+            # repeats; single-hash modalities are already unique and
+            # the distinct is a no-op shuffle on id pairs.
+            .distinct()
             .localCheckpoint(eager=False)
         )
 
@@ -269,9 +282,24 @@ def multimodal_funnel_counts_df(
         if audio is not None
         else None
     )
+    video_pairs = (
+        _payload_pairs(
+            videos,
+            # One dHash row PER SAMPLED FRAME (asset_id repeats); the
+            # banded join then pairs assets on any cross-asset frame
+            # match and the trailing distinct collapses multiplicity.
+            lambda a: multimodal.image_dhash(
+                multimodal.sample_video_frames(a, every_n=2),
+                decode_fn="png",
+            ),
+            "dhash",
+        )
+        if videos is not None
+        else None
+    )
 
     edges = text_pairs
-    for p in (image_pairs, audio_pairs):
+    for p in (image_pairs, audio_pairs, video_pairs):
         if p is not None:
             edges = edges.unionByName(p)
     edges = edges.distinct()
@@ -309,6 +337,11 @@ def multimodal_funnel_counts_df(
             n(audio_pairs, "n_audio_pairs")
             if audio_pairs is not None
             else zero.select(F.col("_z").alias("n_audio_pairs"))
+        )
+        .crossJoin(
+            n(video_pairs, "n_video_pairs")
+            if video_pairs is not None
+            else zero.select(F.col("_z").alias("n_video_pairs"))
         )
         .crossJoin(n(edges, "n_edges"))
         .crossJoin(n(survivors, "n_multimodal_deduped"))

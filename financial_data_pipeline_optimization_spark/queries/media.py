@@ -784,6 +784,54 @@ from financial_data_pipeline_optimization_spark.queries.documents import (  # no
                    AND ahd.sb = greatest(x.src, y.src)
       WHERE x.src = y.src OR coalesce(ahd.h, 999) <= 2
     ),
+    -- video: every-2nd sampled frame of the concatenated-PNG
+    -- container, per-frame dHash (icell math with the +f*97 pixel
+    -- offset), assets pair when ANY cross-asset frame pair is within
+    -- Hamming 2
+    vframes AS (
+      SELECT s.src, t.f
+      FROM isrcs s, generate_series(0, 4) t(f)
+      WHERE t.f < 2 + s.src % 4 AND t.f % 2 = 0
+    ),
+    vcell AS (
+      SELECT v.src, v.f, g.dy, g.dx,
+             ((v.src * 31 + v.f * 97 + ka) % 256)
+               + ((v.src * 31 + v.f * 97 + ka + 1) % 256)
+               + ((v.src * 31 + v.f * 97 + ka + 2) % 256) AS ga,
+             ((v.src * 31 + v.f * 97 + kb) % 256)
+               + ((v.src * 31 + v.f * 97 + kb + 1) % 256)
+               + ((v.src * 31 + v.f * 97 + kb + 2) % 256) AS gb
+      FROM vframes v, igrid g,
+      LATERAL (SELECT 4 + v.src % 13 AS w, 3 + v.src % 7 AS h) dim,
+      LATERAL (SELECT (g.dy * dim.h) // 8 AS sy,
+                      (g.dx * dim.w) // 9 AS sxa,
+                      ((g.dx + 1) * dim.w) // 9 AS sxb) m,
+      LATERAL (SELECT (m.sy * dim.w + m.sxa) * 3 AS ka,
+                      (m.sy * dim.w + m.sxb) * 3 AS kb) k
+    ),
+    vbytes AS (
+      SELECT src, f, dy,
+             CAST(sum(CASE WHEN gb > ga THEN (1 << dx) ELSE 0 END)
+                  AS INT) AS byte
+      FROM vcell GROUP BY src, f, dy
+    ),
+    vhd AS (
+      SELECT ba.src AS sa, bb.src AS sb, ba.f AS fa, bb.f AS fb,
+             sum(bit_count(xor(ba.byte, bb.byte))) AS h
+      FROM vbytes ba JOIN vbytes bb
+        ON bb.dy = ba.dy AND ba.src < bb.src
+      GROUP BY 1, 2, 3, 4
+    ),
+    vnear AS (
+      SELECT sa, sb FROM vhd GROUP BY sa, sb HAVING min(h) <= 2
+    ),
+    vpairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM sv x JOIN sv y ON x.doc_id < y.doc_id
+      LEFT JOIN vnear ON vnear.sa = least(x.src, y.src)
+                     AND vnear.sb = greatest(x.src, y.src)
+      WHERE x.src = y.src OR vnear.sa IS NOT NULL
+    ),
     alledges AS (
       -- explicit DISTINCT over UNION ALL: a chained bare UNION inside
       -- this WITH RECURSIVE block was observed NOT to fully dedup in
@@ -792,6 +840,7 @@ from financial_data_pipeline_optimization_spark.queries.documents import (  # no
         SELECT a, b FROM tpairs
         UNION ALL SELECT a, b FROM ipairs
         UNION ALL SELECT a, b FROM apairs
+        UNION ALL SELECT a, b FROM vpairs
       )
     ),
     sym AS (SELECT a AS s, b AS d FROM alledges
@@ -819,6 +868,7 @@ from financial_data_pipeline_optimization_spark.queries.documents import (  # no
       CAST((SELECT count(*) FROM tpairs) AS BIGINT) AS n_text_pairs,
       CAST((SELECT count(*) FROM ipairs) AS BIGINT) AS n_image_pairs,
       CAST((SELECT count(*) FROM apairs) AS BIGINT) AS n_audio_pairs,
+      CAST((SELECT count(*) FROM vpairs) AS BIGINT) AS n_video_pairs,
       CAST((SELECT count(*) FROM alledges) AS BIGINT) AS n_edges,
       CAST((SELECT count(*) FROM survivors) AS BIGINT)
         AS n_multimodal_deduped
@@ -829,6 +879,9 @@ from financial_data_pipeline_optimization_spark.queries.documents import (  # no
     "near-dedup whose edges union text bigram-Jaccard pairs, image "
     "dHash Hamming<=2 pairs over REAL decoded BMP payloads, and audio "
     "envelope-fingerprint Hamming<=2 pairs over REAL decoded WAVs — "
+    "and video frame-dHash Hamming<=2 pairs (every-2nd-frame sampling "
+    "of REAL concatenated-PNG containers, one hash row per sampled "
+    "frame, assets pairing on ANY cross-asset frame match) — "
     "one connected-components pass over the union, so a paraphrased "
     "doc with a pixel-identical image still dedups. Payloads derive "
     "from doc_id % 250 (each doc >= 250 has planted image+audio "
@@ -871,6 +924,11 @@ def q_multimodal_curation_funnel(
         .withColumnRenamed("asset_id", "src"),
         "src",
     ).select("doc_id", "payload")
+    vids = keyed.join(
+        multimodal.synthetic_video_assets(srcs, "src")
+        .withColumnRenamed("asset_id", "src"),
+        "src",
+    ).select("doc_id", "payload")
     return corpus.multimodal_funnel_counts_df(
-        docs, images=imgs, audio=wavs
+        docs, images=imgs, audio=wavs, videos=vids
     )

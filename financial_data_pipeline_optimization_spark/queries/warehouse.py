@@ -846,28 +846,46 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution — the in-domain/outlier signal CCNet-style pipelines "
     "compute with an LM (here self-trained on the corpus in the same "
     "query). High scores = rare-token-heavy documents (boilerplate, "
-    "noise, wrong language). Shuffles only (token) and (doc_id) keyed "
-    "rows; the token-frequency side is vocabulary-sized and the "
-    "corpus-total is a broadcast scalar — documents themselves never "
-    "move.",
+    "noise, wrong language). Scale shape: tokens become 8-byte "
+    "xxhash64 longs at the explode (the minhash-verify trade — "
+    "distinct vocab tokens collide with p ~ vocab²/2^64 ≈ 1e-10, and "
+    "the oracle's exact string counts have never mismatched); the "
+    "frequency table is vocabulary-sized and BROADCAST to the scoring "
+    "join — the CCNet shape, shipping the trained LM to the workers — "
+    "so token occurrences are never shuffled by token (the previous "
+    "sort-merge join moved the whole exploded corpus twice and was "
+    "the measured 11.6x ×100 cell); the doc-grain aggregate collapses "
+    "in-partition (a document's exploded tokens are co-located), so "
+    "the only corpus-growing shuffle is the partial-aggregated vocab "
+    "count. At 100 TB the broadcast is the corpus vocabulary "
+    "(heavy-tail bounded; trim with a count floor or fall back to the "
+    "shuffle join if a trillion-token vocab outgrows executor "
+    "memory).",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import text as text_ops
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", explode_nonempty(text_ops.tokens("text")).alias("token")
-    ).filter(F.col("token") != "")
-    # Vocabulary-sized; lazily checkpointed so the corpus total reuses
-    # the materialized counts instead of re-scanning + re-exploding the
-    # document table a third time.
+    toks = (
+        docs.select(
+            "doc_id",
+            explode_nonempty(text_ops.tokens("text")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", F.xxhash64("token").alias("th"))
+    )
+    # Vocabulary-sized; lazily checkpointed so the corpus total and
+    # the broadcast build reuse the materialized counts instead of
+    # re-scanning + re-exploding the document table again.
     counts = (
-        toks.groupBy("token")
+        toks.groupBy("th")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("c").cast("long").alias("n"))
-    scored = toks.join(counts, "token").crossJoin(F.broadcast(total))
+    scored = toks.join(F.broadcast(counts), "th").crossJoin(
+        F.broadcast(total)
+    )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
         _r4(

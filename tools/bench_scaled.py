@@ -11,7 +11,11 @@ rides on.
 
 Methodology mirrors bench.py: one warm session, noop sink (full
 column-set execution, nothing collected), median of SPARK_GRAFT_BENCH_REPS
-(default 2) after a warm-up of the Python worker pool.
+(default 2) after a warm-up of the Python worker pool. With the default
+2 reps, ``samples[len//2]`` is the UPPER sample — i.e. every cell is
+the WORSE of its runs, a conservative bound ("worse_of", the naming the
+incremental and skew harnesses borrow for the same 2-sample estimator);
+growth ratios computed from two conservative bounds stay comparable.
 
 Usage:
   python tools/gen_replicated_sf.py /root/testdata/sf0.1 10 /tmp/sfx10
