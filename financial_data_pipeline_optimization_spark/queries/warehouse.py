@@ -849,18 +849,21 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "noise, wrong language). Scale shape: tokens become 8-byte "
     "xxhash64 longs at the explode (the minhash-verify trade — "
     "distinct vocab tokens collide with p ~ vocab²/2^64 ≈ 1e-10, and "
-    "the oracle's exact string counts have never mismatched); the "
-    "frequency table is vocabulary-sized and BROADCAST to the scoring "
-    "join — the CCNet shape, shipping the trained LM to the workers — "
-    "so token occurrences are never shuffled by token (the previous "
-    "sort-merge join moved the whole exploded corpus twice and was "
-    "the measured 11.6x ×100 cell); the doc-grain aggregate collapses "
-    "in-partition (a document's exploded tokens are co-located), so "
-    "the only corpus-growing shuffle is the partial-aggregated vocab "
-    "count. At 100 TB the broadcast is the corpus vocabulary "
-    "(heavy-tail bounded; trim with a count floor or fall back to the "
-    "shuffle join if a trillion-token vocab outgrows executor "
-    "memory).",
+    "the oracle's exact string counts have never mismatched), so the "
+    "scoring join sorts/shuffles fixed 16-byte rows instead of "
+    "variable-length strings, and the doc-grain aggregate collapses "
+    "in-partition (a document's exploded tokens are co-located). "
+    "MEASURED NEGATIVE RESULT (r12): force-broadcasting the "
+    "vocabulary-sized count table (the CCNet ship-the-LM shape) cut "
+    "×100 time only 58.7→49.9 s — the replicated corpus grows the "
+    "vocab linearly (per-replica disjoint vocabularies), so the "
+    "relation build dominates what the join saves — and the multi-GB "
+    "broadcast lingered past its query and OOM'd a 48 g heap three "
+    "queries later in the sweep. A real corpus' vocab grows "
+    "sub-linearly (Heaps' law), so ship-the-LM stays the right call "
+    "on a cluster with executor-sized vocab; here the hashed "
+    "sort-merge join is the memory-safe shape the sweep protocol can "
+    "certify.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import text as text_ops
@@ -883,9 +886,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("c").cast("long").alias("n"))
-    scored = toks.join(F.broadcast(counts), "th").crossJoin(
-        F.broadcast(total)
-    )
+    scored = toks.join(counts, "th").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
         _r4(

@@ -242,8 +242,18 @@ def main() -> None:
             # before — not during — the next timed region. This is
             # exactly what a well-behaved long-running service does
             # between requests; without it the x100 leg OOM'd a 48g
-            # heap on superseded blocks after 13 queries.
+            # heap on superseded blocks after 13 queries. DOUBLE-TAP
+            # with drain pauses (r12): one gc only ENQUEUES the weak
+            # refs — the cleaner's unpersists run async, and the next
+            # query's allocations raced them (the x100 text leg's
+            # vocab/bigram checkpoints total tens of GB; pagerank
+            # OOM'd twice while they were still draining). The pause
+            # lets the cleaner issue the removeBlock calls; the second
+            # gc reclaims the freed regions before timing starts.
             spark._jvm.System.gc()
+            time.sleep(2)
+            spark._jvm.System.gc()
+            time.sleep(1)
             samples = []
             try:
                 for _ in range(reps):
@@ -252,6 +262,14 @@ def main() -> None:
                         "noop"
                     ).mode("overwrite").save()
                     samples.append(time.perf_counter() - t0)
+                    # Between-rep cleanup (outside the timed region):
+                    # each rep rebuilds the query's localCheckpoints —
+                    # for the graph queries that is an ~edge-set-sized
+                    # block set PER REP, and two undrained sets plus a
+                    # predecessor query's leftovers OOM'd the 48 g
+                    # heap at x100 even though each rep alone fits.
+                    spark._jvm.System.gc()
+                    time.sleep(1)
             except Exception as exc:  # record and keep sweeping
                 print(f"{label} {name}: FAILED {exc!r}"[:500], flush=True)
                 results.setdefault(name, {})[label] = None
