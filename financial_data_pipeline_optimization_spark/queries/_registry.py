@@ -179,6 +179,27 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # fixed 8 — values change above 20k docs and the plan gained the
     # scalar broadcast, so re-prove.
     ("pack_chunks_bins", 10),
+    # r12 batch, priority order. multimodal_curation_funnel: results
+    # CHANGED — video frame-dHash edges are a fourth modality (new
+    # video_pairs column, oracle extended in queries/media.py).
+    # pmi_bigram_phrases: plan reshaped to ONE corpus pass via
+    # (token, next-or-null) pairs (oracle unchanged).
+    # unigram_logprob_score: scoring join re-keyed on xxhash64(token)
+    # (values identical modulo ~1e-10 collisions; plan changed).
+    # minhash consumers: signature fold + verify join now share one
+    # materialized hashed-shingle pass (signatures bit-identical by
+    # construction; plans changed). bucketed graph twins: fresh
+    # sessions now ADOPT a stamped on-disk edge table
+    # (trust-but-verify manifest) instead of rebuilding — the adoption
+    # path must be proven green by the driver, not just pytest.
+    ("multimodal_curation_funnel", 12),
+    ("pmi_bigram_phrases", 12),
+    ("unigram_logprob_score", 12),
+    ("minhash_recall_check", 12),
+    ("incremental_second_batch_check", 12),
+    ("incremental_ingest_report", 12),
+    ("pagerank_3iter_bucketed", 12),
+    ("kcore_trade_graph_bucketed", 12),
 )
 
 

@@ -122,11 +122,17 @@ def test_multimodal_funnel_cross_modal_dedup(spark):
         "the river runs cold past the village where the baker makes "
         "bread each morning for the children on the way to the school "
     )
+    alt3 = (
+        "deep under the city the trains hum through the tunnels while "
+        "the clocks on every platform count the quiet minutes between "
+        "arrivals and the lost gloves wait in a box by the ticket gate "
+    )
     rows = [
         (0, base + "alpha"),
         (1, alt + "beta"),   # text-unrelated to 0; image twin of 0
         (2, alt2 + "gamma"),  # audio twin of 0, text-unrelated to both
         (3, base + "alpha"),  # exact text dup of 0 -> exact stage
+        (4, alt3 + "delta"),  # VIDEO twin of 0 — its only edge
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     # images: docs 0 and 1 share payload src 100; 2 gets its own (200)
@@ -155,22 +161,45 @@ def test_multimodal_funnel_cross_modal_dedup(spark):
         ).withColumnRenamed("asset_id", "src"),
         "src",
     ).select("doc_id", "payload")
+    # videos: docs 0 and 4 share container src 9 — the ONLY edge
+    # reaching doc 4 (its text/image/audio are all unique), so doc 4
+    # deduping proves the video frame-dHash leg carries edges.
+    vid_src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id").isin(0, 4), F.lit(9))
+        .otherwise(F.col("doc_id") + 400)
+        .alias("src"),
+    )
+    vids = vid_src.join(
+        multimodal.synthetic_video_assets(
+            vid_src.select("src").distinct(), "src"
+        ).withColumnRenamed("asset_id", "src"),
+        "src",
+    ).select("doc_id", "payload")
 
     row = multimodal_funnel_counts_df(
-        docs, images=imgs, audio=wavs, min_tokens=10, max_hamming=0
+        docs,
+        images=imgs,
+        audio=wavs,
+        videos=vids,
+        min_tokens=10,
+        max_hamming=0,
     ).collect()[0]
-    assert row.n_input == 4
-    assert row.n_exact_deduped == 3  # doc 3 is an exact text dup of 0
-    # 0-1 joined by the image edge, 0-2 by the audio edge, despite
-    # unrelated text -> one component {0, 1, 2}, survivor = min id.
+    assert row.n_input == 5
+    assert row.n_exact_deduped == 4  # doc 3 is an exact text dup of 0
+    # 0-1 joined by the image edge, 0-2 by the audio edge, 0-4 by the
+    # video edge, despite unrelated text -> one component {0, 1, 2, 4},
+    # survivor = min id.
     assert row.n_image_pairs >= 1
     assert row.n_audio_pairs >= 1
+    assert row.n_video_pairs >= 1
     assert row.n_multimodal_deduped == 1
     # dropping the payload modalities keeps the text-only funnel: the
-    # three remaining docs have unrelated texts, so all survive.
+    # four remaining docs have unrelated texts, so all survive.
     row_t = multimodal_funnel_counts_df(docs, min_tokens=10).collect()[0]
     assert row_t.n_image_pairs == 0 and row_t.n_audio_pairs == 0
-    assert row_t.n_multimodal_deduped == 3
+    assert row_t.n_video_pairs == 0
+    assert row_t.n_multimodal_deduped == 4
 
 
 def test_multimodal_funnel_lsh_path_is_verified_subset(spark):
