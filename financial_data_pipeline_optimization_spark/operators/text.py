@@ -406,8 +406,14 @@ def chunk_tokens(
         chunk_size,
     )
     return (
-        df.select(id_col, tokens(text_col).alias("__toks"))
-        .filter((F.size("__toks") > 0) & (F.element_at("__toks", 1) != ""))
+        # The nonempty-token guard runs on the RAW text (a tokens()
+        # token is a maximal [a-zA-Z0-9]+ run, so "has a token" ==
+        # "has an alnum char"): filtering on the tokenized array
+        # makes Catalyst re-inline the tokenize into every Filter
+        # conjunct — three ~full-corpus regex evaluations instead of
+        # one (measured ~30 s each at the ×100 corpus, SCALING.md).
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        .select(id_col, tokens(text_col).alias("__toks"))
         .select(
             id_col,
             "__toks",
@@ -423,6 +429,77 @@ def chunk_tokens(
             ),
             F.concat_ws(" ", chunk_toks).alias("chunk_text"),
             F.size(chunk_toks).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def chunk_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """The metadata-only twin of :func:`chunk_tokens`: the same
+    ``(id, chunk_index, n_chunk_tokens)`` rows WITHOUT materializing
+    any chunk text or carrying the token array through the explode.
+
+    A chunk's token count is pure arithmetic on the document's token
+    count — chunk ``ci`` covers tokens ``ci*stride+1 .. ci*stride+
+    chunk_size`` clamped to ``n``, so ``n_chunk_tokens =
+    least(chunk_size, n - ci*stride)`` — and the document's token
+    count never needs the token ARRAY either: a :func:`tokens` token
+    is exactly a maximal ``[a-zA-Z0-9]+`` run of the raw text (the
+    tokenizer lowercases, maps every other char to space, and splits
+    on whitespace — the split pieces ARE the alnum runs), so ``n =
+    regexp_count(text, '[a-zA-Z0-9]+')``: one regex scan, no
+    lower/replace/trim string rebuilding, no array allocation, and
+    the nonempty-doc filter is just ``n > 0``. The measured contrast
+    at the ×100 replicated corpus (see SCALING.md): the array path
+    costs ~30 s per tokenize EVALUATION and Catalyst re-inlines the
+    alias into each Filter conjunct, so :func:`chunk_tokens`' head
+    evaluates it three times (~89 s) before duplicating the array
+    onto every exploded chunk row; this form counts the same tokens
+    in a fraction of one evaluation. Use THIS for packing/budgeting
+    consumers that never read chunk text; use :func:`chunk_tokens`
+    when the text itself is the output.
+
+    Same chunk grid, same empty-doc filter, bit-identical counts —
+    pinned against :func:`chunk_tokens` by tests.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap=} {chunk_size=}"
+        )
+    stride = chunk_size - overlap
+    n = F.col("__n")
+    k_count = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    return (
+        df.select(
+            id_col,
+            F.regexp_count(
+                F.col(text_col), F.lit("[a-zA-Z0-9]+")
+            ).alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__n",
+            F.explode(
+                F.sequence(F.lit(0).cast("int"), k_count - 1)
+            ).alias("chunk_index"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            F.least(
+                F.lit(chunk_size),
+                n - F.col("chunk_index").cast("int") * stride,
+            )
+            .cast("int")
+            .alias("n_chunk_tokens"),
         )
     )
 

@@ -200,6 +200,14 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("incremental_ingest_report", 12),
     ("pagerank_3iter_bucketed", 12),
     ("kcore_trade_graph_bucketed", 12),
+    # r12 (late): pack_chunks_bins counts tokens via regexp_count on
+    # the raw text (metadata-only chunk_token_counts — no tokenize,
+    # no array, no explode-carried payload; values identical,
+    # twin-equivalence test), and chunk_tokens' nonempty guard moved
+    # to a raw-text rlike so the tokenize evaluates once instead of
+    # three times. Plans changed, re-prove both consumers.
+    ("pack_chunks_bins", 12),
+    ("chunk_documents_tokens", 12),
 )
 
 

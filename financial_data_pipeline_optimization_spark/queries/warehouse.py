@@ -476,8 +476,13 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.count(F.lit(1)) / F.lit(2500.0)).cast("long"),
         ).alias("__n_shards")
     )
+    # chunk_token_counts, not chunk_tokens: packing reads only the
+    # per-chunk token COUNT, which is arithmetic on the doc's token
+    # count — the full-array twin duplicated the token data onto
+    # every chunk row (~5× here, k× in general) just to size a slice
+    # of it, the measured dominant cost of this query at ×100.
     chunks = (
-        text_ops.chunk_tokens(
+        text_ops.chunk_token_counts(
             docs, "doc_id", "text", chunk_size=40, overlap=8
         )
         .crossJoin(F.broadcast(nd))

@@ -266,6 +266,44 @@ def test_chunk_tokens_canonicalizes_and_skips_tokenless(spark):
     assert rows[0].chunk_text == "hello world"
 
 
+def test_chunk_token_counts_matches_chunk_tokens(spark):
+    """The metadata-only twin must agree with the array path on the
+    exact (id, chunk_index, n_chunk_tokens) rows — across doc lengths
+    that hit every clamp: sub-chunk, exact multiple, straddler,
+    punctuation-only and null (no rows)."""
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(25))),   # 4 chunks, short tail
+        (2, " ".join(f"v{i}" for i in range(10))),   # exactly one chunk
+        (3, "one two three"),                        # sub-chunk doc
+        (4, " ".join(f"u{i}" for i in range(16))),   # n-overlap = stride
+        (5, "!!! ..."),                              # tokenless
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "id long, txt string")
+    for cs, ov in ((10, 4), (10, 0), (7, 3)):
+        want = sorted(
+            (r.id, r.chunk_index, r.n_chunk_tokens)
+            for r in text.chunk_tokens(
+                df, "id", "txt", chunk_size=cs, overlap=ov
+            ).collect()
+        )
+        got = sorted(
+            (r.id, r.chunk_index, r.n_chunk_tokens)
+            for r in text.chunk_token_counts(
+                df, "id", "txt", chunk_size=cs, overlap=ov
+            ).collect()
+        )
+        assert got == want, (cs, ov)
+
+
+def test_chunk_token_counts_rejects_bad_overlap(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id long, txt string")
+    with pytest.raises(ValueError):
+        text.chunk_token_counts(df, "id", "txt", chunk_size=10, overlap=10)
+
+
 def test_weighted_sample_extremes_and_determinism(spark):
     df = spark.createDataFrame(
         [(i, float(w)) for i, w in enumerate([0.0] * 50 + [1.0] * 50)],
