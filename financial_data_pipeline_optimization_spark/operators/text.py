@@ -82,27 +82,58 @@ def with_lang_id(
     """Stopword-overlap language ID: score each language by how many of
     its marker stopwords occur in the distinct-token set; argmax wins,
     ties and zero-score fall back to 'und'. Deterministic and
-    SQL-expressible (the oracle mirrors it with ``list_intersect``)."""
-    tok_set = F.array_distinct(tokens(text_col))
-    scores = {
-        lang: F.size(
-            F.array_intersect(tok_set, F.array(*[F.lit(m) for m in markers]))
-        )
-        for lang, markers in LANG_MARKERS.items()
-    }
-    best = None
-    # Deterministic argmax: iterate languages in sorted order; strictly
-    # greater wins, so earlier (alphabetical) languages win ties.
-    langs = sorted(scores)
-    best_score = scores[langs[0]]
-    best = F.lit(langs[0])
-    for lang in langs[1:]:
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return df.withColumn(
-        out_col, F.when(best_score > 0, best).otherwise(F.lit("und"))
+    SQL-expressible (the oracle mirrors it with ``list_intersect``).
+
+    Expression shape matters here: the obvious iterated
+    ``when(score > best_score, ...)`` chain NESTS every prior score
+    expression inside the next comparison, so the tree grows
+    exponentially in the language count — with 5 languages the plan
+    held 87 copies of the tokenizer and the generated code blew past
+    janino's 64 KB method limit, silently disabling whole-stage
+    codegen for the whole stage (and with it the runtime
+    common-subexpression elimination that would have deduplicated
+    the copies). Instead: materialize the distinct-token set ONCE per
+    row behind a one-element ``explode`` (a Generate is a hard
+    barrier — neither CollapseProject nor predicate pushdown can
+    re-inline the tokenize into downstream expression copies), score
+    all languages in one ``transform`` over the marker table, and
+    argmax with one linear ``aggregate`` fold whose accumulator
+    ``(0, 'und')`` encodes both the zero-score fallback and the
+    alphabetical tie-break (later languages must be STRICTLY
+    greater). One tokenize per row, a tree that grows linearly in
+    languages, codegen re-enabled."""
+    langs = sorted(LANG_MARKERS)
+    markers_lit = F.array(
+        *[
+            F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+            for lang in langs
+        ]
     )
+    langs_lit = F.array(*[F.lit(lang) for lang in langs])
+    scored = df.select(
+        "*",
+        F.explode(
+            F.array(F.array_distinct(tokens(text_col)))
+        ).alias("__lang_tok_set"),
+    ).select(
+        *df.columns,
+        F.zip_with(
+            F.transform(
+                markers_lit,
+                lambda mk: F.size(
+                    F.array_intersect(F.col("__lang_tok_set"), mk)
+                ),
+            ),
+            langs_lit,
+            lambda s, lang: F.struct(s.alias("sc"), lang.alias("lang")),
+        ).alias("__lang_scores"),
+    )
+    best = F.aggregate(
+        F.col("__lang_scores"),
+        F.struct(F.lit(0).alias("sc"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["sc"] > acc["sc"], x).otherwise(acc),
+    )
+    return scored.withColumn(out_col, best["lang"]).drop("__lang_scores")
 
 
 def with_fingerprint(
@@ -124,16 +155,30 @@ def quality_filter(
     min_ttr: float = 0.1,
 ) -> DataFrame:
     """Composite corpus-quality filter over the text-stats signals;
-    narrow (filter pushes into the scan where possible)."""
-    stats = with_text_stats(df, text_col)
-    return (
-        stats.filter(F.col("n_tokens") >= min_tokens)
-        .filter(F.col("n_punct") / F.col("n_chars_text") <= max_punct_ratio)
-        .filter(
-            F.col("n_distinct_tokens") / F.col("n_tokens") >= min_ttr
-        )
-        .select(*df.columns)
+    narrow, row-local, zero exchanges.
+
+    The token array is materialized ONCE per row behind a one-element
+    ``explode`` before the predicates reference it: filtering directly
+    on ``with_text_stats`` columns lets predicate pushdown substitute
+    the tokenize into every conjunct — the n_tokens and ttr conditions
+    each re-ran it, measured ~3× the single-evaluation cost at the
+    ×100 corpus (98 s vs ~30 s/evaluation, SCALING.md). A Generate is
+    a hard barrier: the conjuncts read the generated attribute, and
+    the cheap punct/chars conditions still sit scan-side."""
+    base = df.select(
+        "*", F.explode(F.array(tokens(text_col))).alias("__qf_toks")
     )
+    t = F.col("__qf_toks")
+    c = F.col(text_col)
+    keep = (
+        (F.size(t) >= min_tokens)
+        & (
+            F.regexp_count(c, F.lit(r"[^\w\s]")) / F.length(c)
+            <= max_punct_ratio
+        )
+        & (F.size(F.array_distinct(t)) / F.size(t) >= min_ttr)
+    )
+    return base.filter(keep).select(*df.columns)
 
 
 def with_winnowing_fingerprints(
@@ -224,7 +269,13 @@ def repetition_stats(
     bigram level) joined on the id — each is one shuffle keyed by
     (id, gram), which scales linearly and stays skew-free; a per-row
     higher-order-function mode computation would be O(tokens²)
-    interpreted. Returns ``(id, n_tokens, distinct_token_frac,
+    interpreted. The two legs deliberately tokenize independently:
+    sharing one lazily-checkpointed token-array table was MEASURED
+    break-even at the ×100 corpus (58 s both ways — materializing
+    corpus-sized token ARRAYS costs what the second tokenize costs,
+    unlike ``template_prefix_flags``' 16-byte prefix hashes where the
+    same move wins ~1.5×), so the recompute keeps the block manager
+    free for nothing. Returns ``(id, n_tokens, distinct_token_frac,
     top_token_frac, dup_bigram_frac)`` with raw double fractions
     (callers round for cross-engine comparison).
     """
@@ -1055,10 +1106,27 @@ def relative_length_flags(
     """
     from pyspark.sql import Window
 
+    # Token count without the tokenizer: a tokens() token is a maximal
+    # [a-zA-Z0-9]+ run of the raw text, except that an alnum-free
+    # non-null document tokenizes to [''] (count 1, not 0) — hence the
+    # greatest(.., 1) clamp; NULL stays NULL. One cheap regex scan per
+    # consumer instead of the full lower/replace/trim/split rebuild:
+    # `counts` feeds both the histogram and the flag join-back, and
+    # the un-checkpointed tokenize ran TWICE (measured ~90 s at the
+    # ×100 corpus vs ~30 s per evaluation, SCALING.md). Equivalence
+    # with size(tokens(..)) is test-pinned.
     counts = df.select(
         F.col(id_col),
         F.col(group_col),
-        F.size(tokens(text_col)).alias("n_tokens"),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.greatest(
+                F.regexp_count(
+                    F.col(text_col), F.lit("[a-zA-Z0-9]+")
+                ),
+                F.lit(1),
+            ),
+        ).alias("n_tokens"),
     )
     hist = counts.groupBy(group_col, "n_tokens").agg(
         F.count("*").alias("__n")
@@ -1127,7 +1195,12 @@ def template_prefix_flags(
         F.md5(
             F.concat_ws(" ", F.slice(tokens(text_col), 1, k))
         ).alias("__p"),
-    )
+        # Lazily checkpointed: `pre` feeds BOTH the profile aggregate
+        # and the flag join-back, and without the checkpoint each leg
+        # re-runs the corpus tokenize (measured ~60 s vs ~30 s per
+        # evaluation at the ×100 corpus, SCALING.md). The table is
+        # (id, source, 16-byte hash) — doc-count-sized, tiny.
+    ).localCheckpoint(eager=False)
     prof = pre.groupBy(source_col, "__p").agg(
         F.count(F.lit(1)).alias("__nd")
     )

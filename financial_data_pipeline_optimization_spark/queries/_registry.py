@@ -208,6 +208,30 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # three times. Plans changed, re-prove both consumers.
     ("pack_chunks_bins", 12),
     ("chunk_documents_tokens", 12),
+    # r12 (late, second batch): the repeated-tokenize audit. lang_id's
+    # when-chain argmax grew exponentially (87 tokenize copies, janino
+    # 64KB overflow, codegen silently disabled) — rewritten as one
+    # fold over a Generate-materialized score array; quality_filter's
+    # pushed-down conjuncts each re-ran the tokenize — predicates now
+    # read a Generate-materialized token array; relative_length's
+    # token count became a regexp_count (equivalence test-pinned);
+    # bigram_interp re-tokenized per consumer — now ONE hashed
+    # positional pass (the pmi restructure). Values identical (modulo
+    # the documented xxhash64 trade in bigram), plans changed,
+    # re-prove every consumer.
+    ("lang_id_heuristic", 12),
+    ("lang_agreement_kappa", 12),
+    ("quality_filter", 12),
+    ("relative_length_filter", 12),
+    ("bigram_interp_logprob", 12),
+    ("corpus_curation_funnel", 12),
+    # r12 (late, same audit): template_prefix_flags' (id, source,
+    # prefix-hash) table is now lazily checkpointed so the profile
+    # aggregate and the flag join-back share one corpus tokenize
+    # (values unchanged; plan changed, re-prove). The same move on
+    # repetition_stats was measured break-even (token ARRAYS cost as
+    # much to materialize as to recompute) and reverted.
+    ("template_prefix_flags", 12),
 )
 
 

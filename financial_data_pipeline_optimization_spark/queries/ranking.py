@@ -416,49 +416,72 @@ def q_pagerank_3iter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Interpolated bigram LM scoring (the KenLM-style quality "
     "signal one rung above unigram_logprob_score): corpus-trained "
     "P(w2|w1) = 0.7*c(w1,w2)/c(w1) + 0.3*c(w2)/T, per-doc mean "
-    "negative log-prob over its bigrams. Bigram construction is "
-    "ROW-LOCAL (indexed transform over the token array — no "
-    "posexplode+window adjacency shuffle); the count tables are "
-    "vocabulary- and bigram-vocabulary-sized aggregates AQE "
-    "broadcast-joins back onto the bigram stream; documents shuffle "
-    "only as (doc_id, w1, w2) rows. Docs with fewer than 2 tokens "
-    "drop out on both engines.",
+    "negative log-prob over its bigrams. ONE tokenize+explode corpus "
+    "pass (arrays_zip null-padding — the pmi_bigram_phrases "
+    "restructure at positional grain) materializes hashed "
+    "(doc_id, h1, h2-or-null) rows that serve the unigram counts, "
+    "bigram counts, corpus total, AND the scoring stream; every join "
+    "shuffles 8-byte keys. Bigram construction stays row-local (no "
+    "adjacency shuffle). Docs with fewer than 2 tokens drop out on "
+    "both engines.",
 )
 def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus tokenize+explode pass (the pmi_bigram_phrases
+    # restructure, kept at POSITIONAL grain because the score is a
+    # per-document mean over bigram positions): each token emits
+    # exactly one (h1, next-token-hash-or-null) row via arrays_zip
+    # null-padding, so the same materialized table yields the unigram
+    # counts (every token appears once as h1), the bigram counts, the
+    # corpus total, and the per-position scoring stream. The old
+    # shape re-ran the tokenize for every consumer (uc, bc, scored) —
+    # measured 180 s at the ×100 corpus vs ~30 s per tokenize
+    # evaluation (SCALING.md). Tokens become 8-byte xxhash64 longs at
+    # the scan (the unigram_logprob_score trade, collisions ~1e-10):
+    # the checkpoint holds 24-byte rows, not word pairs, and every
+    # join shuffles fixed-width keys. Oracle unchanged.
     from financial_data_pipeline_optimization_spark.operators import text as text_ops
 
     docs = _t(spark, sf_dir, "documents")
-    filt = docs.select(
-        "doc_id",
-        F.filter(
-            text_ops.tokens("text"), lambda x: x != F.lit("")
-        ).alias("t"),
+    toks = F.filter(text_ops.tokens("text"), lambda x: x != F.lit(""))
+    t = F.col("t")
+    pc = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            explode_nonempty(
+                F.arrays_zip(
+                    t.alias("w1"),
+                    F.slice(
+                        t, 2, F.greatest(F.size(t) - 1, F.lit(0))
+                    ).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("p.w1").alias("h1"),
+            # xxhash64(NULL) is NOT null (it hashes zero inputs), so
+            # the null-successor marker must be kept explicitly.
+            F.when(
+                F.col("p.w2").isNotNull(), F.xxhash64("p.w2")
+            ).alias("h2"),
+        )
+        .localCheckpoint(eager=False)  # four consumers, one scan
     )
     uc = (
-        filt.select(F.explode("t").alias("w"))
-        .groupBy("w")
+        pc.groupBy(F.col("h1").alias("h"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # reused for w1 AND w2 joins
+        .localCheckpoint(eager=False)  # reused for w1, w2 AND total
     )
     tot = uc.agg(F.sum("c").cast("long").alias("total"))
-    bg = F.transform(
-        F.slice(F.col("t"), 1, F.size("t") - 1),
-        lambda x, i: F.struct(
-            x.alias("w1"), F.get(F.col("t"), i + 1).alias("w2")
-        ),
-    )
-    bi = (
-        filt.filter(F.size("t") >= 2)
-        .select("doc_id", explode_nonempty(bg).alias("b"))
-        .select("doc_id", "b.w1", "b.w2")
-    )
-    bc = bi.groupBy("w1", "w2").agg(
+    bi = pc.where(F.col("h2").isNotNull())
+    bc = bi.groupBy("h1", "h2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
     )
     scored = (
-        bi.join(bc, ["w1", "w2"])
-        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
-        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        bi.join(bc, ["h1", "h2"])
+        .join(uc.select(F.col("h").alias("h1"), F.col("c").alias("c1")), "h1")
+        .join(uc.select(F.col("h").alias("h2"), F.col("c").alias("c2")), "h2")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",

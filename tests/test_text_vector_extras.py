@@ -296,6 +296,37 @@ def test_chunk_token_counts_matches_chunk_tokens(spark):
         assert got == want, (cs, ov)
 
 
+def test_regexp_token_count_matches_size_of_tokens(spark):
+    """The regexp_count shortcut used by relative_length_flags /
+    chunk_token_counts must equal size(tokens(..)) on every edge the
+    tokenizer has: null, empty, punct-only (the [''] sentinel),
+    unicode, mixed whitespace, digit runs."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "!!! ..."),
+        (4, "Hello, World!"),
+        (5, "a_b c\td\ne"),
+        (6, "café déjà vu 42"),
+        (7, "  leading and trailing  "),
+        (8, "x1y2 z3"),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = df.select(
+        "id",
+        F.size(text.tokens("txt")).alias("via_tokens"),
+        F.when(
+            F.col("txt").isNotNull(),
+            F.greatest(
+                F.regexp_count(F.col("txt"), F.lit("[a-zA-Z0-9]+")),
+                F.lit(1),
+            ),
+        ).alias("via_regexp"),
+    ).collect()
+    for r in got:
+        assert r.via_tokens == r.via_regexp, (r.id, r.via_tokens, r.via_regexp)
+
+
 def test_chunk_token_counts_rejects_bad_overlap(spark):
     import pytest
 
