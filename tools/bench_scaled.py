@@ -77,6 +77,14 @@ QUERIES = [
     "kcore_trade_graph",
     "kcore_trade_graph_bucketed",
     "pack_chunks_bins",
+    # r12 repeated-tokenize-audit cells: each was measured, fixed (or
+    # honestly left alone), and is now regression-gated here so a
+    # reintroduced duplicate evaluation trips its growth budget.
+    "bigram_interp_logprob",
+    "quality_filter",
+    "relative_length_filter",
+    "lang_id_heuristic",
+    "template_prefix_flags",
     "knn_brute_force",
     "knn_ivf_search",
     "knn_pq_search",
