@@ -232,6 +232,33 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # repetition_stats was measured break-even (token ARRAYS cost as
     # much to materialize as to recompute) and reverted.
     ("template_prefix_flags", 12),
+    # r12 (last): the shared tokenizer itself was reimplemented as one
+    # regexp_extract_all pass (~40× faster per corpus evaluation;
+    # value-identical — [''] sentinel and NULL preserved, pinned by an
+    # edge-case test, the tokenizer differential fuzzer, and a full
+    # 204-query oracle run this round). EVERY tokens() consumer's plan
+    # changed; the window can't hold them all without evicting the
+    # overdue r07 rows, so the 18 most value-sensitive consumers are
+    # queued here (prioritized below the fix batches above) and the
+    # rest re-prove on the normal oldest-first rotation.
+    ("doc_fingerprint", 12),
+    ("text_stats", 12),
+    ("ngram_jaccard_pairs", 12),
+    ("near_dup_clusters", 12),
+    ("cluster_representatives", 12),
+    ("substring_dedup_docs", 12),
+    ("bm25_topk_docs", 12),
+    ("tfidf_top_terms", 12),
+    ("shingle_novelty_score", 12),
+    ("simhash_planted_check", 12),
+    ("gopher_repetition_filter", 12),
+    ("decontaminate_vs_benchmark", 12),
+    ("contamination_report", 12),
+    ("vocab_coverage", 12),
+    ("zipf_fit_tokens", 12),
+    ("dsir_importance_weights", 12),
+    ("corpus_top_bigrams", 12),
+    ("bpe_pair_step", 12),
 )
 
 

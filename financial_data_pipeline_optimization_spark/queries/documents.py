@@ -33,9 +33,22 @@ from financial_data_pipeline_optimization_spark.queries._registry import (
 # Text analysis (extension surface; operators.text)
 # ===========================================================================
 
+# The canonical tokenizer contract, DuckDB side (Spark side:
+# operators.text.tokens — regexp_extract_all of the maximal [a-z0-9]+
+# runs of the lowercased text, with NULL preserved and the ['']
+# sentinel for alnum-free non-null documents). r12 replaced the
+# historical replace+trim+split spelling on BOTH engines at once: the
+# old form's trim stripped only ASCII spaces, so a document with
+# LEADING/TRAILING non-space whitespace ('\r') tokenized to spurious
+# empty-string tokens (['', '']) — an artifact, not a contract, caught
+# by the tokenizer differential fuzzer the moment the Spark side moved
+# to the runs form (which is also ~40× faster per corpus evaluation,
+# SCALING.md).
 _ORACLE_TOKENS = (
-    "string_split_regex(trim(regexp_replace(lower(text), "
-    "'[^a-z0-9 \\t\\n\\x0b\\f\\r]', ' ', 'g')), '[ \\t\\n\\x0b\\f\\r]+')"
+    "(CASE WHEN text IS NULL THEN NULL "
+    "WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0 "
+    "THEN regexp_extract_all(lower(text), '[a-z0-9]+') "
+    "ELSE [''] END)"
 )
 
 

@@ -296,6 +296,41 @@ def test_chunk_token_counts_matches_chunk_tokens(spark):
         assert got == want, (cs, ov)
 
 
+def test_tokens_extract_all_matches_replace_split_form(spark):
+    """The regexp_extract_all tokenizer must be value-identical to the
+    historical replace+trim+split form on every edge: null, empty,
+    punct-only (the [''] sentinel), unicode, underscores (Java \\w
+    would keep them — [a-z0-9] must not), mixed whitespace incl.
+    \\x0b, digit/letter runs, case folding."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "!!! ..."),
+        (4, "Hello, World!"),
+        (5, "a_b c\td\ne"),
+        (6, "café déjà vu 42"),
+        (7, "  leading and trailing  "),
+        (8, "x1y2 z3"),
+        (9, "_"),
+        (10, "A\x0bB"),
+        (11, "MiXeD CaSe 007"),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    old_form = F.split(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("txt")), r"[^a-z0-9\s]", " ")
+        ),
+        r"\s+",
+    )
+    got = df.select(
+        "id",
+        old_form.alias("old"),
+        text.tokens("txt").alias("new"),
+    ).collect()
+    for r in got:
+        assert r.old == r.new, (r.id, r.old, r.new)
+
+
 def test_regexp_token_count_matches_size_of_tokens(spark):
     """The regexp_count shortcut used by relative_length_flags /
     chunk_token_counts must equal size(tokens(..)) on every edge the
