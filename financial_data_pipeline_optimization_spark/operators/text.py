@@ -496,13 +496,18 @@ def chunk_tokens(
         chunk_size,
     )
     return (
-        # The nonempty-token guard runs on the RAW text (a tokens()
-        # token is a maximal [a-zA-Z0-9]+ run, so "has a token" ==
-        # "has an alnum char"): filtering on the tokenized array
-        # makes Catalyst re-inline the tokenize into every Filter
-        # conjunct — three ~full-corpus regex evaluations instead of
-        # one (measured ~30 s each at the ×100 corpus, SCALING.md).
-        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        # The nonempty-token guard runs on lower(text) (a tokens()
+        # token is a maximal [a-z0-9]+ run of the LOWERCASED text, so
+        # "has a token" == "lower(text) has an [a-z0-9] char"):
+        # filtering on the tokenized array makes Catalyst re-inline
+        # the tokenize into every Filter conjunct — three ~full-corpus
+        # regex evaluations instead of one (measured ~30 s each at the
+        # ×100 corpus, SCALING.md). Lowercasing first (cheap, not a
+        # regex) matches the tokenizer exactly even for characters
+        # whose Unicode lowercase maps INTO ascii (Kelvin sign U+212A
+        # → 'k'): a raw [a-zA-Z0-9] test would disagree with
+        # size(tokens(..)) on such rows.
+        df.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
         .select(id_col, tokens(text_col).alias("__toks"))
         .select(
             id_col,
@@ -539,12 +544,13 @@ def chunk_token_counts(
     chunk_size`` clamped to ``n``, so ``n_chunk_tokens =
     least(chunk_size, n - ci*stride)`` — and the document's token
     count never needs the token ARRAY either: a :func:`tokens` token
-    is exactly a maximal ``[a-zA-Z0-9]+`` run of the raw text (the
-    tokenizer lowercases, maps every other char to space, and splits
-    on whitespace — the split pieces ARE the alnum runs), so ``n =
-    regexp_count(text, '[a-zA-Z0-9]+')``: one regex scan, no
-    lower/replace/trim string rebuilding, no array allocation, and
-    the nonempty-doc filter is just ``n > 0``. The measured contrast
+    is exactly a maximal ``[a-z0-9]+`` run of the LOWERCASED text, so
+    ``n = regexp_count(lower(text), '[a-z0-9]+')``: one regex scan
+    (``lower`` is a cheap non-regex pass, and lowercasing first — not
+    counting ``[a-zA-Z0-9]+`` runs of the raw text — matches the
+    tokenizer exactly even for characters whose Unicode lowercase
+    maps into ascii, e.g. Kelvin sign U+212A → ``'k'``), no array
+    allocation, and the nonempty-doc filter is just ``n > 0``. The measured contrast
     at the ×100 replicated corpus (see SCALING.md): the array path
     costs ~30 s per tokenize EVALUATION and Catalyst re-inlines the
     alias into each Filter conjunct, so :func:`chunk_tokens`' head
@@ -570,7 +576,7 @@ def chunk_token_counts(
         df.select(
             id_col,
             F.regexp_count(
-                F.col(text_col), F.lit("[a-zA-Z0-9]+")
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+")
             ).alias("__n"),
         )
         .filter(F.col("__n") > 0)
@@ -1146,10 +1152,12 @@ def relative_length_flags(
     from pyspark.sql import Window
 
     # Token count without the tokenizer: a tokens() token is a maximal
-    # [a-zA-Z0-9]+ run of the raw text, except that an alnum-free
-    # non-null document tokenizes to [''] (count 1, not 0) — hence the
-    # greatest(.., 1) clamp; NULL stays NULL. One cheap regex scan per
-    # consumer instead of the full lower/replace/trim/split rebuild:
+    # [a-z0-9]+ run of the LOWERCASED text (lowercasing first matches
+    # the tokenizer exactly even for chars whose Unicode lowercase
+    # maps into ascii, e.g. Kelvin sign U+212A → 'k'), except that an
+    # alnum-free non-null document tokenizes to [''] (count 1, not 0)
+    # — hence the greatest(.., 1) clamp; NULL stays NULL. One cheap
+    # regex scan per consumer instead of the full array tokenize:
     # `counts` feeds both the histogram and the flag join-back, and
     # the un-checkpointed tokenize ran TWICE (measured ~90 s at the
     # ×100 corpus vs ~30 s per evaluation, SCALING.md). Equivalence
@@ -1161,7 +1169,7 @@ def relative_length_flags(
             F.col(text_col).isNotNull(),
             F.greatest(
                 F.regexp_count(
-                    F.col(text_col), F.lit("[a-zA-Z0-9]+")
+                    F.lower(F.col(text_col)), F.lit("[a-z0-9]+")
                 ),
                 F.lit(1),
             ),

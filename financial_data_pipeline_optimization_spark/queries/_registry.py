@@ -259,6 +259,19 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("dsir_importance_weights", 12),
     ("corpus_top_bigrams", 12),
     ("bpe_pair_step", 12),
+    # r13: ADVICE fixes. bigram_interp_logprob: tokenless/NULL docs
+    # minted a phantom unigram via explode_outer + xxhash64(NULL) —
+    # now guarded with p.w1 IS NOT NULL after the Generate (values
+    # identical on the driver corpus, which has no tokenless docs;
+    # plan changed). The raw-text token-count shortcuts (chunk guard,
+    # chunk_token_counts, relative_length_flags) now run against
+    # lower(text) with [a-z0-9]+ so they match the tokenizer even for
+    # chars whose Unicode lowercase maps into ascii (Kelvin sign);
+    # values identical on the ascii corpus, plans changed.
+    ("bigram_interp_logprob", 13),
+    ("chunk_documents_tokens", 13),
+    ("pack_chunks_bins", 13),
+    ("relative_length_filter", 13),
 )
 
 

@@ -457,6 +457,17 @@ def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p"),
         )
+        # The zipped array is NOT non-empty by construction here — the
+        # x != '' filter empties a punct-only doc's [''] to [], and
+        # NULL text yields a NULL array — so explode_nonempty (an
+        # explode_outer) emits a p=NULL phantom row for each. Left
+        # unfiltered, xxhash64(p.w1) hashes NULL to a non-null
+        # constant, minting a phantom unigram that inflates uc and
+        # tot and shifts every doc's interpolated log-prob vs the
+        # oracle (which unnests and contributes nothing). The guard
+        # reads only the generated attribute, so it cannot be pushed
+        # below the Generate and never re-evaluates the tokenize.
+        .where(F.col("p.w1").isNotNull())
         .select(
             "doc_id",
             F.xxhash64("p.w1").alias("h1"),

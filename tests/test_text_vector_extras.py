@@ -298,10 +298,16 @@ def test_chunk_token_counts_matches_chunk_tokens(spark):
 
 def test_tokens_extract_all_matches_replace_split_form(spark):
     """The regexp_extract_all tokenizer must be value-identical to the
-    historical replace+trim+split form on every edge: null, empty,
+    historical replace+trim+split form on every edge EXCEPT the one
+    documented intentional divergence — documents whose first or last
+    character is non-space whitespace (\\t, \\n, \\r, \\x0b, …), where
+    the old form's space-only ``trim`` left spurious ``''`` tokens (a
+    bug the differential fuzzer caught; the oracle contract moved to
+    the runs form with the fix). Edges covered here: null, empty,
     punct-only (the [''] sentinel), unicode, underscores (Java \\w
-    would keep them — [a-z0-9] must not), mixed whitespace incl.
-    \\x0b, digit/letter runs, case folding."""
+    would keep them — [a-z0-9] must not), INTERNAL mixed whitespace
+    incl. \\x0b, digit/letter runs, case folding. The divergent edge
+    is pinned separately below as the NEW behavior."""
     rows = [
         (1, None),
         (2, ""),
@@ -331,11 +337,38 @@ def test_tokens_extract_all_matches_replace_split_form(spark):
         assert r.old == r.new, (r.id, r.old, r.new)
 
 
+def test_tokens_nonspace_whitespace_edges_pin_new_behavior(spark):
+    """Pin the fix itself: on leading/trailing NON-SPACE whitespace
+    the old replace+trim+split form minted spurious '' tokens
+    ('\\tabc' → ['', 'abc']; '\\r' → ['', '']) — the new
+    regexp_extract_all form must yield exactly the alnum runs, with
+    the [''] sentinel only for genuinely token-free non-null text."""
+    rows = [
+        (1, "\tabc"),
+        (2, "abc\n"),
+        (3, "\r"),
+        (4, "\x0b x \x0b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {
+        r.id: r.new
+        for r in df.select("id", text.tokens("txt").alias("new")).collect()
+    }
+    assert got[1] == ["abc"]
+    assert got[2] == ["abc"]
+    assert got[3] == [""]  # token-free → the sentinel, never ['','']
+    assert got[4] == ["x"]
+
+
 def test_regexp_token_count_matches_size_of_tokens(spark):
     """The regexp_count shortcut used by relative_length_flags /
     chunk_token_counts must equal size(tokens(..)) on every edge the
     tokenizer has: null, empty, punct-only (the [''] sentinel),
-    unicode, mixed whitespace, digit runs."""
+    unicode, mixed whitespace, digit runs — INCLUDING characters
+    whose Unicode lowercase maps into ascii (Kelvin sign U+212A →
+    'k', Å sign U+212B → 'å'): 'xKy' tokenizes to the single
+    token ['xky'], so the shortcut must count runs of lower(text),
+    not of the raw text (where [a-zA-Z0-9]+ would see 2 runs)."""
     rows = [
         (1, None),
         (2, ""),
@@ -345,6 +378,8 @@ def test_regexp_token_count_matches_size_of_tokens(spark):
         (6, "café déjà vu 42"),
         (7, "  leading and trailing  "),
         (8, "x1y2 z3"),
+        (9, "xKy kelvin"),
+        (10, "K"),
     ]
     df = spark.createDataFrame(rows, "id long, txt string")
     got = df.select(
@@ -353,7 +388,7 @@ def test_regexp_token_count_matches_size_of_tokens(spark):
         F.when(
             F.col("txt").isNotNull(),
             F.greatest(
-                F.regexp_count(F.col("txt"), F.lit("[a-zA-Z0-9]+")),
+                F.regexp_count(F.lower(F.col("txt")), F.lit("[a-z0-9]+")),
                 F.lit(1),
             ),
         ).alias("via_regexp"),
