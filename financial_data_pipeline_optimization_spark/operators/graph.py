@@ -253,6 +253,7 @@ def kcore_peel(
     dst: str = "dst",
     broadcast_keeps: bool = False,
     checkpoint_rounds: bool = True,
+    broadcast_max_nodes: int = 20_000_000,
 ) -> DataFrame:
     """Fixed-round k-core peeling over a SYMMETRIC edge relation:
     each round computes out-degrees (= total degrees when both edge
@@ -291,8 +292,36 @@ def kcore_peel(
     lineage and no driver actions, truncation buys nothing here.
     Exchange elimination + value equality are pinned in
     ``tests/test_bucketing.py``.
+
+    ``broadcast_max_nodes`` SIZE-GATES the broadcast mode: "the keep
+    list is node-sized" is an argument about the GRAPH, not a bound —
+    at web-graph scale (10⁹⁺ nodes) a keep list of longs is 8+ GB raw
+    and several times that as a broadcast hash relation, past Spark's
+    8 GB broadcast-table hard limit and enough to OOM the driver that
+    must hold it while shipping. When ``broadcast_keeps=True`` the
+    peel first counts the round-0 survivors (one node-sized
+    aggregation — on a src-bucketed table it is exchange-free, and
+    the keep list only SHRINKS with later rounds, so round 0 bounds
+    them all) and silently falls back to the default shuffle
+    semi-joins when the count exceeds the budget. The default 20 M
+    survivors ≈ 160 MB of raw keys ≈ 1–2 GB as an executor-resident
+    broadcast hash relation — comfortably under the 8 GB limit while
+    still covering any graph whose node set plausibly fits a single
+    executor's memory; raise it only with driver/executor heaps sized
+    to match. The fallback costs one extra degree aggregation up
+    front and is pinned by ``tests/test_graph.py`` (over-threshold
+    graph loses its broadcast hints, values identical).
     """
     e = edges.select(src, dst)
+    if broadcast_keeps:
+        survivors = (
+            e.groupBy(src)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= F.lit(k))
+            .count()
+        )
+        if survivors > broadcast_max_nodes:
+            broadcast_keeps = False
     for r in range(max(1, rounds)):
         deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select(src)

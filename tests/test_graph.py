@@ -163,3 +163,42 @@ def test_kcore_peel_dense_graph_is_stable(spark):
     rows = kcore_peel(edges, k=4, rounds=3).collect()
     assert sorted(r.node for r in rows) == list(nodes)
     assert all(r.degree == 4 for r in rows)
+
+
+def _logical_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_kcore_broadcast_keeps_size_gate(spark):
+    """broadcast_keeps must FALL BACK to the shuffle semi-joins when
+    the round-0 survivor count exceeds broadcast_max_nodes: at web
+    scale the keep list is 10^9+ longs — past Spark's 8 GB broadcast
+    limit — so the zero-shuffle plan cannot be unconditional. Pinned
+    via the optimized logical plan's broadcast join hints (deterministic
+    regardless of AQE's runtime join re-selection) plus value equality
+    across all three modes on a graph that peels."""
+    from financial_data_pipeline_optimization_spark.operators.graph import kcore_peel
+
+    # clique of 6 (survives k=3) plus a pendant path that peels away
+    nodes = range(6)
+    pairs = [(a, b) for a in nodes for b in nodes if a < b]
+    pairs += [(5, 10), (10, 11)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    on = kcore_peel(edges, k=3, rounds=3, broadcast_keeps=True)
+    assert "strategy=broadcast" in _logical_plan(on)
+
+    # round-0 survivors = raw-graph nodes with degree >= 3 (the
+    # 6-clique; the pendant nodes are already under k) — a budget of
+    # 1 is below that, forcing the fallback
+    gated = kcore_peel(
+        edges, k=3, rounds=3, broadcast_keeps=True, broadcast_max_nodes=1
+    )
+    assert "strategy=broadcast" not in _logical_plan(gated)
+
+    plain = kcore_peel(edges, k=3, rounds=3)
+    want = sorted((r.node, r.degree) for r in plain.collect())
+    assert sorted((r.node, r.degree) for r in on.collect()) == want
+    assert sorted((r.node, r.degree) for r in gated.collect()) == want
+    assert want == [(i, 5) for i in nodes]
