@@ -89,6 +89,13 @@ def write_bucketed_table(
     removes.
     """
     spark = df.sparkSession
+    split = _split_db(spark, table)
+    if split is not None and split[0] != "default":
+        # a db-qualified write into a database this session's
+        # in-memory catalog has forgotten must re-create it first
+        # (same derived location, see _managed_location) — both the
+        # DROP below and saveAsTable need the database to resolve
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {split[0]}")
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         if path is None:
@@ -129,21 +136,52 @@ def _q(s: str) -> str:
     return str(s).replace("'", "''")
 
 
+def _split_db(spark: SparkSession, table: str) -> tuple[str, str] | None:
+    """``(db, name)`` for a bare or db-qualified table name, resolving
+    bare names against the CURRENT database; None for three-part
+    (catalog-qualified) names, which this layer does not own."""
+    parts = table.lower().split(".")
+    if len(parts) == 1:
+        return spark.catalog.currentDatabase().lower(), parts[0]
+    if len(parts) == 2:
+        return parts[0], parts[1]
+    return None
+
+
 def _managed_location(spark: SparkSession, table: str) -> str | None:
-    """Qualified warehouse location a managed default-db ``table``
-    occupies, or None for the cases the orphan-cleanup guards also
-    refuse (db-qualified name, non-default current database) — trust
-    and cleanup must agree on which directories they own."""
-    if "." in table:
+    """Qualified location a managed ``table`` (bare or db-qualified)
+    occupies, or None for three-part names — trust and orphan cleanup
+    must agree on which directories they own.
+
+    The default database's location IS the warehouse root, so its
+    tables live at ``warehouse/<name>``; every other database's tables
+    live under the database location (``warehouse/<db>.db`` unless
+    created with an explicit LOCATION). When the current (in-memory)
+    catalog still knows the database, its recorded ``locationUri``
+    wins; a FRESH session that has forgotten a non-default database
+    falls back to the derived ``warehouse/<db>.db`` — exactly where
+    ``CREATE DATABASE`` without LOCATION would put it back, so trust's
+    re-registration and the original write resolve the same path."""
+    split = _split_db(spark, table)
+    if split is None:
         return None
-    if spark.catalog.currentDatabase() != "default":
-        return None
+    db, name = split
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     )
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if db == "default":
+        dbloc = warehouse
+    else:
+        try:
+            dbloc = spark.catalog.getDatabase(db).locationUri
+        except Exception:
+            dbloc = str(
+                jvm.org.apache.hadoop.fs.Path(warehouse, f"{db}.db")
+            )
+    hpath = jvm.org.apache.hadoop.fs.Path(dbloc, name)
+    fs = hpath.getFileSystem(conf)
     return str(fs.makeQualified(hpath).toString())
 
 
@@ -203,11 +241,18 @@ def trust_bucketed_table(
 
     Every ambiguous case returns False (same philosophy as the orphan
     cleanup: a wrong trust serves stale data, so only the exact
-    stamped match passes): db-qualified names, non-default current
-    database, missing manifest, any property mismatch.
+    stamped match passes): three-part catalog-qualified names, missing
+    manifest, any property mismatch. Db-qualified two-part names are
+    first-class: the managed location resolves per-database
+    (:func:`_managed_location`), and adopting a table of a database
+    the fresh session has forgotten recreates the database first
+    (``CREATE DATABASE IF NOT EXISTS`` — same derived location the
+    original write used, see ``_managed_location``).
     """
-    if "." in table or spark.catalog.currentDatabase() != "default":
+    split = _split_db(spark, table)
+    if split is None:
         return False
+    db = split[0]
     name = table.lower()
     if spark.catalog.tableExists(name):
         got = {
@@ -244,6 +289,8 @@ def trust_bucketed_table(
         f"'{_q(k)}'='{_q(v)}'" for k, v in sorted(stamped.items())
     )
     props_clause = f" TBLPROPERTIES ({kv})" if kv else ""
+    if db != "default":
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     spark.sql(
         f"CREATE TABLE {name} ({manifest['schema_ddl']}) USING PARQUET "
         f"CLUSTERED BY ({cluster}) {sort}"
@@ -266,31 +313,29 @@ def _delete_orphaned_managed_location(
     Guards (a wrong delete here is live-data loss, so every ambiguous
     case no-ops):
 
-    - db-qualified names skip cleanup entirely — their managed
-      location is ``warehouse/<db>.db/<name>``, NOT
-      ``warehouse/<name>``, so deleting the bare-name path would hit a
-      DIFFERENT (default-db) table's directory;
-    - a non-default current database skips for the same reason (a bare
-      name resolves into ``warehouse/<db>.db/`` there);
-    - if the current catalog still tracks a default-db table with this
-      bare name, its directory is ALIVE, not an orphan — skip.
+    - three-part catalog-qualified names skip cleanup entirely (this
+      layer does not own external-catalog locations);
+    - the location is resolved PER-DATABASE (``_managed_location``):
+      a db-qualified ``db.name`` deletes ``<db location>/<name>``,
+      never the bare ``warehouse/<name>`` path of a different
+      (default-db) table, and a bare name under a non-default current
+      database resolves into that database's directory — the two
+      cases that forced the pre-r13 blanket refusals;
+    - if the current catalog still tracks the (resolved) table, its
+      directory is ALIVE, not an orphan — skip.
 
     Residual ambiguity is inherent: files left by ANOTHER session's
     table of the same name are indistinguishable from an orphan of
-    this one. Engine callers all write unqualified default-db names,
-    where rebuild-over-orphan is the wanted semantics."""
-    if "." in table:
-        return
-    if spark.catalog.currentDatabase() != "default":
-        return
+    this one; rebuild-over-orphan is the wanted semantics for engine
+    callers."""
     name = table.lower()
     if spark.catalog.tableExists(name):
         return
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    )
+    location = _managed_location(spark, name)
+    if location is None:
+        return
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(warehouse, name)
+    hpath = jvm.org.apache.hadoop.fs.Path(location)
     fs = hpath.getFileSystem(
         spark._jsc.hadoopConfiguration()
     )

@@ -427,9 +427,9 @@ def test_managed_write_survives_orphaned_location(spark):
 def test_orphan_cleanup_never_touches_live_or_qualified_tables(spark):
     """The cleanup helper's guards: a managed table the CURRENT
     catalog tracks is alive (its directory must survive a cleanup call
-    with its name), and db-qualified names no-op entirely (their
-    managed location is warehouse/<db>.db/<name> — deleting the
-    bare-name path would hit a DIFFERENT table's directory)."""
+    with its name), and a db-qualified name resolves to the DATABASE's
+    directory (warehouse/<db>.db/<name>) — never the bare-name path of
+    a different default-db table, even when the bare parts collide."""
     import os
 
     from financial_data_pipeline_optimization_spark.sources.bucketing import (
@@ -452,7 +452,8 @@ def test_orphan_cleanup_never_touches_live_or_qualified_tables(spark):
         assert os.path.isdir(loc)
         assert spark.table(table).count() == 10
         # Qualified name whose bare part collides with the live
-        # table: must no-op, not delete warehouse/<bare-name>.
+        # table: resolves to warehouse/otherdb.db/<name> (absent →
+        # no-op), never deletes warehouse/<bare-name>.
         _delete_orphaned_managed_location(spark, f"otherdb.{table}")
         assert os.path.isdir(loc)
         assert spark.table(table).count() == 10
@@ -558,3 +559,76 @@ def test_trust_bucketed_table_adopts_stamped_layout(spark):
         # clone is EXTERNAL: drop leaves files; remove them explicitly.
         spark.sql(f"DROP TABLE IF EXISTS {clone}")
         shutil.rmtree(f"{warehouse}/{clone}", ignore_errors=True)
+
+
+def test_trust_bucketed_table_adopts_db_qualified_layout(spark):
+    """r13: db-qualified two-part names are first-class in the trust
+    path. Clone a stamped table's directory into a database directory
+    the catalog has NEVER seen (warehouse/<db>.db/<name> — where a
+    dead session's managed write would have left it): trust must
+    recreate the database, register the external bucketed table over
+    the files with zero data writes, serve identical rows, and keep
+    bucket-key aggregation exchange-free. The managed write path must
+    also be idempotent over a db-qualified orphan (the r10 bug class,
+    previously default-db-only)."""
+    import os
+    import shutil
+
+    from financial_data_pipeline_optimization_spark.sources.bucketing import (
+        trust_bucketed_table,
+    )
+
+    db = "fdpo_trust_qdb"
+    qname = f"{db}.trust_probe_q"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    src_table = "trust_probe_qsrc"
+    df = spark.range(900).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    stamp = {"fdpo.source.fingerprint": "qualified-777"}
+    try:
+        write_bucketed_table(df, src_table, ["k"], 4, properties=stamp)
+        # Plant the fresh-session state: files at the db's derived
+        # location, no database or table in the catalog.
+        shutil.copytree(
+            f"{warehouse}/{src_table}",
+            f"{warehouse}/{db}.db/trust_probe_q",
+        )
+        assert db not in [d.name for d in spark.catalog.listDatabases()]
+        # Wrong stamp refuses and registers nothing.
+        assert not trust_bucketed_table(
+            spark, qname, {"fdpo.source.fingerprint": "other"}
+        )
+        assert not spark.catalog.tableExists(qname)
+        # Right stamp adopts: database recreated, no data write.
+        before = sorted(
+            os.listdir(f"{warehouse}/{db}.db/trust_probe_q")
+        )
+        assert trust_bucketed_table(spark, qname, stamp)
+        got = spark.table(qname)
+        assert got.count() == 900
+        assert sorted(
+            os.listdir(f"{warehouse}/{db}.db/trust_probe_q")
+        ) == before
+        plan = (
+            got.groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        # Idempotent managed write over a db-qualified ORPHAN: drop
+        # only the catalog entries (external table — files survive),
+        # then write managed into the same qualified name.
+        spark.sql(f"DROP TABLE {qname}")
+        spark.sql(f"DROP DATABASE {db}")
+        write_bucketed_table(df, qname, ["k"], 4, properties=stamp)
+        assert spark.table(qname).count() == 900
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+        spark.sql(f"DROP TABLE IF EXISTS {src_table}")
+        shutil.rmtree(f"{warehouse}/{db}.db", ignore_errors=True)

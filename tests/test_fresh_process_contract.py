@@ -88,3 +88,77 @@ def test_bucketed_queries_survive_back_to_back_fresh_sessions():
         "adopting it",
         sorted(set(before) ^ set(after))[:10],
     )
+
+
+_QUALIFIED_SNIPPET = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from financial_data_pipeline_optimization_spark import get_spark
+from financial_data_pipeline_optimization_spark.sources.bucketing import (
+    trust_bucketed_table, write_bucketed_table,
+)
+spark = get_spark(app_name="fresh-qualified-{tag}")
+stamp = {{"fdpo.source.fingerprint": "fresh-qdb-1"}}
+name = "fdpo_freshdb.fresh_probe"
+if not trust_bucketed_table(spark, name, stamp):
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    write_bucketed_table(df, name, ["k"], 4, properties=stamp)
+    print("QUALIFIED_BUILT")
+else:
+    print("QUALIFIED_ADOPTED")
+print("QUALIFIED_OK", spark.table(name).count())
+spark.stop()
+"""
+
+
+def _qualified_snapshot() -> dict[str, tuple[int, float]]:
+    snap = {}
+    d = REPO / "spark-warehouse" / "fdpo_freshdb.db" / "fresh_probe"
+    for f in sorted(d.rglob("*")):
+        if f.is_file():
+            st = f.stat()
+            snap[str(f.relative_to(REPO))] = (st.st_size, st.st_mtime)
+    return snap
+
+
+def _run_qualified(tag: str) -> str:
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _QUALIFIED_SNIPPET.format(repo=str(REPO), tag=tag),
+        ],
+        cwd=str(REPO),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "QUALIFIED_OK 500" in out.stdout
+    return out.stdout
+
+
+def test_db_qualified_bucketed_table_adopted_across_fresh_sessions():
+    """r13: the cross-session adoption contract extends to
+    db-qualified names — process 1 builds a stamped managed table in a
+    non-default database, process 2 (fresh in-memory catalog, which
+    has forgotten both the database AND the table) must trust-adopt it
+    byte-identically instead of rebuilding."""
+    import shutil
+
+    shutil.rmtree(
+        REPO / "spark-warehouse" / "fdpo_freshdb.db", ignore_errors=True
+    )
+    one = _run_qualified("one")
+    assert "QUALIFIED_BUILT" in one
+    before = _qualified_snapshot()
+    assert before, "process 1 left no qualified table to adopt"
+    two = _run_qualified("two")
+    assert "QUALIFIED_ADOPTED" in two
+    assert _qualified_snapshot() == before, (
+        "process 2 rewrote the stamped db-qualified table instead of "
+        "adopting it"
+    )
