@@ -867,6 +867,95 @@ def synthetic_video_assets(df: DataFrame, id_col: str) -> DataFrame:
     ).drop("n_frames")
 
 
+def synthetic_video_assets_mixed(
+    df: DataFrame, id_col: str, seed_col: str
+) -> DataFrame:
+    """Bench-grade video builder: the same concatenated-PNG container
+    as :func:`synthetic_video_assets`, but every pixel byte is
+    HASH-MIXED from ``(seed, frame, byte index)`` (a splitmix-style
+    avalanche, vectorized numpy) instead of the plain builder's
+    ``(id*31 + f*97 + k) % 256``.
+
+    Why this exists: the plain formula is linear in ``k`` and periodic
+    in the id (mod lcm(13,7,4,256) = 23,296), so at corpus scale its
+    per-frame dHashes collapse onto a handful of values and ANY pair
+    join over them goes quadratic by fixture construction — fine for
+    the funnel's bounded 250-asset pool, useless for measuring the
+    banded join at 500k assets. Mixed pixels give near-uniform 64-bit
+    dHashes (random Hamming<=2 collisions ~1e-16), so pair counts are
+    governed by the seeds the CALLER plants: equal ``seed_col`` values
+    yield byte-identical payloads (geometry and all frames), distinct
+    seeds yield unrelated ones.
+
+    ``df`` needs ``(id_col long, seed_col long)``; output matches
+    :func:`synthetic_video_assets`: ``(asset_id, payload, meta)`` with
+    ``n_frames = 2 + seed % 4``, ``width = 16 + seed % 13``,
+    ``height = 8 + seed % 7`` (seed taken non-negative). Frames are
+    LARGER than the plain builder's (w >= 16 > 9 grid columns,
+    h >= 8 grid rows) so the 8x9 dHash sampling grid hits distinct
+    pixels in every cell — smaller frames duplicate grid rows/columns,
+    force those comparison bits to 0, and collapse the hash entropy
+    enough for spurious Hamming<=2 pairs (observed at 500 assets)."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        P1 = np.uint64(0x9E3779B97F4A7C15)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        P3 = np.uint64(0x165667B19E3779F9)
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                ids, payloads, frames = [], [], []
+                for aid, seed in zip(pdf[id_col], pdf[seed_col]):
+                    aid, s = int(aid), int(seed) & ((1 << 63) - 1)
+                    w, h = 16 + s % 13, 8 + s % 7
+                    nf = 2 + s % 4
+                    k = np.arange(w * h * 3, dtype=np.uint64)
+
+                    def _pixels(f: int):
+                        x = np.uint64(s) * P1 + np.uint64(f) * P2 + k * P3
+                        x ^= x >> np.uint64(33)
+                        x *= P2
+                        return (
+                            (x >> np.uint64(29)) & np.uint64(0xFF)
+                        ).astype(np.int64)
+
+                    buf = b"".join(
+                        _png_bytes(_pixels(f).reshape(h, w * 3))
+                        for f in range(nf)
+                    )
+                    ids.append(aid)
+                    payloads.append(buf)
+                    frames.append(nf)
+                yield pd.DataFrame(
+                    {"asset_id": pd.array(ids, dtype="int64"),
+                     "payload": payloads,
+                     "n_frames": pd.array(frames, dtype="int32")}
+                )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+        ]
+    )
+    built = df.select(id_col, seed_col).mapInPandas(
+        _build, schema=out_schema
+    )
+    return built.select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_frames").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    ).drop("n_frames")
+
+
 def _split_png_frames(aid, buf: bytes) -> list[bytes]:
     """Split a concatenated-PNG container into its complete frame
     streams by walking chunk lengths to each IEND (no signature

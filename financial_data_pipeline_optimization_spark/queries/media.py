@@ -932,3 +932,52 @@ def q_multimodal_curation_funnel(
     return corpus.multimodal_funnel_counts_df(
         docs, images=imgs, audio=wavs, videos=vids
     )
+
+
+def q_video_frame_dedup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale cell for the curation funnel's VIDEO leg in isolation
+    (bench-only, no oracle — the funnel query above carries the value
+    proof of the identical machinery against a DuckDB replay at driver
+    SFs): one synthetic video per DOCUMENT, so the leg's cost scales
+    with corpus size instead of the funnel's bounded 250-src asset
+    pool — container build -> every-2nd frame sampling
+    (``sample_video_frames``) -> per-frame REAL PNG decode + dHash
+    (``image_dhash``) -> 16-bit-banded Hamming<=2 join
+    (``hamming_banded_pairs``) -> distinct asset pairs.
+
+    Assets come from ``synthetic_video_assets_mixed`` (hash-avalanched
+    pixels): the plain builder's pixel formula is periodic in the id
+    mod 23,296, which collapses dHash diversity at corpus scale and
+    makes any pair join quadratic by fixture construction. Mixed
+    pixels put non-duplicate frames ~uniform on the 64-bit hash space
+    (random Hamming<=2 collisions ~1e-16), so the pair OUTPUT is the
+    planted structure: every 20th document reuses its predecessor's
+    content seed — byte-identical frames, one guaranteed pair — so
+    pairs = n_docs/20, linear in corpus size. Decode volume dominates:
+    ~n_docs * 1.75 sampled frames through the real PNG codec, all
+    row-local Arrow batches; the join shuffles 16-byte band keys only.
+    """
+    from financial_data_pipeline_optimization_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    content = F.when(
+        F.col("doc_id") % 20 == 19, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.xxhash64(content, F.lit("vidseed")).alias("__seed"),
+    )
+    vids = multimodal.synthetic_video_assets_mixed(
+        assets, "asset_id", "__seed"
+    )
+    frames = multimodal.sample_video_frames(vids, every_n=2)
+    hashed = multimodal.image_dhash(frames, decode_fn="png")
+    return (
+        multimodal.hamming_banded_pairs(
+            hashed, hash_col="dhash", max_hamming=2, band_bits=16
+        )
+        .select("a", "b")
+        .distinct()
+    )

@@ -29,6 +29,20 @@ measured growth; see the budget file's _doc). Violations are printed
 and the process exits 1 — this is the gate that would have caught the
 three r9 scale bugs (output-quadratic interval pairs, lineitem-grain
 join expansion) before they shipped.
+
+One-pass memory protocol (r13): the two PLAIN re-shuffling graph
+variants are the only cells that have ever OOM'd the sweep's
+documented 48g heap at x100 (superseded localCheckpoint block pressure
+— SCALING.md memory note); everything else completes with headroom.
+Instead of sizing the WHOLE sweep for its two worst citizens, the
+harness runs those cells' x100 leg in an ISOLATED child process with
+its own bigger heap after the main sweep finishes (the parent session
+is stopped first, so the heaps never coexist), merging into the same
+out.json via the resume protocol. Documented one-pass configuration:
+``SPARK_DRIVER_MEMORY=48g`` for the main sweep,
+``SPARK_GRAFT_SCALED_ISOLATE_MEM`` (default 64g) for the isolated leg.
+``SPARK_GRAFT_SCALED_ISOLATE`` overrides the isolated set ("" disables
+isolation entirely).
 """
 
 from __future__ import annotations
@@ -36,6 +50,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -91,8 +106,33 @@ QUERIES = [
     "pca_top_component",
     "interval_overlap_weekly",
     "asof_join_last_view",
+    # r13 audit-floor cells (VERDICT r12 #2): these were cleared in the
+    # r12 tokenize audit as "at the single-evaluation floor" — but that
+    # floor then dropped ~40x with the tokenizer swap, so a hidden
+    # second evaluation would be invisible without post-swap cells.
+    "text_stats",
+    "vocab_coverage",
+    "doc_fingerprint",
+    "decontaminate_vs_benchmark",
+    "contamination_report",
+    # r13: the curation funnel's video leg in isolation (VERDICT r12
+    # #5): frame sampling -> per-frame PNG dHash -> banded Hamming
+    # join -> distinct pairs, one video per document.
+    "video_frame_dedup_pairs",
 ]
 
+#: Queries whose x100 cells run in the isolated child process (the
+#: only cells that have OOM'd the 48g one-pass heap; see module doc).
+DEFAULT_ISOLATE = "pagerank_3iter,kcore_trade_graph"
+
+#: One-time index / layout builds excluded from the timed region
+#: (bench.py's train/search split contract).
+WARM_QUERIES = (
+    "knn_pq_search",
+    "knn_ivf_search",
+    "pagerank_3iter_bucketed",  # src-bucketed edge-table write
+    "kcore_trade_graph_bucketed",  # shares the same table
+)
 
 BUDGETS_PATH = Path(__file__).resolve().parent / "scale_budgets.json"
 
@@ -121,12 +161,16 @@ def check_growth(
     lo: str = "x10",
     hi: str = "x100",
     ratio: float = 10.0,
+    budget_prefix: str = "",
 ) -> list[str]:
     """Return one violation line per query whose lo->hi growth exceeds
     its budget. Cells that are missing/None/sub-overhead (<0.2 s lo —
-    growth over a startup-noise floor is meaningless) are skipped."""
+    growth over a startup-noise floor is meaningless) are skipped.
+    ``budget_prefix`` namespaces the budget lookup (the zipf sweep
+    gates against 'zipf:<name>' keys so the two corpora's exponents
+    are budgeted independently)."""
     budgets = load_budgets() if budgets is None else budgets
-    default = budgets.get("_default", 25.0)
+    default = budgets.get(budget_prefix + "_default", budgets.get("_default", 25.0))
     violations = []
     for name, row in sorted(results.items()):
         t_lo, t_hi = row.get(lo), row.get(hi)
@@ -137,7 +181,7 @@ def check_growth(
         if t_lo < 0.2:
             continue
         growth = t_hi / t_lo
-        cap = allowed_growth(budgets.get(name, default), ratio)
+        cap = allowed_growth(budgets.get(budget_prefix + name, default), ratio)
         if growth > cap:
             violations.append(
                 f"{name}: {lo}->{hi} growth {growth:.1f}x exceeds "
@@ -146,35 +190,8 @@ def check_growth(
     return violations
 
 
-def main() -> None:
-    check = "--check" in sys.argv or os.environ.get(
-        "SPARK_GRAFT_SCALED_CHECK"
-    ) == "1"
-    args = [a for a in sys.argv[1:] if a != "--check"]
-    out_path = args[0] if args else "/tmp/bench_scaled.json"
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    # Resumable: re-runs merge into an existing out.json, and
-    # SPARK_GRAFT_SCALED_SETS=x100 (comma list) restricts the datasets
-    # — so an OOM'd x100 leg can be retried with a bigger
-    # SPARK_DRIVER_MEMORY without re-timing x1/x10. NOTE on memory: the
-    # x100 corpus (60M lineitem, 500k embeddings) needs ~1.5 GiB of
-    # unified memory per local[32] thread for the heaviest headliners;
-    # the 8g default that fits the driver SFs dies in
-    # UNABLE_TO_ACQUIRE_MEMORY during the ANN index builds.
-    only = {
-        s for s in os.environ.get("SPARK_GRAFT_SCALED_SETS", "").split(",") if s
-    }
-    # SPARK_GRAFT_SCALED_QUERIES=name1,name2 restricts the sweep to a
-    # subset (and skips warm-ups the subset doesn't need) — for adding
-    # one new query's rows to an existing out.json without re-warming
-    # every ANN index at x100.
-    only_q = {
-        s
-        for s in os.environ.get("SPARK_GRAFT_SCALED_QUERIES", "").split(",")
-        if s
-    }
-    queries = [n for n in QUERIES if not only_q or n in only_q]
-    spark = get_spark(app_name="fdpo-bench-scaled")
+def build_specs(queries: list[str]) -> dict:
+    """Registry specs plus the bench-only (no-oracle) cells."""
     specs = {s.name: s for s in q.registry()}
     specs.setdefault(
         "minhash_lsh_pairs",
@@ -194,27 +211,43 @@ def main() -> None:
         specs.setdefault(
             _ann, q.QuerySpec(_ann, getattr(q, f"q_{_ann}"), None)
         )
-    # Spin up the Python worker pool once (startup, not query cost).
-    spark.range(1024).repartition(64).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    # The funnel's video leg (bench-only; the funnel query carries the
+    # oracle proof of the same machinery — queries/media.py).
+    specs.setdefault(
+        "video_frame_dedup_pairs",
+        q.QuerySpec(
+            "video_frame_dedup_pairs", q.q_video_frame_dedup_pairs, None
+        ),
+    )
+    return specs
 
+
+def sweep(
+    spark,
+    datasets: list[tuple[str, str]],
+    queries: list[str],
+    specs: dict,
+    out_path: str,
+    reps: int,
+    only_sets: set[str] = frozenset(),
+    skip: dict[str, set[str]] | None = None,
+) -> dict:
+    """The timed loop: resumable (re-runs merge into an existing
+    out.json), GC-paced (see the inline note), failure-isolated
+    (a red cell records None and the sweep continues). ``skip`` maps a
+    dataset label to query names excluded on that dataset (the
+    isolation protocol)."""
+    skip = skip or {}
     results: dict[str, dict[str, float]] = {}
     if Path(out_path).exists():
         results = json.loads(Path(out_path).read_text())
-    for label, sf_dir in DATASETS:
-        if not Path(sf_dir).exists() or (only and label not in only):
+    for label, sf_dir in datasets:
+        if not Path(sf_dir).exists() or (only_sets and label not in only_sets):
             print(f"skip {label}", file=sys.stderr)
             continue
-        # Pre-build ANN indexes outside the timed region (bench.py's
-        # train/search split contract).
-        for warm in (
-            "knn_pq_search",
-            "knn_ivf_search",
-            "pagerank_3iter_bucketed",  # src-bucketed edge-table write
-            "kcore_trade_graph_bucketed",  # shares the same table
-        ):
-            if warm in queries and not isinstance(
+        # Pre-build ANN indexes outside the timed region.
+        for warm in WARM_QUERIES:
+            if warm in queries and warm not in skip.get(label, ()) and not isinstance(
                 results.get(warm, {}).get(label), float
             ):
                 # Failure-isolated like bench.py's _warm: an OOM'd
@@ -232,6 +265,9 @@ def main() -> None:
                         json.dumps(results, indent=1) + "\n"
                     )
         for name in queries:
+            if name in skip.get(label, ()):
+                print(f"{label} {name}: isolated (child process)")
+                continue
             if isinstance(results.get(name, {}).get(label), float):
                 print(f"{label} {name}: kept {results[name][label]}")
                 continue
@@ -288,23 +324,127 @@ def main() -> None:
             )
             print(f"{label} {name}: {results[name][label]}", flush=True)
             Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+    return results
 
-    # Markdown table for SCALING.md.
-    labels = [lb for lb, d in DATASETS if Path(d).exists()]
-    print("\n| query | " + " | ".join(labels) + " | x10→x100 × |")
+
+def print_table(
+    results: dict,
+    datasets: list[tuple[str, str]],
+    queries: list[str],
+    lo: str = "x10",
+    hi: str = "x100",
+) -> None:
+    """Markdown table for SCALING.md."""
+    labels = [lb for lb, d in datasets if Path(d).exists()]
+    print(f"\n| query | " + " | ".join(labels) + f" | {lo}→{hi} × |")
     print("|---|" + "---|" * (len(labels) + 1))
-    for name in QUERIES:
+    for name in queries:
         row = results.get(name, {})
         vals = [
             f"{row[lb]:.2f}" if isinstance(row.get(lb), float) else "—"
             for lb in labels
         ]
         growth = (
-            f"{row['x100'] / row['x10']:.1f}×"
-            if row.get("x10") and row.get("x100")
+            f"{row[hi] / row[lo]:.1f}×"
+            if row.get(lo) and row.get(hi)
             else "—"
         )
         print(f"| {name} | " + " | ".join(vals) + f" | {growth} |")
+
+
+def main() -> None:
+    check = "--check" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_SCALED_CHECK"
+    ) == "1"
+    args = [a for a in sys.argv[1:] if a != "--check"]
+    out_path = args[0] if args else "/tmp/bench_scaled.json"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Resumable: re-runs merge into an existing out.json, and
+    # SPARK_GRAFT_SCALED_SETS=x100 (comma list) restricts the datasets
+    # — so a failed leg can be retried without re-timing x1/x10.
+    # NOTE on memory: the x100 corpus (60M lineitem, 500k embeddings)
+    # needs ~1.5 GiB of unified memory per local[32] thread for the
+    # heaviest headliners; the 8g default that fits the driver SFs
+    # dies in UNABLE_TO_ACQUIRE_MEMORY during the ANN index builds.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SCALED_SETS", "").split(",") if s
+    }
+    # SPARK_GRAFT_SCALED_QUERIES=name1,name2 restricts the sweep to a
+    # subset (and skips warm-ups the subset doesn't need) — for adding
+    # one new query's rows to an existing out.json without re-warming
+    # every ANN index at x100.
+    only_q = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_SCALED_QUERIES", "").split(",")
+        if s
+    }
+    queries = [n for n in QUERIES if not only_q or n in only_q]
+    isolate = {
+        s
+        for s in os.environ.get(
+            "SPARK_GRAFT_SCALED_ISOLATE", DEFAULT_ISOLATE
+        ).split(",")
+        if s
+    } & set(queries)
+    x100_dir = dict(DATASETS).get("x100", "")
+    isolation_active = bool(
+        isolate
+        and Path(x100_dir).exists()
+        and (not only or "x100" in only)
+    )
+
+    spark = get_spark(app_name="fdpo-bench-scaled")
+    specs = build_specs(queries)
+    # Spin up the Python worker pool once (startup, not query cost).
+    spark.range(1024).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    results = sweep(
+        spark,
+        DATASETS,
+        queries,
+        specs,
+        out_path,
+        reps,
+        only_sets=only,
+        skip={"x100": isolate} if isolation_active else None,
+    )
+
+    if isolation_active:
+        pending = sorted(
+            n
+            for n in isolate
+            if not isinstance(results.get(n, {}).get("x100"), float)
+        )
+        if pending:
+            # Own child process, own (bigger) heap; the parent session
+            # stops FIRST so the two heaps never coexist (one-pass
+            # protocol, module doc).
+            spark.stop()
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_SCALED_QUERIES=",".join(pending),
+                SPARK_GRAFT_SCALED_SETS="x100",
+                SPARK_GRAFT_SCALED_ISOLATE="",
+                SPARK_DRIVER_MEMORY=os.environ.get(
+                    "SPARK_GRAFT_SCALED_ISOLATE_MEM", "64g"
+                ),
+            )
+            print(
+                f"isolated x100 leg: {pending} on "
+                f"{env['SPARK_DRIVER_MEMORY']}",
+                flush=True,
+            )
+            rc = subprocess.call(
+                [sys.executable, __file__, out_path], env=env
+            )
+            if rc != 0:
+                print(f"isolated leg FAILED rc={rc}", flush=True)
+                sys.exit(rc)
+            results = json.loads(Path(out_path).read_text())
+
+    print_table(results, DATASETS, queries)
 
     if check:
         violations = check_growth(results)

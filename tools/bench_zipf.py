@@ -1,0 +1,121 @@
+"""Text-cell scaling on the Heaps'-law-realistic Zipf corpus.
+
+`tools/bench_scaled.py` measures the compute-dominated exponents on
+the REPLICATED corpora, whose per-replica disjoint vocabularies grow
+the type count LINEARLY with scale (31 -> 310 -> 3,100 types at
+x1/x10/x100) — the opposite of real text, and ~86x FEWER types at
+x100 than a Heaps-law corpus of the same token count. That distortion
+cuts both ways: it understates vocab-grain state (tiny unigram/bigram
+tables that would broadcast for free) while growing it at the wrong
+RATE (linear instead of ~n^0.7). This harness re-measures every
+documents-table sweep cell on the fixed-Zipf corpus from
+`tools/gen_zipf_sf.py` (measured curve: 10,975 -> 54,967 -> 266,940
+types for 0.27M -> 2.7M -> 27M tokens; Heaps beta ~ 0.70), so the
+replica-vs-zipf growth DIFF is the corpus-realism correction factor
+the 100 TB extrapolation needs (SCALING.md records the table).
+
+Protocol is bench_scaled's, unchanged and shared by import: one warm
+local[32] session, noop sink, double-tap GC + drain pauses between
+cells and reps, worse-of-2 samples, resumable out.json merge. Growth
+budgets live in tools/scale_budgets.json under ``zipf:``-prefixed
+keys (``zipf:_default`` for new cells), gated by --check /
+SPARK_GRAFT_SCALED_CHECK=1 exactly like the replica sweep.
+
+Usage:
+  python tools/gen_zipf_sf.py 5000   /tmp/sfzipf1
+  python tools/gen_zipf_sf.py 50000  /tmp/sfzipf10
+  python tools/gen_zipf_sf.py 500000 /tmp/sfzipf100
+  python tools/bench_zipf.py [out.json] [--check]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.bench_scaled import (  # noqa: E402
+    build_specs,
+    check_growth,
+    print_table,
+    sweep,
+)
+from financial_data_pipeline_optimization_spark import get_spark  # noqa: E402
+
+DATASETS = [
+    ("zx1", "/tmp/sfzipf1"),
+    ("zx10", "/tmp/sfzipf10"),
+    ("zx100", "/tmp/sfzipf100"),
+]
+
+#: Every documents-table cell of the replica sweep (the 14 text cells
+#: plus the 5 r13 audit-floor cells). Graph/vector/relational cells
+#: stay replica-only: their scaling driver is FK/edge/embedding
+#: structure, which the replica protocol models correctly — the zipf
+#: corpus only changes what TEXT looks like.
+QUERIES = [
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "near_dup_clusters_lsh",
+    "pmi_bigram_phrases",
+    "substring_dedup_docs",
+    "substring_dedup_n50",
+    "bm25_topk_docs",
+    "unigram_logprob_score",
+    "pack_chunks_bins",
+    "bigram_interp_logprob",
+    "quality_filter",
+    "relative_length_filter",
+    "lang_id_heuristic",
+    "template_prefix_flags",
+    "text_stats",
+    "vocab_coverage",
+    "doc_fingerprint",
+    "decontaminate_vs_benchmark",
+    "contamination_report",
+]
+
+
+def main() -> None:
+    check = "--check" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_SCALED_CHECK"
+    ) == "1"
+    args = [a for a in sys.argv[1:] if a != "--check"]
+    out_path = args[0] if args else "/tmp/bench_zipf.json"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SCALED_SETS", "").split(",") if s
+    }
+    only_q = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_SCALED_QUERIES", "").split(",")
+        if s
+    }
+    queries = [n for n in QUERIES if not only_q or n in only_q]
+
+    spark = get_spark(app_name="fdpo-bench-zipf")
+    specs = build_specs(queries)
+    spark.range(1024).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    results = sweep(
+        spark, DATASETS, queries, specs, out_path, reps, only_sets=only
+    )
+    print_table(results, DATASETS, queries, lo="zx10", hi="zx100")
+
+    if check:
+        violations = check_growth(
+            results, lo="zx10", hi="zx100", budget_prefix="zipf:"
+        )
+        for v in violations:
+            print(f"SCALE-GATE VIOLATION: {v}")
+        if violations:
+            sys.exit(1)
+        print("SCALE-GATE: all zipf growth budgets held")
+
+
+if __name__ == "__main__":
+    main()
