@@ -43,6 +43,26 @@ out.json via the resume protocol. Documented one-pass configuration:
 ``SPARK_GRAFT_SCALED_ISOLATE_MEM`` (default 64g) for the isolated leg.
 ``SPARK_GRAFT_SCALED_ISOLATE`` overrides the isolated set ("" disables
 isolation entirely).
+
+Per-cell isolation protocol (``--percell``, r13 — the DEFAULT for
+recorded sweeps from this round on): the r13 cold one-pass run
+exposed that a single long-lived session CONTAMINATES late cells —
+after ~230 timed runs the same queries measured up to 10x their
+isolated cost (tpch_q21 x100: 52.4 s in-session vs 5.3 s isolated;
+tpch_q9 22.7 vs 4.5; lang_id_heuristic 11.9 vs 2.1; knn_pq_search
+2.9 vs 1.2 — reproduced, not noise), tripping five growth gates on
+harness state rather than plan scaling. The r12 sweep dodged this by
+ACCIDENT: its mid-sweep OOM + resume split the x100 leg across fresh
+sessions. ``--percell`` makes that hygiene deliberate: the parent
+launches one child process per (query, dataset) cell — fresh JVM,
+fresh session, nothing carried over — and each child warms JIT /
+codegen / the Python worker pool by running ITS query once untimed
+on the x1 corpus (``SPARK_GRAFT_SCALED_WARM_DIR``) before timing the
+target cell, so rep 1 is not a cold-JIT sample and the numbers stay
+comparable to the old warm-session protocol's. Cells merge into
+out.json via the resume protocol, so an interrupted sweep continues
+where it stopped. The ``SPARK_GRAFT_SCALED_ISOLATE`` list keeps its
+meaning as "needs the bigger ISOLATE_MEM heap at x100".
 """
 
 from __future__ import annotations
@@ -327,6 +347,86 @@ def sweep(
     return results
 
 
+def warm_on(spark, specs: dict, queries: list[str], warm_dir: str) -> None:
+    """One UNTIMED evaluation of each query against ``warm_dir`` (the
+    x1 corpus): warms JIT / whole-stage-codegen / the Arrow and Python
+    worker paths the query touches, so a fresh-JVM child's first timed
+    rep is not a cold-compile sample. Failure-tolerated — a query that
+    cannot run at the warm SF still gets timed (its first rep is just
+    colder)."""
+    for name in queries:
+        try:
+            specs[name].spark(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            print(f"warm {name}: FAILED {exc!r}"[:300], file=sys.stderr)
+
+
+def percell_loop(
+    script: str,
+    datasets: list[tuple[str, str]],
+    queries: list[str],
+    out_path: str,
+    isolate: set[str],
+    warm_dir: str,
+    only_sets: set[str] = frozenset(),
+) -> dict:
+    """Parent side of ``--percell``: one child process per pending
+    (query, dataset) cell, merged into ``out_path`` via the resume
+    protocol. The parent never creates a SparkSession, so no state
+    outlives a cell. ``isolate`` names get ISOLATE_MEM at x100."""
+    base_mem = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+    big_mem = os.environ.get("SPARK_GRAFT_SCALED_ISOLATE_MEM", "64g")
+    for label, sf_dir in datasets:
+        if not Path(sf_dir).exists() or (only_sets and label not in only_sets):
+            print(f"skip {label}", file=sys.stderr)
+            continue
+        for name in queries:
+            results = (
+                json.loads(Path(out_path).read_text())
+                if Path(out_path).exists()
+                else {}
+            )
+            if isinstance(results.get(name, {}).get(label), float):
+                print(f"{label} {name}: kept {results[name][label]}")
+                continue
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_SCALED_QUERIES=name,
+                SPARK_GRAFT_SCALED_SETS=label,
+                SPARK_GRAFT_SCALED_ISOLATE="",
+                SPARK_GRAFT_SCALED_WARM_DIR=warm_dir,
+                SPARK_DRIVER_MEMORY=(
+                    big_mem
+                    if name in isolate and label == "x100"
+                    else base_mem
+                ),
+            )
+            rc = subprocess.call(
+                [sys.executable, script, out_path],
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            results = (
+                json.loads(Path(out_path).read_text())
+                if Path(out_path).exists()
+                else {}
+            )
+            got = results.get(name, {}).get(label)
+            print(f"{label} {name}: {got} (child rc={rc})", flush=True)
+            if rc != 0 and got is None:
+                # Record the failure so re-runs don't retry forever.
+                results.setdefault(name, {})[label] = None
+                Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+    return (
+        json.loads(Path(out_path).read_text())
+        if Path(out_path).exists()
+        else {}
+    )
+
+
 def print_table(
     results: dict,
     datasets: list[tuple[str, str]],
@@ -356,7 +456,8 @@ def main() -> None:
     check = "--check" in sys.argv or os.environ.get(
         "SPARK_GRAFT_SCALED_CHECK"
     ) == "1"
-    args = [a for a in sys.argv[1:] if a != "--check"]
+    percell = "--percell" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--check", "--percell")]
     out_path = args[0] if args else "/tmp/bench_scaled.json"
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # Resumable: re-runs merge into an existing out.json, and
@@ -393,12 +494,35 @@ def main() -> None:
         and (not only or "x100" in only)
     )
 
+    if percell:
+        results = percell_loop(
+            __file__,
+            DATASETS,
+            queries,
+            out_path,
+            isolate,
+            warm_dir=dict(DATASETS)["x1"],
+            only_sets=only,
+        )
+        print_table(results, DATASETS, queries)
+        if check:
+            violations = check_growth(results)
+            for v in violations:
+                print(f"SCALE-GATE VIOLATION: {v}")
+            if violations:
+                sys.exit(1)
+            print("SCALE-GATE: all growth budgets held")
+        return
+
     spark = get_spark(app_name="fdpo-bench-scaled")
     specs = build_specs(queries)
     # Spin up the Python worker pool once (startup, not query cost).
     spark.range(1024).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    warm_dir = os.environ.get("SPARK_GRAFT_SCALED_WARM_DIR")
+    if warm_dir:
+        warm_on(spark, specs, queries, warm_dir)
 
     results = sweep(
         spark,

@@ -14,9 +14,11 @@ types for 0.27M -> 2.7M -> 27M tokens; Heaps beta ~ 0.70), so the
 replica-vs-zipf growth DIFF is the corpus-realism correction factor
 the 100 TB extrapolation needs (SCALING.md records the table).
 
-Protocol is bench_scaled's, unchanged and shared by import: one warm
-local[32] session, noop sink, double-tap GC + drain pauses between
-cells and reps, worse-of-2 samples, resumable out.json merge. Growth
+Protocol is bench_scaled's, shared by import — recorded sweeps use
+``--percell`` (one fresh-JVM child per cell, warmed untimed on zx1;
+see bench_scaled's module doc for the session-contamination evidence
+that motivated it), noop sink, worse-of-2 samples, resumable
+out.json merge. Growth
 budgets live in tools/scale_budgets.json under ``zipf:``-prefixed
 keys (``zipf:_default`` for new cells), gated by --check /
 SPARK_GRAFT_SCALED_CHECK=1 exactly like the replica sweep.
@@ -39,8 +41,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from tools.bench_scaled import (  # noqa: E402
     build_specs,
     check_growth,
+    percell_loop,
     print_table,
     sweep,
+    warm_on,
 )
 from financial_data_pipeline_optimization_spark import get_spark  # noqa: E402
 
@@ -82,7 +86,8 @@ def main() -> None:
     check = "--check" in sys.argv or os.environ.get(
         "SPARK_GRAFT_SCALED_CHECK"
     ) == "1"
-    args = [a for a in sys.argv[1:] if a != "--check"]
+    percell = "--percell" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--check", "--percell")]
     out_path = args[0] if args else "/tmp/bench_zipf.json"
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     only = {
@@ -95,11 +100,36 @@ def main() -> None:
     }
     queries = [n for n in QUERIES if not only_q or n in only_q]
 
+    if percell:
+        results = percell_loop(
+            __file__,
+            DATASETS,
+            queries,
+            out_path,
+            isolate=set(),
+            warm_dir=dict(DATASETS)["zx1"],
+            only_sets=only,
+        )
+        print_table(results, DATASETS, queries, lo="zx10", hi="zx100")
+        if check:
+            violations = check_growth(
+                results, lo="zx10", hi="zx100", budget_prefix="zipf:"
+            )
+            for v in violations:
+                print(f"SCALE-GATE VIOLATION: {v}")
+            if violations:
+                sys.exit(1)
+            print("SCALE-GATE: all zipf growth budgets held")
+        return
+
     spark = get_spark(app_name="fdpo-bench-zipf")
     specs = build_specs(queries)
     spark.range(1024).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    warm_dir = os.environ.get("SPARK_GRAFT_SCALED_WARM_DIR")
+    if warm_dir:
+        warm_on(spark, specs, queries, warm_dir)
 
     results = sweep(
         spark, DATASETS, queries, specs, out_path, reps, only_sets=only
