@@ -362,6 +362,34 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_pairs_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-TUNED banding twin of ``q_minhash_pairs`` (bench-only,
+    same no-oracle rationale): 8 bands x 8 rows instead of the default
+    16 x 4, holding num_hashes=64 and every other parameter fixed.
+
+    Why it exists (r13, measured on the Heaps-law zipf corpus): the
+    LSH S-curve midpoint is (1/bands)^(rows/band^-1) — 16x4 gives
+    (1/16)^(1/4) = 0.50, i.e. the banded join surfaces candidates from
+    Jaccard ~0.5 DOWN, while the verify join keeps only >= 0.8. On the
+    replicated corpus that slack is invisible (disjoint replica
+    vocabularies make background Jaccard ~0 across replicas), but on
+    realistic shared-vocabulary text, frequent-token 2-shingles give
+    random doc pairs background Jaccard ~0.1 and the 0.5-midpoint
+    banding pays candidates for the whole [0.5, 0.8) dead zone:
+    zx10->zx100 growth 36.8x (159.4 s). Re-tuning the SAME hash budget
+    to 8x8 moves the midpoint to (1/8)^(1/8) = 0.77 — aligned with the
+    0.8 verify threshold — and collapses the background candidate mass
+    (P[band collision] = J^8: at J=0.1, 1e-8/band). Trade: recall at
+    the threshold boundary steepens but is not 1.0 (J=0.85 ->
+    1-(1-0.85^8)^8 ~ 0.93; exact dups J=1.0 always collide), the
+    standard S-curve trade every production LSH deployment makes —
+    banding must be tuned to the verify threshold, not defaulted."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8, bands=8
+    )
+
+
 def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only twin of the `near_dup_clusters` headliner with the
     LSH pair source — the 100 TB edge generator (banded bucket join)
@@ -374,6 +402,21 @@ def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(
         docs, "doc_id", "text", n=2, min_jaccard=0.8, pair_source="lsh",
         materialize=False,
+    )
+
+
+def q_near_dup_clusters_lsh_tuned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``q_near_dup_clusters_lsh`` with threshold-tuned 8x8 banding
+    (bench-only; see ``q_minhash_pairs_tuned`` for the S-curve
+    rationale and zipf measurements) — proves the banding fix carries
+    through the full pair -> connected-components -> label pipeline,
+    not just the pair join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8, pair_source="lsh",
+        materialize=False, bands=8,
     )
 
 

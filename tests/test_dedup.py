@@ -263,3 +263,51 @@ def test_lsh_megacluster_bounded_and_matches_exact(spark):
     ), (n_pairs, growth)
     # Converged star forest: at most one edge per non-root node.
     assert growth[-1] < 300 + 100
+
+
+def test_tuned_banding_collapses_background_candidates(spark):
+    """The r13 corpus-realism finding (SCALING.md zipf section):
+    16-band x 4-row banding has its S-curve midpoint at J=0.5, so on
+    shared-vocabulary text it surfaces the whole [0.5, 0.8) dead zone
+    as candidates the 0.8 verify join then discards; 8 x 8 banding
+    (same 64-hash budget) moves the midpoint to ~0.77. Pinned on a
+    corpus built to have high background Jaccard (~0.5-0.7, all docs
+    sampled from 12 frequent tokens) plus one exact-dup pair: the
+    tuned banding must (a) still emit the planted exact pair — J=1
+    collides in EVERY band under any banding — and (b) produce
+    strictly fewer banded candidates than the default."""
+    import random
+
+    from financial_data_pipeline_optimization_spark.operators import dedup
+
+    rng = random.Random(13)
+    vocab = [f"tok{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(60)
+    ]
+    rows.append((1000, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats_default, stats_tuned = {}, {}
+    default_pairs = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", shingle_n=2, min_jaccard=0.8,
+            stats=stats_default,
+        ).collect()
+    }
+    tuned_pairs = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", shingle_n=2, min_jaccard=0.8, bands=8,
+            stats=stats_tuned,
+        ).collect()
+    }
+    assert (0, 1000) in default_pairs
+    assert (0, 1000) in tuned_pairs
+    # Verified output agrees up to banding recall: tuned may MISS some
+    # near-threshold pairs (the documented S-curve trade) but must
+    # never invent one the default banding's verify would reject.
+    assert tuned_pairs <= default_pairs
+    assert stats_tuned["candidate_pairs"] < stats_default["candidate_pairs"]

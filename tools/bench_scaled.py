@@ -57,12 +57,17 @@ sessions. ``--percell`` makes that hygiene deliberate: the parent
 launches one child process per (query, dataset) cell — fresh JVM,
 fresh session, nothing carried over — and each child warms JIT /
 codegen / the Python worker pool by running ITS query once untimed
-on the x1 corpus (``SPARK_GRAFT_SCALED_WARM_DIR``) before timing the
-target cell, so rep 1 is not a cold-JIT sample and the numbers stay
-comparable to the old warm-session protocol's. Cells merge into
+at the TARGET dataset (``SPARK_GRAFT_SCALED_WARM_DIR``) before the
+timed reps, so rep 1 is not a cold-JIT/C2-ramp sample and the numbers
+stay comparable to the old warm-session protocol's steady state. Cells merge into
 out.json via the resume protocol, so an interrupted sweep continues
-where it stopped. The ``SPARK_GRAFT_SCALED_ISOLATE`` list keeps its
-meaning as "needs the bigger ISOLATE_MEM heap at x100".
+where it stopped. Memory: x1/x10 children run on SPARK_DRIVER_MEMORY
+(default 48g); EVERY x100-grade child gets ISOLATE_MEM (default 64g)
+— protocol validation showed several x100 cells (bucketed graph
+variants, star_join, q21) bimodal between a GC-bound 48g mode (2-6x
+slower) and a steady 64g mode, and since children run alone the big
+heap costs nothing. ``SPARK_GRAFT_SCALED_ISOLATE`` only matters for
+the legacy warm-session path.
 """
 
 from __future__ import annotations
@@ -100,7 +105,9 @@ QUERIES = [
     "window_moving_avg",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_tuned",
     "near_dup_clusters_lsh",
+    "near_dup_clusters_lsh_tuned",
     "pmi_bigram_phrases",
     "substring_dedup_docs",
     "substring_dedup_n50",
@@ -217,9 +224,25 @@ def build_specs(queries: list[str]) -> dict:
         "minhash_lsh_pairs",
         q.QuerySpec("minhash_lsh_pairs", q.q_minhash_pairs, None),
     )
+    # Threshold-tuned banding twin (8x8 vs 16x4) — the corpus-realism
+    # finding of the r13 zipf sweep (see queries/documents.py doc).
+    specs.setdefault(
+        "minhash_lsh_pairs_tuned",
+        q.QuerySpec(
+            "minhash_lsh_pairs_tuned", q.q_minhash_pairs_tuned, None
+        ),
+    )
     specs.setdefault(
         "near_dup_clusters_lsh",
         q.QuerySpec("near_dup_clusters_lsh", q.q_near_dup_clusters_lsh, None),
+    )
+    specs.setdefault(
+        "near_dup_clusters_lsh_tuned",
+        q.QuerySpec(
+            "near_dup_clusters_lsh_tuned",
+            q.q_near_dup_clusters_lsh_tuned,
+            None,
+        ),
     )
     # Production-grain (n=50, Lee et al.) twin of substring_dedup_docs;
     # bench-only, no oracle (see queries/documents.py).
@@ -368,14 +391,24 @@ def percell_loop(
     datasets: list[tuple[str, str]],
     queries: list[str],
     out_path: str,
-    isolate: set[str],
-    warm_dir: str,
     only_sets: set[str] = frozenset(),
 ) -> dict:
     """Parent side of ``--percell``: one child process per pending
     (query, dataset) cell, merged into ``out_path`` via the resume
     protocol. The parent never creates a SparkSession, so no state
-    outlives a cell. ``isolate`` names get ISOLATE_MEM at x100."""
+    outlives a cell. Children timing an x100-grade dataset get the
+    ISOLATE_MEM heap (default 64g); everything else runs on
+    SPARK_DRIVER_MEMORY (default 48g).
+
+    Each child warms by executing ITS query once untimed at the
+    TARGET dataset (not a smaller one): a first pass over the real
+    data volume is what drives the C2 compiler through the query's
+    hot loops — a cheap x1 warm pass left the many-small-stage graph
+    cells 3-4x inflated at x100 (pagerank_3iter_bucketed 77 s with an
+    x1 warm vs ~21 s steady-state; same C2-ramp mechanism bench.py's
+    ramp protocol documents for kcore). The timed reps are therefore
+    steady-state marginal cost — what a long-running service pays per
+    query — at one extra untimed execution per cell."""
     base_mem = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
     big_mem = os.environ.get("SPARK_GRAFT_SCALED_ISOLATE_MEM", "64g")
     for label, sf_dir in datasets:
@@ -396,11 +429,15 @@ def percell_loop(
                 SPARK_GRAFT_SCALED_QUERIES=name,
                 SPARK_GRAFT_SCALED_SETS=label,
                 SPARK_GRAFT_SCALED_ISOLATE="",
-                SPARK_GRAFT_SCALED_WARM_DIR=warm_dir,
+                SPARK_GRAFT_SCALED_WARM_DIR=sf_dir,
+                # Every x100-grade cell gets the big heap: children
+                # run alone, so the heaps never coexist, and the r13
+                # protocol-validation runs showed several x100 cells
+                # (bucketed graph, star_join, q21) bimodal between
+                # 48g (GC-bound, 2-6x slower) and 64g (steady) — a
+                # per-query list would chase that set forever.
                 SPARK_DRIVER_MEMORY=(
-                    big_mem
-                    if name in isolate and label == "x100"
-                    else base_mem
+                    big_mem if label.endswith("x100") else base_mem
                 ),
             )
             rc = subprocess.call(
@@ -496,13 +533,7 @@ def main() -> None:
 
     if percell:
         results = percell_loop(
-            __file__,
-            DATASETS,
-            queries,
-            out_path,
-            isolate,
-            warm_dir=dict(DATASETS)["x1"],
-            only_sets=only,
+            __file__, DATASETS, queries, out_path, only_sets=only
         )
         print_table(results, DATASETS, queries)
         if check:

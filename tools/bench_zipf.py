@@ -15,7 +15,7 @@ replica-vs-zipf growth DIFF is the corpus-realism correction factor
 the 100 TB extrapolation needs (SCALING.md records the table).
 
 Protocol is bench_scaled's, shared by import — recorded sweeps use
-``--percell`` (one fresh-JVM child per cell, warmed untimed on zx1;
+``--percell`` (one fresh-JVM child per cell, warmed untimed at the target dataset;
 see bench_scaled's module doc for the session-contamination evidence
 that motivated it), noop sink, worse-of-2 samples, resumable
 out.json merge. Growth
@@ -62,7 +62,9 @@ DATASETS = [
 QUERIES = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_tuned",
     "near_dup_clusters_lsh",
+    "near_dup_clusters_lsh_tuned",
     "pmi_bigram_phrases",
     "substring_dedup_docs",
     "substring_dedup_n50",
@@ -102,13 +104,7 @@ def main() -> None:
 
     if percell:
         results = percell_loop(
-            __file__,
-            DATASETS,
-            queries,
-            out_path,
-            isolate=set(),
-            warm_dir=dict(DATASETS)["zx1"],
-            only_sets=only,
+            __file__, DATASETS, queries, out_path, only_sets=only
         )
         print_table(results, DATASETS, queries, lo="zx10", hi="zx100")
         if check:
