@@ -864,11 +864,17 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab linearly (per-replica disjoint vocabularies), so the "
     "relation build dominates what the join saves — and the multi-GB "
     "broadcast lingered past its query and OOM'd a 48 g heap three "
-    "queries later in the sweep. A real corpus' vocab grows "
-    "sub-linearly (Heaps' law), so ship-the-LM stays the right call "
-    "on a cluster with executor-sized vocab; here the hashed "
-    "sort-merge join is the memory-safe shape the sweep protocol can "
-    "certify.",
+    "queries later in the sweep. RE-RUN ON REALISTIC TEXT (r13, the "
+    "Heaps-law zipf corpus, SCALING.md): at zx100 the vocabulary is "
+    "266,940 types — a ~4 MB hashed count relation — and the forced "
+    "broadcast WINS modestly and safely (steady-state 2.7 s vs 3.8 s "
+    "SMJ, ~1.3×, no lingering-broadcast pressure), confirming the r12 "
+    "negative result was a corpus artifact, exactly as hedged. The "
+    "default stays the hashed sort-merge join: it is the shape that "
+    "is memory-safe under BOTH corpus regimes (AQE keeps SMJ here "
+    "because the checkpointed count table's stats are conservative), "
+    "and the 1.3× gain is a per-deployment hint a cluster operator "
+    "applies knowing their vocab is executor-sized.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import text as text_ops
