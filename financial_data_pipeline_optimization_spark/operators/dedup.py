@@ -244,6 +244,18 @@ def minhash_lsh_pairs(
     (banding scheme per Gionis/Indyk/Motwani, "Similarity search in
     high dimensions via hashing", VLDB 1999).
 
+    TUNE ``bands`` TO ``min_jaccard`` (measured, r13 — SCALING.md zipf
+    section): the banding S-curve midpoint is
+    ``(1/bands)^(bands/num_hashes)``; candidates from Jaccard above it
+    flood the verify join. The 16-band default over 64 hashes sits at
+    0.50 — fine when background similarity is ~0 (synthetic/disjoint
+    corpora), but on realistic shared-vocabulary text with small
+    shingles, random doc pairs carry background Jaccard ~0.1 and the
+    [midpoint, min_jaccard) dead zone costs 9× wall time at 500k docs
+    (36.8× vs 5.3× growth). For ``min_jaccard=0.8`` use ``bands=8``
+    (midpoint 0.77); the trade is steeper at-threshold recall
+    (J=0.85 → ~0.93 detection; exact duplicates always collide).
+
     Plan shape (the scale story): signature computation is a narrow map;
     band hashes explode to ``bands`` rows per doc (16-byte keys); the
     self-join shuffles only ``(band, band_hash, id)`` triples; candidate
