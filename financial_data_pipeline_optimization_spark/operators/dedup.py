@@ -166,6 +166,58 @@ def jaccard(set_a, set_b):
 # ---------------------------------------------------------------------------
 
 
+def derive_banding(
+    num_hashes: int = 64, min_jaccard: float = 0.8
+) -> tuple[int, int]:
+    """Choose the LSH banding ``(bands, rows_per_band)`` for a given
+    hash budget and verify threshold.
+
+    The banding S-curve midpoint (the Jaccard at which a pair's
+    band-collision probability crosses ~1-1/e) is
+    ``(1/bands)^(1/rows_per_band)``. Candidates whose Jaccard sits in
+    the [midpoint, min_jaccard) dead zone are generated, shuffled, and
+    then discarded by the exact-Jaccard verify join — pure waste, and
+    on realistic shared-vocabulary text (background Jaccard ~0.1 with
+    small shingles) that waste dominates: the r13 Heaps-law zipf corpus
+    measured the 16x4 banding (midpoint 0.50) at 159.4 s / 36.8x growth
+    at 500k docs vs 17.3 s / 5.3x for 8x8 (midpoint 0.77) at the same
+    0.8 threshold (SCALING.md, BENCH_ZIPF.json).
+
+    Rule: among the divisor pairs ``bands * rows == num_hashes``, pick
+    the one with the LARGEST midpoint at or below ``min_jaccard`` —
+    i.e. align the midpoint with the verify threshold from below, so
+    at-threshold pairs still collide with probability
+    ``1-(1-1/b)^b`` ≈ 63% per corpus pass and recall climbs steeply
+    above it (J=0.85 under 8x8 → ~0.93; exact duplicates always
+    collide), while sub-threshold background mass decays as
+    ``J^rows_per_band`` per band. A midpoint ABOVE the threshold would
+    cut candidate volume further but collapses at-threshold recall
+    (4x16 at t=0.8 detects J=0.8 pairs with probability ~0.1) — the
+    recall contracts (``minhash_recall_check``'s 0.9 floor) forbid it.
+
+    Degenerate thresholds fall back sanely: ``min_jaccard >= 1.0``
+    picks one band of all hashes (exact signature match);
+    ``min_jaccard`` below every midpoint picks ``rows_per_band = 1``
+    (every hash its own band — the most permissive banding the budget
+    allows).
+    """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    divisors = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    eligible = [
+        (b, r)
+        for b, r in divisors
+        if (1.0 / b) ** (1.0 / r) <= min_jaccard
+    ]
+    if not eligible:
+        return num_hashes, 1
+    return max(eligible, key=lambda br: (1.0 / br[0]) ** (1.0 / br[1]))
+
+
 def with_minhash_signature(
     df: DataFrame,
     shingle_col: str = "shingles",
@@ -234,7 +286,7 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_n: int = 3,
     min_jaccard: float = 0.8,
     materialize_signatures: bool = True,
@@ -244,17 +296,21 @@ def minhash_lsh_pairs(
     (banding scheme per Gionis/Indyk/Motwani, "Similarity search in
     high dimensions via hashing", VLDB 1999).
 
-    TUNE ``bands`` TO ``min_jaccard`` (measured, r13 — SCALING.md zipf
-    section): the banding S-curve midpoint is
-    ``(1/bands)^(bands/num_hashes)``; candidates from Jaccard above it
-    flood the verify join. The 16-band default over 64 hashes sits at
-    0.50 — fine when background similarity is ~0 (synthetic/disjoint
-    corpora), but on realistic shared-vocabulary text with small
-    shingles, random doc pairs carry background Jaccard ~0.1 and the
-    [midpoint, min_jaccard) dead zone costs 9× wall time at 500k docs
-    (36.8× vs 5.3× growth). For ``min_jaccard=0.8`` use ``bands=8``
-    (midpoint 0.77); the trade is steeper at-threshold recall
-    (J=0.85 → ~0.93 detection; exact duplicates always collide).
+    ``bands=None`` (the default) DERIVES the banding from
+    ``min_jaccard`` and ``num_hashes`` via :func:`derive_banding` —
+    the S-curve midpoint ``(1/bands)^(1/rows_per_band)`` is aligned
+    at-or-below the verify threshold, so the banded join does not pay
+    for candidates the verify join will discard. This replaced a fixed
+    16-band default in r14 after the r13 zipf-corpus measurement: at
+    t=0.8 the fixed 16x4 midpoint (0.50) surfaced the whole [0.5, 0.8)
+    dead zone as candidates — invisible on disjoint-vocabulary
+    synthetic corpora, 9x wall time at 500k realistic docs (36.8x vs
+    5.3x growth; SCALING.md zipf section). The derived 8x8 banding
+    trades steeper at-threshold recall (J=0.85 → ~0.93 detection;
+    exact duplicates always collide in every band) — the standard
+    production-LSH trade. Pass ``bands=`` explicitly to override
+    (e.g. ``bands=16`` reproduces the documented blowup for
+    comparison benches).
 
     Plan shape (the scale story): signature computation is a narrow map;
     band hashes explode to ``bands`` rows per doc (16-byte keys); the
@@ -281,6 +337,8 @@ def minhash_lsh_pairs(
     disk. Disable to keep the plan fully lazy (e.g. under a streaming
     source).
     """
+    if bands is None:
+        bands, _ = derive_banding(num_hashes, min_jaccard)
     hashed = with_shingles(
         _spread(df.select(id_col, text_col), id_col), text_col, n=shingle_n
     ).select(
@@ -806,15 +864,24 @@ def decontaminate(
 
 def _band_hashes(minhash_col, num_hashes: int, bands: int):
     """One 64-bit hash per LSH band (row-local): xxhash64 over the
-    band's signature slice."""
+    band's signature slice, SEEDED with the banding geometry
+    ``(num_hashes, bands)``. The seed versions the hash space: band
+    hashes from different geometries (e.g. a persisted 16x4 store
+    joined against an 8x8 batch) can only collide at random-hash
+    rates, never systematically — a geometry mismatch can therefore
+    miss duplicates (callers must validate, see
+    :func:`assert_compatible_stores`) but can never flood the verify
+    join with structurally-wrong candidates."""
     rows_per_band = num_hashes // bands
+    geometry_seed = F.lit(num_hashes * 1_000 + bands)
     return F.array(
         *[
             F.xxhash64(
+                geometry_seed,
                 *[
                     minhash_col[b * rows_per_band + r]
                     for r in range(rows_per_band)
-                ]
+                ],
             )
             for b in range(bands)
         ]
@@ -826,15 +893,30 @@ def minhash_store(
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_n: int = 3,
+    min_jaccard: float = 0.8,
     materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the PERSISTABLE signature store for incremental near-dup
     detection: ``(bands_df, sets_df)`` where ``bands_df`` is
     ``(id, band, band_hash)`` (the LSH index — ``bands`` rows × 20
     bytes per doc) and ``sets_df`` is ``(id, sh_hashes)`` (the hashed
-    shingle set for exact-Jaccard verification). Both derive from one
+    shingle set for exact-Jaccard verification).
+
+    ``bands=None`` derives the banding from ``min_jaccard`` /
+    ``num_hashes`` (:func:`derive_banding` — the same rule as
+    :func:`minhash_lsh_pairs`, so store-based incremental detection
+    stays exactly equivalent to batch detection at the same
+    threshold). The band count is BAKED into the persisted format:
+    band hashes are geometry-seeded (``_band_hashes``), so a store
+    built under one banding never systematically collides with a
+    batch banded differently — mismatches MISS instead of corrupt.
+    Both stores of an incremental join must be built with the same
+    ``(num_hashes, bands, shingle_n)``; :func:`assert_compatible_stores`
+    checks this eagerly, and the streaming consumer
+    (``streaming.ops.foreach_batch_near_dup_filter``) runs that check
+    against its persisted store before every cross-batch join. Both derive from one
     row-local signature pass; both are documents-free, so the store a
     100 TB pipeline keeps hot is a few hundred bytes per doc. Write
     them partitioned/bucketed by their join keys and every future
@@ -853,6 +935,8 @@ def minhash_store(
     (default) when only one output is acted on, or when both feed ONE
     action (e.g. ``incremental_near_dups``' single job), where a
     checkpoint would only add a materialization barrier."""
+    if bands is None:
+        bands, _ = derive_banding(num_hashes, min_jaccard)
     hashed = with_shingles(
         _spread(df.select(id_col, text_col), id_col),
         text_col,
@@ -879,6 +963,47 @@ def minhash_store(
     )
     sets_df = hashed
     return bands_df, sets_df
+
+
+class StoreBandingMismatch(ValueError):
+    """Two MinHash stores were built under different LSH band counts —
+    joining them would silently miss near-duplicates (geometry-seeded
+    band hashes never match across geometries). Rebuild the older
+    store, or pass the same explicit ``bands=`` to both
+    :func:`minhash_store` calls."""
+
+
+def assert_compatible_stores(
+    new_store: tuple[DataFrame, DataFrame],
+    old_store: tuple[DataFrame, DataFrame],
+) -> None:
+    """Eagerly verify both stores were banded under the same geometry
+    before an incremental join (raises :class:`StoreBandingMismatch`).
+
+    A store's band count is recoverable from its own rows:
+    ``posexplode`` emits every band index 0..bands-1 for every doc, so
+    ``max(band) + 1`` IS the geometry. Cost: one ``max`` aggregate per
+    side — partial-aggregated (a handful of longs shuffle), and on a
+    parquet-persisted store the scan reads only the ``band`` column
+    with footer min/max stats available, so this is metadata-cheap
+    even at a 100 TB corpus's store size. Empty stores (no rows yet —
+    the first micro-batch of a streaming run) are compatible with
+    anything. This is the migration gate for the r14 default-banding
+    change: stores persisted under the old fixed 16-band default fail
+    fast instead of silently matching nothing against 8x8 batches."""
+
+    def _bands_of(bands_df: DataFrame) -> int | None:
+        row = bands_df.agg(F.max("band").alias("m")).collect()[0]
+        return None if row["m"] is None else int(row["m"]) + 1
+
+    nb, ob = _bands_of(new_store[0]), _bands_of(old_store[0])
+    if nb is not None and ob is not None and nb != ob:
+        raise StoreBandingMismatch(
+            f"incompatible MinHash stores: new batch banded into {nb} "
+            f"bands, persisted store into {ob}. Rebuild the store "
+            f"under the current banding (or pass bands={ob} "
+            f"explicitly to minhash_store for the new batch)."
+        )
 
 
 def incremental_near_dups(

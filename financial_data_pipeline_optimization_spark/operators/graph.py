@@ -254,6 +254,7 @@ def kcore_peel(
     broadcast_keeps: bool = False,
     checkpoint_rounds: bool = True,
     broadcast_max_nodes: int = 20_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-round k-core peeling over a SYMMETRIC edge relation:
     each round computes out-degrees (= total degrees when both edge
@@ -308,22 +309,47 @@ def kcore_peel(
     broadcast hash relation — comfortably under the 8 GB limit while
     still covering any graph whose node set plausibly fits a single
     executor's memory; raise it only with driver/executor heaps sized
-    to match. The fallback costs one extra degree aggregation up
-    front and is pinned by ``tests/test_graph.py`` (over-threshold
-    graph loses its broadcast hints, values identical).
+    to match. The gate's survivor count REUSES round 0's degree
+    aggregation: the node-sized degree table is lazily checkpointed,
+    the count action materializes it, and round 0's keep filter (and a
+    1-round peel's returned degrees) read it back — the edges scan+agg
+    runs once, not twice, and the EDGE relation itself is never
+    checkpointed, so a bucketed scan keeps its distribution. The
+    fallback path is pinned by ``tests/test_graph.py``
+    (over-threshold graph loses its broadcast hints, values
+    identical).
+
+    ``stats``: optional dict; on return ``stats["peel_mode"]`` records
+    the mode actually chosen — ``"broadcast"``, ``"shuffle-fallback"``
+    (broadcast requested, size gate tripped) or ``"shuffle"`` — and,
+    when the gate ran, ``stats["round0_survivors"]`` its measured
+    count, so operators can see WHICH plan a production run took
+    without re-deriving the gate arithmetic.
     """
     e = edges.select(src, dst)
+    deg0 = None
     if broadcast_keeps:
-        survivors = (
+        deg0 = (
             e.groupBy(src)
             .agg(F.count(F.lit(1)).alias("__deg"))
-            .filter(F.col("__deg") >= F.lit(k))
-            .count()
+            .localCheckpoint(eager=False)
         )
+        survivors = deg0.filter(F.col("__deg") >= F.lit(k)).count()
         if survivors > broadcast_max_nodes:
             broadcast_keeps = False
+        if stats is not None:
+            stats["round0_survivors"] = survivors
+            stats["peel_mode"] = (
+                "broadcast" if broadcast_keeps else "shuffle-fallback"
+            )
+    elif stats is not None:
+        stats["peel_mode"] = "shuffle"
     for r in range(max(1, rounds)):
-        deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+        deg = (
+            deg0
+            if r == 0 and deg0 is not None
+            else e.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+        )
         keep = deg.filter(F.col("__deg") >= k).select(src)
         keep_dst = keep.withColumnRenamed(src, dst)
         if broadcast_keeps:

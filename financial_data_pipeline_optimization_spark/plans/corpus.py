@@ -421,10 +421,12 @@ def incremental_ingest(
         )
     elif pair_source == "lsh":
         new_store = dedup.minhash_store(
-            survivors, id_col, text_col, shingle_n=shingle_n
+            survivors, id_col, text_col,
+            shingle_n=shingle_n, min_jaccard=min_jaccard,
         )
         old_store = dedup.minhash_store(
-            old, id_col, text_col, shingle_n=shingle_n
+            old, id_col, text_col,
+            shingle_n=shingle_n, min_jaccard=min_jaccard,
         )
         near_hit_ids = (
             dedup.incremental_near_dups(

@@ -356,37 +356,41 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry 100% oracle-paired. `q_minhash_pairs` stays callable for
 # bench.py's LSH-path headliner timing.
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default LSH near-dup pairs. Since r14 the banding is DERIVED
+    from the verify threshold (operators.dedup.derive_banding:
+    64 hashes at t=0.8 -> 8 bands x 8 rows, S-curve midpoint
+    (1/8)^(1/8) = 0.77 aligned with the threshold) — the r13 zipf
+    corpus measured the old fixed 16x4 default (midpoint 0.50) paying
+    for the whole [0.5, 0.8) background-candidate dead zone on
+    realistic shared-vocabulary text: 159.4 s / 36.8x zx10->zx100
+    growth vs 17.3 s / 5.3x derived. ``q_minhash_pairs_16x4`` keeps
+    the old banding as the documented-blowup comparison row."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8
     )
 
 
-def q_minhash_pairs_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threshold-TUNED banding twin of ``q_minhash_pairs`` (bench-only,
-    same no-oracle rationale): 8 bands x 8 rows instead of the default
-    16 x 4, holding num_hashes=64 and every other parameter fixed.
-
-    Why it exists (r13, measured on the Heaps-law zipf corpus): the
-    LSH S-curve midpoint is (1/bands)^(rows/band^-1) — 16x4 gives
-    (1/16)^(1/4) = 0.50, i.e. the banded join surfaces candidates from
-    Jaccard ~0.5 DOWN, while the verify join keeps only >= 0.8. On the
-    replicated corpus that slack is invisible (disjoint replica
-    vocabularies make background Jaccard ~0 across replicas), but on
-    realistic shared-vocabulary text, frequent-token 2-shingles give
-    random doc pairs background Jaccard ~0.1 and the 0.5-midpoint
-    banding pays candidates for the whole [0.5, 0.8) dead zone:
-    zx10->zx100 growth 36.8x (159.4 s). Re-tuning the SAME hash budget
-    to 8x8 moves the midpoint to (1/8)^(1/8) = 0.77 — aligned with the
-    0.8 verify threshold — and collapses the background candidate mass
-    (P[band collision] = J^8: at J=0.1, 1e-8/band). Trade: recall at
-    the threshold boundary steepens but is not 1.0 (J=0.85 ->
+def q_minhash_pairs_16x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETIRED fixed 16-band x 4-row banding, kept as a bench-only
+    comparison row (same no-oracle rationale as ``q_minhash_pairs``):
+    its S-curve midpoint is (1/16)^(1/4) = 0.50, i.e. the banded join
+    surfaces candidates from Jaccard ~0.5 DOWN while the verify join
+    keeps only >= 0.8. On the replicated corpus that slack is
+    invisible (disjoint replica vocabularies make background Jaccard
+    ~0 across replicas), but on realistic shared-vocabulary text,
+    frequent-token 2-shingles give random doc pairs background Jaccard
+    ~0.1 and the 0.5-midpoint banding pays candidates for the whole
+    [0.5, 0.8) dead zone: zx10->zx100 growth 36.8x (159.4 s) vs the
+    derived 8x8's 5.3x (midpoint (1/8)^(1/8) = 0.77; background band
+    collisions decay as J^8 — at J=0.1, 1e-8/band). Trade the default
+    accepts: steeper at-threshold recall (J=0.85 ->
     1-(1-0.85^8)^8 ~ 0.93; exact dups J=1.0 always collide), the
     standard S-curve trade every production LSH deployment makes —
     banding must be tuned to the verify threshold, not defaulted."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8, bands=8
+        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.8, bands=16
     )
 
 
@@ -394,10 +398,11 @@ def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only twin of the `near_dup_clusters` headliner with the
     LSH pair source — the 100 TB edge generator (banded bucket join)
     instead of the exact inverted index, so the scale path's timing
-    trends round-over-round next to the exact path's. Deterministic
-    but xxhash64-based, hence no SQL oracle; cluster-refinement
-    equivalence vs the exact path is pinned in tests/test_graph.py /
-    tests/test_dedup.py."""
+    trends round-over-round next to the exact path's. Banding is
+    derived from the threshold (8x8 at t=0.8 since r14 — see
+    ``q_minhash_pairs``). Deterministic but xxhash64-based, hence no
+    SQL oracle; cluster-refinement equivalence vs the exact path is
+    pinned in tests/test_graph.py / tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_clusters(
         docs, "doc_id", "text", n=2, min_jaccard=0.8, pair_source="lsh",
@@ -405,18 +410,18 @@ def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_near_dup_clusters_lsh_tuned(
+def q_near_dup_clusters_lsh_16x4(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """``q_near_dup_clusters_lsh`` with threshold-tuned 8x8 banding
-    (bench-only; see ``q_minhash_pairs_tuned`` for the S-curve
-    rationale and zipf measurements) — proves the banding fix carries
-    through the full pair -> connected-components -> label pipeline,
-    not just the pair join."""
+    """``q_near_dup_clusters_lsh`` with the RETIRED fixed 16x4 banding
+    (bench-only comparison row; see ``q_minhash_pairs_16x4`` for the
+    S-curve rationale and zipf measurements) — keeps the documented
+    blowup visible through the full pair -> connected-components ->
+    label pipeline, not just the pair join."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_clusters(
         docs, "doc_id", "text", n=2, min_jaccard=0.8, pair_source="lsh",
-        materialize=False, bands=8,
+        materialize=False, bands=16,
     )
 
 

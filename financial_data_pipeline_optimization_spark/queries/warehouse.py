@@ -541,8 +541,9 @@ for _n in (
     doc="Driver-checkable MinHash+LSH contract: the LSH pipeline's "
     "verified pairs are a SUBSET of the exact bigram-Jaccard pairs "
     "(no false positives survive the verify stage) and cover >= 90% "
-    "of them (16 bands x 4 rows at t=0.8 => theoretical miss rate "
-    "~2e-4). The oracle recomputes the exact pair count in SQL, so "
+    "of them (derived 8 bands x 8 rows at t=0.8: J=0.85 detected "
+    "with p~0.93, J->1 with p->1). The oracle recomputes the exact "
+    "pair count in SQL, so "
     "n_exact_pairs is independently derived on both sides.",
 )
 def q_minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,11 +990,19 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stand-in eval set), how many OTHER corpus documents share a word "
     "5-gram with it and how many distinct 5-grams leak. decontaminate "
     "silently drops contaminated docs; audits need the per-benchmark "
-    "evidence. Shuffles (shingle, id) pairs only. The benchmark side "
-    "grows with the corpus here (it is a 5% slice), so no broadcast "
-    "hint is forced — AQE broadcasts it while it fits and falls back "
-    "to a shuffle join past the threshold; a real eval set is a "
-    "fixed-size table and broadcasts unconditionally.",
+    "evidence. The r14 restructure splits the two counts: the "
+    "shingle count joins the benchmark shingles against a per-shingle "
+    "CORPUS AGGREGATE (count + min doc id — enough to decide 'some "
+    "other doc shares it'), so the shared-shingle mass never "
+    "multiplies out (measured 118M pair rows at zx100 collapsed to a "
+    "b_sh-sized join); only the doc count pays the genuine "
+    "(bench x doc) pairing, whose distinct-pair output is the "
+    "semantic floor. Shingles join by xxhash64 (8-byte shuffle keys, "
+    "strings never move; collisions ~1e-12 — the repo-wide hashed-"
+    "set trade). No broadcast hint: the benchmark side grows with "
+    "the corpus here (a 5% slice), so AQE picks broadcast while it "
+    "fits; a real eval set is a fixed-size table and broadcasts "
+    "unconditionally.",
 )
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators.text import tokens
@@ -1007,6 +1016,8 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # short docs contribute their sub-n-gram remainder; mirror that
         # by clamping the slice length (sequence floor 1 keeps >= one
         # shingle per non-empty doc, exactly like greatest(len-4, 1)).
+        # Project straight to the 64-bit shingle hash: both joins and
+        # both aggregates below run on 8-byte keys.
         return (
             df.select(F.col(idc), t.alias("t"))
             .select(
@@ -1017,31 +1028,54 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit(0),
                             F.greatest(F.size("t") - (n - 1), F.lit(1)) - 1,
                         ),
-                        lambda i: F.array_join(
-                            F.slice(F.col("t"), i + 1, n), " "
+                        lambda i: F.xxhash64(
+                            F.array_join(F.slice(F.col("t"), i + 1, n), " ")
                         ),
                     )
-                ).alias("s"),
+                ).alias("__h"),
             )
             .distinct()
         )
 
-    c_sh = shingles(docs, "doc_id")
+    # Both halves read each side once: materialize the (id, hash)
+    # tables (16 bytes/row — far smaller than re-tokenizing the corpus
+    # per half).
+    c_h = shingles(docs, "doc_id").localCheckpoint(eager=False)
     bench = docs.filter(F.col("doc_id") % 20 == 7).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    b_sh = shingles(bench, "bench_id")
-    # No broadcast hint: b_sh is ~5% of the corpus's shingles, which
-    # scales WITH the corpus — a forced broadcast would eventually blow
-    # the driver/broadcast limit at a larger SF. AQE picks broadcast
-    # while the built side is actually small.
-    hits = c_sh.join(
-        b_sh,
-        (c_sh["s"] == b_sh["s"]) & (c_sh["doc_id"] != b_sh["bench_id"]),
+    b_h = shingles(bench, "bench_id").localCheckpoint(eager=False)
+    # Shingle half: a bench shingle leaks iff SOME corpus doc other
+    # than the bench doc itself contains it — decidable from the
+    # per-shingle corpus count plus one witness id, so the corpus side
+    # pre-aggregates to one row per distinct shingle and the join
+    # output is bounded by b_h, not by the pair fan-out.
+    c_agg = c_h.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__nc"), F.min("doc_id").alias("__d0")
     )
-    return hits.groupBy("bench_id").agg(
-        F.countDistinct("doc_id").cast("long").alias("n_contaminated_docs"),
-        F.countDistinct(c_sh["s"]).cast("long").alias("n_shared_shingles"),
+    sh_counts = (
+        b_h.join(c_agg, "__h")
+        .where((F.col("__nc") >= 2) | (F.col("__d0") != F.col("bench_id")))
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+    # Doc half: the genuine (bench x contaminated doc) pairing; the
+    # per-shingle fan-out dedups map-side inside the partial distinct
+    # aggregate, so only distinct pairs shuffle.
+    doc_counts = (
+        c_h.join(b_h, "__h")
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias(
+                "n_contaminated_docs"
+            )
+        )
+    )
+    # Inner join is lossless: a qualifying doc implies a qualifying
+    # shingle and vice versa, so both halves carry the same bench ids.
+    return doc_counts.join(sh_counts, "bench_id").select(
+        "bench_id", "n_contaminated_docs", "n_shared_shingles"
     )
 
 

@@ -351,7 +351,8 @@ def foreach_batch_near_dup_filter(
             eager=True  # the batch is consumed 4x below; pin it once
         )
         nb, ns = dedup.minhash_store(
-            batch, id_col, text_col, shingle_n=shingle_n
+            batch, id_col, text_col,
+            shingle_n=shingle_n, min_jaccard=min_jaccard,
         )
         nb = nb.localCheckpoint(eager=False)
         ns = ns.localCheckpoint(eager=False)
@@ -360,6 +361,11 @@ def foreach_batch_near_dup_filter(
         old_b = read_parquet_if_exists(spark, f"{store_path}/bands")
         if old_b is not None:
             old_s = spark.read.parquet(f"{store_path}/sets")
+            # Fail fast if the persisted store was banded under a
+            # different geometry (e.g. written before a banding
+            # default change) — geometry-seeded band hashes would
+            # otherwise silently match nothing cross-batch.
+            dedup.assert_compatible_stores((nb, ns), (old_b, old_s))
             cross = dedup.incremental_near_dups(
                 (nb, ns), (old_b, old_s), min_jaccard=min_jaccard
             )

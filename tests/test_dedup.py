@@ -25,8 +25,9 @@ def test_minhash_pairs_are_verified_subset(spark):
 
 
 def test_minhash_recall_vs_exact(spark):
-    """LSH with 16 bands / 64 hashes must recover nearly all pairs with
-    Jaccard >= 0.9 (collision prob at s=0.9: 1-(1-.9^4)^16 ≈ 0.9999)."""
+    """LSH with derived banding (8 bands x 8 rows at t=0.9, 64 hashes)
+    must recover nearly all pairs with Jaccard >= 0.9 (collision prob
+    at s=0.9: 1-(1-.9^8)^8 ≈ 0.989; planted dups sit well above)."""
     docs = load_table(spark, SF_CORRECTNESS, "documents")
     exact = {
         (r.a, r.b)
@@ -265,17 +266,42 @@ def test_lsh_megacluster_bounded_and_matches_exact(spark):
     assert growth[-1] < 300 + 100
 
 
-def test_tuned_banding_collapses_background_candidates(spark):
-    """The r13 corpus-realism finding (SCALING.md zipf section):
-    16-band x 4-row banding has its S-curve midpoint at J=0.5, so on
-    shared-vocabulary text it surfaces the whole [0.5, 0.8) dead zone
-    as candidates the 0.8 verify join then discards; 8 x 8 banding
-    (same 64-hash budget) moves the midpoint to ~0.77. Pinned on a
-    corpus built to have high background Jaccard (~0.5-0.7, all docs
-    sampled from 12 frequent tokens) plus one exact-dup pair: the
-    tuned banding must (a) still emit the planted exact pair — J=1
-    collides in EVERY band under any banding — and (b) produce
-    strictly fewer banded candidates than the default."""
+def test_derive_banding():
+    """The r14 default-banding rule: the divisor pair with the largest
+    S-curve midpoint (1/b)^(1/r) at or below the verify threshold."""
+    # t=0.8, 64 hashes: 8x8 (midpoint 0.771); 4x16's 0.917 is above.
+    assert dedup.derive_banding(64, 0.8) == (8, 8)
+    # t=0.9 still 8x8 (0.917 > 0.9); t=0.92 admits 4x16.
+    assert dedup.derive_banding(64, 0.9) == (8, 8)
+    assert dedup.derive_banding(64, 0.92) == (4, 16)
+    # t=0.5: 16x4's midpoint is exactly 0.5 — the old fixed default
+    # was the right banding for a 0.5 threshold, not 0.8.
+    assert dedup.derive_banding(64, 0.5) == (16, 4)
+    # Exact-match threshold: one band of all hashes.
+    assert dedup.derive_banding(64, 1.0) == (1, 64)
+    # Threshold below every midpoint: every hash its own band.
+    assert dedup.derive_banding(64, 0.001) == (64, 1)
+    # Non-power-of-two budgets work (divisor enumeration, not log2).
+    b, r = dedup.derive_banding(60, 0.8)
+    assert b * r == 60 and (1 / b) ** (1 / r) <= 0.8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.derive_banding(0, 0.8)
+
+
+def test_default_banding_collapses_background_candidates(spark):
+    """The r13 corpus-realism finding (SCALING.md zipf section), now
+    the DEFAULT: fixed 16-band x 4-row banding has its S-curve
+    midpoint at J=0.5, so on shared-vocabulary text it surfaces the
+    whole [0.5, 0.8) dead zone as candidates the 0.8 verify join then
+    discards; the derived 8 x 8 banding (same 64-hash budget) moves
+    the midpoint to ~0.77. Pinned on a corpus built to have high
+    background Jaccard (~0.5-0.7, all docs sampled from 12 frequent
+    tokens) plus one exact-dup pair: the derived default must (a)
+    still emit the planted exact pair — J=1 collides in EVERY band
+    under any banding — and (b) produce strictly fewer banded
+    candidates than the retired 16x4 banding."""
     import random
 
     from financial_data_pipeline_optimization_spark.operators import dedup
@@ -289,7 +315,14 @@ def test_tuned_banding_collapses_background_candidates(spark):
     rows.append((1000, rows[0][1]))  # exact dup of doc 0
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    stats_default, stats_tuned = {}, {}
+    stats_16x4, stats_default = {}, {}
+    pairs_16x4 = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", shingle_n=2, min_jaccard=0.8, bands=16,
+            stats=stats_16x4,
+        ).collect()
+    }
     default_pairs = {
         (r["a"], r["b"])
         for r in dedup.minhash_lsh_pairs(
@@ -297,17 +330,54 @@ def test_tuned_banding_collapses_background_candidates(spark):
             stats=stats_default,
         ).collect()
     }
-    tuned_pairs = {
-        (r["a"], r["b"])
-        for r in dedup.minhash_lsh_pairs(
-            df, "doc_id", "text", shingle_n=2, min_jaccard=0.8, bands=8,
-            stats=stats_tuned,
-        ).collect()
-    }
+    assert (0, 1000) in pairs_16x4
     assert (0, 1000) in default_pairs
-    assert (0, 1000) in tuned_pairs
-    # Verified output agrees up to banding recall: tuned may MISS some
-    # near-threshold pairs (the documented S-curve trade) but must
-    # never invent one the default banding's verify would reject.
-    assert tuned_pairs <= default_pairs
-    assert stats_tuned["candidate_pairs"] < stats_default["candidate_pairs"]
+    # Verified output agrees up to banding recall: the derived default
+    # may MISS some near-threshold pairs (the documented S-curve trade)
+    # but must never invent one the 16x4 banding's verify would reject.
+    assert default_pairs <= pairs_16x4
+    assert stats_default["candidate_pairs"] < stats_16x4["candidate_pairs"]
+
+
+def test_store_banding_mismatch_detected(spark):
+    """The r14 migration gate: a store persisted under one banding
+    geometry joined against a batch banded differently must (a) be
+    caught eagerly by assert_compatible_stores and (b) never produce
+    systematic cross-geometry band-hash matches (geometry-seeded
+    hashes), so a missed guard degrades to missed dups — never to
+    corrupt candidates flooding the verify join."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    # Same geometry (both derived from the same threshold): compatible.
+    s_new = dedup.minhash_store(new, "doc_id", "text", shingle_n=2)
+    s_old = dedup.minhash_store(old, "doc_id", "text", shingle_n=2)
+    dedup.assert_compatible_stores(s_new, s_old)
+    # Legacy 16-band store vs derived 8-band batch: caught.
+    s_old_16 = dedup.minhash_store(
+        old, "doc_id", "text", shingle_n=2, bands=16
+    )
+    with _pytest.raises(dedup.StoreBandingMismatch):
+        dedup.assert_compatible_stores(s_new, s_old_16)
+    # Geometry seeding: the mismatched join structurally cannot match
+    # band hashes (beyond ~2^-64 chance), even for band indices both
+    # geometries share.
+    nb, _ = s_new
+    ob16, _ = s_old_16
+    cross = nb.alias("n").join(
+        ob16.alias("o"),
+        (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.band_hash") == F.col("o.band_hash")),
+    )
+    assert cross.count() == 0
+    # An EMPTY persisted store (first streaming micro-batch) is
+    # compatible with anything.
+    empty = (
+        s_old[0].where(F.lit(False)),
+        s_old[1].where(F.lit(False)),
+    )
+    dedup.assert_compatible_stores(s_new, empty)

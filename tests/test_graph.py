@@ -186,19 +186,39 @@ def test_kcore_broadcast_keeps_size_gate(spark):
     sym = pairs + [(b, a) for a, b in pairs]
     edges = spark.createDataFrame(sym, "src long, dst long")
 
-    on = kcore_peel(edges, k=3, rounds=3, broadcast_keeps=True)
+    on_stats = {}
+    on = kcore_peel(
+        edges, k=3, rounds=3, broadcast_keeps=True, stats=on_stats
+    )
     assert "strategy=broadcast" in _logical_plan(on)
+    assert on_stats["peel_mode"] == "broadcast"
+    assert on_stats["round0_survivors"] == 6  # the clique
 
     # round-0 survivors = raw-graph nodes with degree >= 3 (the
     # 6-clique; the pendant nodes are already under k) — a budget of
     # 1 is below that, forcing the fallback
+    gated_stats = {}
     gated = kcore_peel(
-        edges, k=3, rounds=3, broadcast_keeps=True, broadcast_max_nodes=1
+        edges, k=3, rounds=3, broadcast_keeps=True, broadcast_max_nodes=1,
+        stats=gated_stats,
     )
     assert "strategy=broadcast" not in _logical_plan(gated)
+    assert gated_stats["peel_mode"] == "shuffle-fallback"
+    assert gated_stats["round0_survivors"] == 6
 
-    plain = kcore_peel(edges, k=3, rounds=3)
+    plain_stats = {}
+    plain = kcore_peel(edges, k=3, rounds=3, stats=plain_stats)
+    assert plain_stats == {"peel_mode": "shuffle"}
     want = sorted((r.node, r.degree) for r in plain.collect())
     assert sorted((r.node, r.degree) for r in on.collect()) == want
     assert sorted((r.node, r.degree) for r in gated.collect()) == want
     assert want == [(i, 5) for i in nodes]
+
+    # The size gate REUSES round 0's degree aggregation: a 1-round
+    # broadcast peel's plan reads the checkpointed degree table (no
+    # Aggregate over the edges left in the plan — the one aggregation
+    # already ran inside the gate's count), while the shuffle path
+    # still aggregates lazily.
+    one_round = kcore_peel(edges, k=3, rounds=1, broadcast_keeps=True)
+    assert "Aggregate" not in _logical_plan(one_round)
+    assert "Aggregate" in _logical_plan(kcore_peel(edges, k=3, rounds=1))

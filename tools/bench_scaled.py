@@ -105,9 +105,9 @@ QUERIES = [
     "window_moving_avg",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
-    "minhash_lsh_pairs_tuned",
+    "minhash_lsh_pairs_16x4",
     "near_dup_clusters_lsh",
-    "near_dup_clusters_lsh_tuned",
+    "near_dup_clusters_lsh_16x4",
     "pmi_bigram_phrases",
     "substring_dedup_docs",
     "substring_dedup_n50",
@@ -224,12 +224,14 @@ def build_specs(queries: list[str]) -> dict:
         "minhash_lsh_pairs",
         q.QuerySpec("minhash_lsh_pairs", q.q_minhash_pairs, None),
     )
-    # Threshold-tuned banding twin (8x8 vs 16x4) — the corpus-realism
-    # finding of the r13 zipf sweep (see queries/documents.py doc).
+    # Retired fixed-16x4 banding comparison rows — the corpus-realism
+    # finding of the r13 zipf sweep; since r14 the DEFAULT derives the
+    # banding from the threshold (see queries/documents.py doc), so
+    # these twins keep the documented blowup measurable.
     specs.setdefault(
-        "minhash_lsh_pairs_tuned",
+        "minhash_lsh_pairs_16x4",
         q.QuerySpec(
-            "minhash_lsh_pairs_tuned", q.q_minhash_pairs_tuned, None
+            "minhash_lsh_pairs_16x4", q.q_minhash_pairs_16x4, None
         ),
     )
     specs.setdefault(
@@ -237,10 +239,10 @@ def build_specs(queries: list[str]) -> dict:
         q.QuerySpec("near_dup_clusters_lsh", q.q_near_dup_clusters_lsh, None),
     )
     specs.setdefault(
-        "near_dup_clusters_lsh_tuned",
+        "near_dup_clusters_lsh_16x4",
         q.QuerySpec(
-            "near_dup_clusters_lsh_tuned",
-            q.q_near_dup_clusters_lsh_tuned,
+            "near_dup_clusters_lsh_16x4",
+            q.q_near_dup_clusters_lsh_16x4,
             None,
         ),
     )
@@ -263,6 +265,21 @@ def build_specs(queries: list[str]) -> dict:
         ),
     )
     return specs
+
+
+def _gc_millis(spark) -> int:
+    """Cumulative JVM GC time (ms) across all collectors — in local
+    mode the driver JVM is the executor JVM, so per-rep deltas of this
+    counter attribute a slow rep to GC pressure vs plan/compute (the
+    r13 bucketed-graph x100 bimodality investigation)."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(b.getCollectionTime() for b in beans)
+    except Exception:  # noqa: BLE001 — diagnostics must never fail a cell
+        return -1
 
 
 def sweep(
@@ -343,12 +360,22 @@ def sweep(
             time.sleep(1)
             samples = []
             try:
-                for _ in range(reps):
+                for rep in range(reps):
+                    g0 = _gc_millis(spark)
                     t0 = time.perf_counter()
                     specs[name].spark(spark, sf_dir).write.format(
                         "noop"
                     ).mode("overwrite").save()
                     samples.append(time.perf_counter() - t0)
+                    # Per-rep evidence line (stderr → the percell
+                    # children.log): wall + GC delta, so a bimodal
+                    # cell's slow mode is attributable after the fact.
+                    print(
+                        f"{label} {name} rep{rep}: "
+                        f"{samples[-1]:.2f}s gc={_gc_millis(spark) - g0}ms",
+                        file=sys.stderr,
+                        flush=True,
+                    )
                     # Between-rep cleanup (outside the timed region):
                     # each rep rebuilds the query's localCheckpoints —
                     # for the graph queries that is an ~edge-set-sized
@@ -371,12 +398,16 @@ def sweep(
 
 
 def warm_on(spark, specs: dict, queries: list[str], warm_dir: str) -> None:
-    """One UNTIMED evaluation of each query against ``warm_dir`` (the
-    x1 corpus): warms JIT / whole-stage-codegen / the Arrow and Python
-    worker paths the query touches, so a fresh-JVM child's first timed
-    rep is not a cold-compile sample. Failure-tolerated — a query that
-    cannot run at the warm SF still gets timed (its first rep is just
-    colder)."""
+    """One UNTIMED evaluation of each query against ``warm_dir`` — the
+    dataset the cell will be TIMED on (the per-cell protocol passes the
+    target SF, not a smaller one: a first pass over the real data
+    volume is what drives C2 through the query's hot loops, and an x1
+    warm left the many-small-stage graph cells 3-4x inflated at x100 —
+    see ``percell_loop``). Warms JIT / whole-stage-codegen / the Arrow
+    and Python worker paths the query touches, so a fresh-JVM child's
+    first timed rep is not a cold-compile sample. Failure-tolerated — a
+    query that cannot run at the warm SF still gets timed (its first
+    rep is just colder)."""
     for name in queries:
         try:
             specs[name].spark(spark, warm_dir).write.format("noop").mode(
@@ -392,6 +423,7 @@ def percell_loop(
     queries: list[str],
     out_path: str,
     only_sets: set[str] = frozenset(),
+    retry_failed: bool = False,
 ) -> dict:
     """Parent side of ``--percell``: one child process per pending
     (query, dataset) cell, merged into ``out_path`` via the resume
@@ -408,9 +440,30 @@ def percell_loop(
     x1 warm vs ~21 s steady-state; same C2-ramp mechanism bench.py's
     ramp protocol documents for kcore). The timed reps are therefore
     steady-state marginal cost — what a long-running service pays per
-    query — at one extra untimed execution per cell."""
+    query — at one extra untimed execution per cell.
+
+    Failure protocol: a cell whose child exits non-zero without
+    recording a value is written as ``null`` and SKIPPED on re-runs
+    (so resumes don't retry a hard failure forever); pass
+    ``retry_failed`` (``--retry-failed``) to clear the nulls and
+    re-attempt them. Child stderr streams to ``<out_path>.children.log``
+    so the failure cause survives the run."""
     base_mem = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
     big_mem = os.environ.get("SPARK_GRAFT_SCALED_ISOLATE_MEM", "64g")
+    log_path = Path(f"{out_path}.children.log")
+    if retry_failed and Path(out_path).exists():
+        results = json.loads(Path(out_path).read_text())
+        cleared = [
+            (n, lb)
+            for n, row in results.items()
+            for lb, v in list(row.items())
+            if v is None
+        ]
+        for n, lb in cleared:
+            del results[n][lb]
+        if cleared:
+            Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+            print(f"--retry-failed: cleared {len(cleared)} null cells")
     for label, sf_dir in datasets:
         if not Path(sf_dir).exists() or (only_sets and label not in only_sets):
             print(f"skip {label}", file=sys.stderr)
@@ -424,12 +477,27 @@ def percell_loop(
             if isinstance(results.get(name, {}).get(label), float):
                 print(f"{label} {name}: kept {results[name][label]}")
                 continue
+            if label in results.get(name, {}):
+                # Recorded null = a child already failed hard on this
+                # cell; don't re-spawn (and re-pay the untimed warm
+                # execution of a failing query) on every resume.
+                print(
+                    f"{label} {name}: skipped (failed earlier — "
+                    f"--retry-failed to re-attempt)"
+                )
+                continue
             env = dict(
                 os.environ,
                 SPARK_GRAFT_SCALED_QUERIES=name,
                 SPARK_GRAFT_SCALED_SETS=label,
                 SPARK_GRAFT_SCALED_ISOLATE="",
                 SPARK_GRAFT_SCALED_WARM_DIR=sf_dir,
+                # Children must never run the growth gate themselves:
+                # an inherited SPARK_GRAFT_SCALED_CHECK=1 would make
+                # every child re-check the PARTIALLY-filled out.json
+                # and exit 1 on any tripped budget, conflating gate
+                # trips with real cell failures.
+                SPARK_GRAFT_SCALED_CHECK="",
                 # Every x100-grade cell gets the big heap: children
                 # run alone, so the heaps never coexist, and the r13
                 # protocol-validation runs showed several x100 cells
@@ -440,12 +508,15 @@ def percell_loop(
                     big_mem if label.endswith("x100") else base_mem
                 ),
             )
-            rc = subprocess.call(
-                [sys.executable, script, out_path],
-                env=env,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
+            with log_path.open("ab") as log:
+                log.write(f"==== {label} {name} ====\n".encode())
+                log.flush()
+                rc = subprocess.call(
+                    [sys.executable, script, out_path],
+                    env=env,
+                    stdout=subprocess.DEVNULL,
+                    stderr=log,
+                )
             results = (
                 json.loads(Path(out_path).read_text())
                 if Path(out_path).exists()
@@ -489,13 +560,49 @@ def print_table(
         print(f"| {name} | " + " | ".join(vals) + f" | {growth} |")
 
 
+def parse_cli(default_out: str, description: str):
+    """Shared CLI for the sweep scripts. argparse, not a hand-rolled
+    token loop: the old loop treated ANY unrecognized token as the
+    output path, so ``--help`` started a multi-hour sweep that wrote
+    its JSON to a file literally named ``--help``."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument(
+        "out_path",
+        nargs="?",
+        default=default_out,
+        help=f"result JSON (resumable; default {default_out})",
+    )
+    p.add_argument(
+        "--check",
+        action="store_true",
+        help="gate growth ratios against tools/scale_budgets.json",
+    )
+    p.add_argument(
+        "--percell",
+        action="store_true",
+        help="one fresh child JVM per (query, dataset) cell",
+    )
+    p.add_argument(
+        "--retry-failed",
+        action="store_true",
+        help="clear cells recorded as null (failed child) and re-attempt",
+    )
+    args = p.parse_args()
+    if args.out_path.startswith("-"):
+        p.error(f"output path looks like a flag: {args.out_path!r}")
+    return args
+
+
 def main() -> None:
-    check = "--check" in sys.argv or os.environ.get(
-        "SPARK_GRAFT_SCALED_CHECK"
-    ) == "1"
-    percell = "--percell" in sys.argv
-    args = [a for a in sys.argv[1:] if a not in ("--check", "--percell")]
-    out_path = args[0] if args else "/tmp/bench_scaled.json"
+    cli = parse_cli(
+        "/tmp/bench_scaled.json",
+        "Replica-corpus x1/x10/x100 scale sweep (SCALING.md grid)",
+    )
+    check = cli.check or os.environ.get("SPARK_GRAFT_SCALED_CHECK") == "1"
+    percell = cli.percell
+    out_path = cli.out_path
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # Resumable: re-runs merge into an existing out.json, and
     # SPARK_GRAFT_SCALED_SETS=x100 (comma list) restricts the datasets
@@ -533,7 +640,8 @@ def main() -> None:
 
     if percell:
         results = percell_loop(
-            __file__, DATASETS, queries, out_path, only_sets=only
+            __file__, DATASETS, queries, out_path, only_sets=only,
+            retry_failed=cli.retry_failed,
         )
         print_table(results, DATASETS, queries)
         if check:
@@ -582,6 +690,7 @@ def main() -> None:
                 SPARK_GRAFT_SCALED_QUERIES=",".join(pending),
                 SPARK_GRAFT_SCALED_SETS="x100",
                 SPARK_GRAFT_SCALED_ISOLATE="",
+                SPARK_GRAFT_SCALED_CHECK="",  # gate runs in the parent
                 SPARK_DRIVER_MEMORY=os.environ.get(
                     "SPARK_GRAFT_SCALED_ISOLATE_MEM", "64g"
                 ),

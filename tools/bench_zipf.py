@@ -41,6 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from tools.bench_scaled import (  # noqa: E402
     build_specs,
     check_growth,
+    parse_cli,
     percell_loop,
     print_table,
     sweep,
@@ -48,11 +49,29 @@ from tools.bench_scaled import (  # noqa: E402
 )
 from financial_data_pipeline_optimization_spark import get_spark  # noqa: E402
 
-DATASETS = [
-    ("zx1", "/tmp/sfzipf1"),
-    ("zx10", "/tmp/sfzipf10"),
-    ("zx100", "/tmp/sfzipf100"),
-]
+#: SPARK_GRAFT_ZIPF_SKEWED=1 switches the sweep to the POWER-LAW
+#: dup-cluster corpora (gen_zipf_sf.py --cluster-max 100: sizes ~
+#: c^-2 truncated at 100, so the biggest LSH bucket holds ~100 docs /
+#: ~5k candidate pairs) and restricts the cells to the dedup family —
+#: the operators whose cost is actually driven by dup topology. Env
+#: var, not a flag, so --percell children (which re-exec this script)
+#: inherit the mode automatically. Budgets live under ``zipfsk:``.
+SKEWED = os.environ.get("SPARK_GRAFT_ZIPF_SKEWED") == "1"
+
+if SKEWED:
+    DATASETS = [
+        ("skx1", "/tmp/sfzipfsk1"),
+        ("skx10", "/tmp/sfzipfsk10"),
+        ("skx100", "/tmp/sfzipfsk100"),
+    ]
+    LO, HI, PREFIX = "skx10", "skx100", "zipfsk:"
+else:
+    DATASETS = [
+        ("zx1", "/tmp/sfzipf1"),
+        ("zx10", "/tmp/sfzipf10"),
+        ("zx100", "/tmp/sfzipf100"),
+    ]
+    LO, HI, PREFIX = "zx10", "zx100", "zipf:"
 
 #: Every documents-table cell of the replica sweep (the 14 text cells
 #: plus the 5 r13 audit-floor cells). Graph/vector/relational cells
@@ -62,9 +81,9 @@ DATASETS = [
 QUERIES = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
-    "minhash_lsh_pairs_tuned",
+    "minhash_lsh_pairs_16x4",
     "near_dup_clusters_lsh",
-    "near_dup_clusters_lsh_tuned",
+    "near_dup_clusters_lsh_16x4",
     "pmi_bigram_phrases",
     "substring_dedup_docs",
     "substring_dedup_n50",
@@ -83,14 +102,22 @@ QUERIES = [
     "contamination_report",
 ]
 
+if SKEWED:
+    QUERIES = [
+        "minhash_lsh_pairs",
+        "near_dup_clusters_lsh",
+        "cluster_representatives",
+    ]
+
 
 def main() -> None:
-    check = "--check" in sys.argv or os.environ.get(
-        "SPARK_GRAFT_SCALED_CHECK"
-    ) == "1"
-    percell = "--percell" in sys.argv
-    args = [a for a in sys.argv[1:] if a not in ("--check", "--percell")]
-    out_path = args[0] if args else "/tmp/bench_zipf.json"
+    cli = parse_cli(
+        "/tmp/bench_zipf.json",
+        "Heaps-law Zipf corpus zx1/zx10/zx100 text-cell sweep",
+    )
+    check = cli.check or os.environ.get("SPARK_GRAFT_SCALED_CHECK") == "1"
+    percell = cli.percell
+    out_path = cli.out_path
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     only = {
         s for s in os.environ.get("SPARK_GRAFT_SCALED_SETS", "").split(",") if s
@@ -104,12 +131,13 @@ def main() -> None:
 
     if percell:
         results = percell_loop(
-            __file__, DATASETS, queries, out_path, only_sets=only
+            __file__, DATASETS, queries, out_path, only_sets=only,
+            retry_failed=cli.retry_failed,
         )
-        print_table(results, DATASETS, queries, lo="zx10", hi="zx100")
+        print_table(results, DATASETS, queries, lo=LO, hi=HI)
         if check:
             violations = check_growth(
-                results, lo="zx10", hi="zx100", budget_prefix="zipf:"
+                results, lo=LO, hi=HI, budget_prefix=PREFIX
             )
             for v in violations:
                 print(f"SCALE-GATE VIOLATION: {v}")
@@ -130,11 +158,11 @@ def main() -> None:
     results = sweep(
         spark, DATASETS, queries, specs, out_path, reps, only_sets=only
     )
-    print_table(results, DATASETS, queries, lo="zx10", hi="zx100")
+    print_table(results, DATASETS, queries, lo=LO, hi=HI)
 
     if check:
         violations = check_growth(
-            results, lo="zx10", hi="zx100", budget_prefix="zipf:"
+            results, lo=LO, hi=HI, budget_prefix=PREFIX
         )
         for v in violations:
             print(f"SCALE-GATE VIOLATION: {v}")

@@ -46,8 +46,15 @@ graph / vector cells keep the replica corpora, whose FK and embedding
 structure is the realistic part for THEM.
 
 Usage: python tools/gen_zipf_sf.py <n_docs> <out_dir> [vocab_size] [zipf_s]
+                                   [--cluster-max B] [--cluster-alpha A]
   e.g. python tools/gen_zipf_sf.py 50000  /tmp/sfzipf10
        python tools/gen_zipf_sf.py 500000 /tmp/sfzipf100
+       python tools/gen_zipf_sf.py 500000 /tmp/sfzipfsk100 --cluster-max 100
+
+``--cluster-max`` switches the planted duplicate structure from the
+linear 17-block law to POWER-LAW cluster sizes (sizes ~ c^-alpha
+truncated at B — the heavy-tailed dup topology of real crawls, where
+boilerplate templates spawn huge clusters); see ``zipf_documents``.
 """
 
 from __future__ import annotations
@@ -95,18 +102,66 @@ def zipf_word(u: Column, vocab: int, s: float) -> Column:
 
 
 def zipf_documents(
-    spark, n_docs: int, vocab: int = DEFAULT_VOCAB, s: float = DEFAULT_S
+    spark,
+    n_docs: int,
+    vocab: int = DEFAULT_VOCAB,
+    s: float = DEFAULT_S,
+    cluster_max: int | None = None,
+    cluster_alpha: float = 2.0,
 ) -> DataFrame:
     """The scaled documents DataFrame (see module doc). Pure built-in
     expressions: one `transform` over a `sequence` per document — no
-    Python in the path, no shuffle before the write."""
+    Python in the path, no shuffle before the write.
+
+    ``cluster_max=None`` (default) plants the LEGACY linear dup
+    structure (17-blocks, cluster sizes <= 3 — the r13 corpus, kept
+    byte-identical so recorded sweeps stay comparable).
+    ``cluster_max=B`` plants POWER-LAW duplicate-cluster topology
+    instead (the r13 verdict's missing realism axis: real crawl dup
+    clusters are heavy-tailed — boilerplate/SEO templates spawn
+    thousands of copies while most dups are pairs): doc_ids are tiled
+    into blocks of B; each block draws a deterministic cluster size
+    c ~ truncated power law P(c) ∝ c^(-cluster_alpha) on [1, B] (same
+    inverse-CDF machinery as the vocabulary Zipf, seeded by block id);
+    offsets 0..c-1 form one near-dup cluster (offset 0 the template,
+    odd offsets exact copies, even offsets near copies with the same
+    1/25 per-token mutation rate as the legacy structure); offsets
+    c..B-1 stay unique singletons. Cluster sizes follow the planted
+    law by construction (pinned in tests/test_zipf_corpus.py), cluster
+    membership is row-local in doc_id (no shuffle, deterministic), and
+    the max cluster — the LSH hot bucket — is bounded by B and grows
+    the candidate-pair mass as E[c^2], the skew the dedup family must
+    survive at 100 TB."""
     docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
-    rem = F.col("doc_id") % 17
-    # Content seed: dup docs (rem 15, 16) read the block base's stream.
-    df = docs.withColumn(
-        "__content",
-        F.when(rem >= 15, F.col("doc_id") - rem).otherwise(F.col("doc_id")),
-    ).withColumn("__near", rem == 16)
+    if cluster_max is None:
+        rem = F.col("doc_id") % 17
+        # Content seed: dup docs (rem 15, 16) read the block base's
+        # stream.
+        df = docs.withColumn(
+            "__content",
+            F.when(rem >= 15, F.col("doc_id") - rem).otherwise(
+                F.col("doc_id")
+            ),
+        ).withColumn("__near", rem == 16)
+    else:
+        if cluster_max < 2:
+            raise ValueError(f"cluster_max must be >= 2, got {cluster_max}")
+        block = (F.col("doc_id") / cluster_max).cast("long")
+        offset = F.col("doc_id") % cluster_max
+        csize = zipf_rank(
+            _u(F.lit(SEED), block, F.lit("csize")),
+            cluster_max,
+            cluster_alpha,
+        )
+        in_cluster = offset < csize
+        df = docs.withColumn(
+            "__content",
+            F.when(in_cluster, F.col("doc_id") - offset).otherwise(
+                F.col("doc_id")
+            ),
+        ).withColumn(
+            "__near", in_cluster & (offset > 0) & (offset % 2 == 0)
+        )
     df = df.withColumn(
         "__n",
         (
@@ -158,13 +213,37 @@ def zipf_documents(
 
 
 def main() -> None:
-    n_docs, out_dir = int(sys.argv[1]), sys.argv[2]
-    vocab = int(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_VOCAB
-    s = float(sys.argv[4]) if len(sys.argv) > 4 else DEFAULT_S
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Heaps-law Zipf documents corpus generator"
+    )
+    p.add_argument("n_docs", type=int)
+    p.add_argument("out_dir")
+    p.add_argument("vocab", type=int, nargs="?", default=DEFAULT_VOCAB)
+    p.add_argument("zipf_s", type=float, nargs="?", default=DEFAULT_S)
+    p.add_argument(
+        "--cluster-max",
+        type=int,
+        default=None,
+        help="plant power-law dup clusters tiled in blocks of this "
+        "size (default: legacy 17-block linear structure)",
+    )
+    p.add_argument(
+        "--cluster-alpha",
+        type=float,
+        default=2.0,
+        help="cluster-size power-law exponent (P(c) ~ c^-alpha)",
+    )
+    a = p.parse_args()
+    n_docs, out_dir, vocab, s = a.n_docs, a.out_dir, a.vocab, a.zipf_s
     spark = get_spark(app_name="fdpo-gen-zipf")
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     n_parts = min(64, max(4, n_docs // 10_000))
-    zipf_documents(spark, n_docs, vocab, s).repartition(
+    zipf_documents(
+        spark, n_docs, vocab, s,
+        cluster_max=a.cluster_max, cluster_alpha=a.cluster_alpha,
+    ).repartition(
         n_parts
     ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     # Report the Heaps-law evidence: observed vocabulary vs tokens.
