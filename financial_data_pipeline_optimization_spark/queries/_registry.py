@@ -272,6 +272,21 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("chunk_documents_tokens", 13),
     ("pack_chunks_bins", 13),
     ("relative_length_filter", 13),
+    # r14: LSH banding now DERIVES from the verify threshold (8x8 at
+    # t=0.8 instead of fixed 16x4) and band hashes are geometry-seeded
+    # — every banded plan changed; verified outputs shift only by the
+    # documented S-curve recall trade at near-threshold pairs, which
+    # the two contract queries re-prove (floors unchanged).
+    # contamination_report: restructured — shingle half joins a
+    # per-shingle corpus aggregate, both halves join on xxhash64 keys
+    # (values identical modulo the repo-wide hashed-set trade).
+    # kcore_trade_graph_bucketed: the broadcast size gate now reuses a
+    # checkpointed round-0 degree table (values identical, plan
+    # changed).
+    ("minhash_recall_check", 14),
+    ("incremental_second_batch_check", 14),
+    ("contamination_report", 14),
+    ("kcore_trade_graph_bucketed", 14),
 )
 
 

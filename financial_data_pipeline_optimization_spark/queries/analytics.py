@@ -448,6 +448,38 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_representatives_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bench-only LSH-sourced twin of ``cluster_representatives`` —
+    the 100 TB shape of the full keep-best dedup pipeline (banded
+    bucket join edges -> connected components -> one election window).
+    Exists because the oracle-checkable exact pair source is past its
+    documented crossover on large skewed corpora: on the r14 power-law
+    dup-cluster corpus (gen_zipf_sf.py --cluster-max 100) the exact
+    inverted index did not finish a 500k-doc cell the LSH path handles
+    in tens of seconds, so the skewed sweep times THIS query. No SQL
+    oracle (xxhash64 banding); LSH-refines-exact is pinned in
+    tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    labels = dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8,
+        carry_cols=["n_chars"], materialize=False, pair_source="lsh",
+    )
+    return (
+        dedup.elect_representatives(
+            labels, "doc_id", "cluster_id", "n_chars", min_members=2
+        )
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("rep_id").alias("rep_doc_id"),
+            F.col("rep_order").cast("long").alias("rep_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @_register(
     "mixture_budget_plan",
     f"""

@@ -990,19 +990,23 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stand-in eval set), how many OTHER corpus documents share a word "
     "5-gram with it and how many distinct 5-grams leak. decontaminate "
     "silently drops contaminated docs; audits need the per-benchmark "
-    "evidence. The r14 restructure splits the two counts: the "
-    "shingle count joins the benchmark shingles against a per-shingle "
-    "CORPUS AGGREGATE (count + min doc id — enough to decide 'some "
-    "other doc shares it'), so the shared-shingle mass never "
-    "multiplies out (measured 118M pair rows at zx100 collapsed to a "
-    "b_sh-sized join); only the doc count pays the genuine "
-    "(bench x doc) pairing, whose distinct-pair output is the "
-    "semantic floor. Shingles join by xxhash64 (8-byte shuffle keys, "
-    "strings never move; collisions ~1e-12 — the repo-wide hashed-"
-    "set trade). No broadcast hint: the benchmark side grows with "
-    "the corpus here (a 5% slice), so AQE picks broadcast while it "
-    "fits; a real eval set is a fixed-size table and broadcasts "
-    "unconditionally.",
+    "evidence. r14 plan: the corpus side is NEVER shuffled before the "
+    "join — its per-doc DISTINCT was semantically redundant under the "
+    "countDistinct aggregates (within-doc repeat shingles are rare "
+    "and dedup map-side anyway) yet cost a full corpus-sized exchange "
+    "(25M rows at zx100); and shingles join by xxhash64 (8-byte "
+    "keys, strings never shuffle; collisions ~1e-12 — the repo-wide "
+    "hashed-set trade). Together: 33.4s -> ~22s at zx100, and the "
+    "plan is scan -> explode -> (AQE-broadcast) join -> partial "
+    "distinct, zero corpus-sized exchanges. The single pair join IS "
+    "the semantic floor: the r14 experiments measured the doc-count "
+    "half alone within ~10% of the whole query, and a split plan "
+    "that pre-aggregates the corpus per shingle to avoid the pair "
+    "fan-out LOSES (extra corpus-cardinality shuffle > the fan-out "
+    "it saves) — SCALING.md zipf section. No broadcast hint: the "
+    "benchmark side grows with the corpus here (a 5% slice), so AQE "
+    "picks broadcast while it fits; a real eval set is a fixed-size "
+    "table and broadcasts unconditionally.",
 )
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators.text import tokens
@@ -1010,15 +1014,15 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n = 5
 
-    def shingles(df, idc):
+    def shingles(df, idc, distinct):
         t = F.filter(tokens("text"), lambda x: x != "")
         # DuckDB's t[i+1:i+5] silently truncates at the array end, so
         # short docs contribute their sub-n-gram remainder; mirror that
         # by clamping the slice length (sequence floor 1 keeps >= one
         # shingle per non-empty doc, exactly like greatest(len-4, 1)).
-        # Project straight to the 64-bit shingle hash: both joins and
+        # Project straight to the 64-bit shingle hash: the join and
         # both aggregates below run on 8-byte keys.
-        return (
+        out = (
             df.select(F.col(idc), t.alias("t"))
             .select(
                 idc,
@@ -1034,48 +1038,29 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("__h"),
             )
-            .distinct()
         )
+        return out.distinct() if distinct else out
 
-    # Both halves read each side once: materialize the (id, hash)
-    # tables (16 bytes/row — far smaller than re-tokenizing the corpus
-    # per half).
-    c_h = shingles(docs, "doc_id").localCheckpoint(eager=False)
+    # Corpus side: NO distinct (see doc= — redundant under the
+    # countDistinct aggregates, and it cost a corpus-sized shuffle);
+    # bench side keeps it (cheap, bounds the broadcast build side).
+    c_h = shingles(docs, "doc_id", distinct=False)
     bench = docs.filter(F.col("doc_id") % 20 == 7).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    b_h = shingles(bench, "bench_id").localCheckpoint(eager=False)
-    # Shingle half: a bench shingle leaks iff SOME corpus doc other
-    # than the bench doc itself contains it — decidable from the
-    # per-shingle corpus count plus one witness id, so the corpus side
-    # pre-aggregates to one row per distinct shingle and the join
-    # output is bounded by b_h, not by the pair fan-out.
-    c_agg = c_h.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__nc"), F.min("doc_id").alias("__d0")
+    b_h = shingles(bench, "bench_id", distinct=True)
+    # One pair join, both counts off it: the per-shingle fan-out
+    # dedups map-side inside the partial distinct aggregates, so only
+    # distinct (bench, doc) / (bench, shingle) pairs ever shuffle —
+    # the doc half of which is this report's semantic floor (see doc=
+    # above for the measured alternatives).
+    hits = c_h.join(
+        b_h,
+        (c_h["__h"] == b_h["__h"]) & (c_h["doc_id"] != b_h["bench_id"]),
     )
-    sh_counts = (
-        b_h.join(c_agg, "__h")
-        .where((F.col("__nc") >= 2) | (F.col("__d0") != F.col("bench_id")))
-        .groupBy("bench_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
-    )
-    # Doc half: the genuine (bench x contaminated doc) pairing; the
-    # per-shingle fan-out dedups map-side inside the partial distinct
-    # aggregate, so only distinct pairs shuffle.
-    doc_counts = (
-        c_h.join(b_h, "__h")
-        .where(F.col("doc_id") != F.col("bench_id"))
-        .groupBy("bench_id")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias(
-                "n_contaminated_docs"
-            )
-        )
-    )
-    # Inner join is lossless: a qualifying doc implies a qualifying
-    # shingle and vice versa, so both halves carry the same bench ids.
-    return doc_counts.join(sh_counts, "bench_id").select(
-        "bench_id", "n_contaminated_docs", "n_shared_shingles"
+    return hits.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_contaminated_docs"),
+        F.countDistinct(c_h["__h"]).cast("long").alias("n_shared_shingles"),
     )
 
 

@@ -415,6 +415,39 @@ def test_stream_near_dup_filter_matches_batch_dedup(spark, tmp_path):
     assert kept == survivors
 
 
+def test_stream_near_dup_filter_rejects_legacy_banded_store(
+    spark, tmp_path
+):
+    """Migration gate at the STREAMING boundary: a signature store
+    persisted under a different banding geometry (e.g. written before
+    the r14 derived-banding default) must make the micro-batch fail
+    fast with StoreBandingMismatch instead of silently matching
+    nothing cross-batch."""
+    import pytest
+
+    from financial_data_pipeline_optimization_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    clean = str(tmp_path / "clean")
+    store = str(tmp_path / "store")
+
+    # Seed the persisted store with LEGACY 16-band rows.
+    ob, os_ = dedup.minhash_store(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text",
+        shingle_n=2, bands=16,
+    )
+    ob.write.parquet(f"{store}/bands")
+    os_.write.parquet(f"{store}/sets")
+
+    sink = streaming.foreach_batch_near_dup_filter(
+        clean, store, "doc_id", "text", min_jaccard=0.8, shingle_n=2
+    )
+    with pytest.raises(dedup.StoreBandingMismatch):
+        sink(docs.where(F.col("doc_id") % 2 == 1), 0)
+
+
 def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
     """The watermark contract itself, via append mode's finalization
     semantics: a row that arrives BEHIND the checkpointed watermark is

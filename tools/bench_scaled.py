@@ -11,11 +11,14 @@ rides on.
 
 Methodology mirrors bench.py: one warm session, noop sink (full
 column-set execution, nothing collected), median of SPARK_GRAFT_BENCH_REPS
-(default 2) after a warm-up of the Python worker pool. With the default
-2 reps, ``samples[len//2]`` is the UPPER sample — i.e. every cell is
-the WORSE of its runs, a conservative bound ("worse_of", the naming the
-incremental and skew harnesses borrow for the same 2-sample estimator);
-growth ratios computed from two conservative bounds stay comparable.
+after a warm-up of the Python worker pool. Default 3 reps since r14 —
+a TRUE median: the old worse-of-2 default recorded the slow mode of a
+bimodal cell whenever either rep hit it (the storage-pressure mode the
+per-rep gc= evidence lines in the children.log document, e.g. skx100
+near_dup_clusters_lsh 20.3s vs 271s), which polluted growth ratios
+with harness-state noise; the median of 3 records the typical mode and
+the outlier stays visible in the log. Set SPARK_GRAFT_BENCH_REPS=2 to
+reproduce the old conservative bound.
 
 Usage:
   python tools/gen_replicated_sf.py /root/testdata/sf0.1 10 /tmp/sfx10
@@ -239,6 +242,14 @@ def build_specs(queries: list[str]) -> dict:
         q.QuerySpec("near_dup_clusters_lsh", q.q_near_dup_clusters_lsh, None),
     )
     specs.setdefault(
+        "cluster_representatives_lsh",
+        q.QuerySpec(
+            "cluster_representatives_lsh",
+            q.q_cluster_representatives_lsh,
+            None,
+        ),
+    )
+    specs.setdefault(
         "near_dup_clusters_lsh_16x4",
         q.QuerySpec(
             "near_dup_clusters_lsh_16x4",
@@ -376,6 +387,16 @@ def sweep(
                         file=sys.stderr,
                         flush=True,
                     )
+                    # Between-rep cleanup must be the SAME double-tap
+                    # + drain protocol as the pre-cell one: the r14
+                    # rep-level evidence showed a single gc+1s leaves
+                    # the previous execution's checkpoint blocks
+                    # undrained at x100 state sizes, and the next rep
+                    # lands in a storage-full eviction/GC mode 3-13x
+                    # slower (e.g. skx100 near_dup_clusters_lsh 20.3s
+                    # -> 271s with 49s of GC).
+                    spark._jvm.System.gc()
+                    time.sleep(2)
                     # Between-rep cleanup (outside the timed region):
                     # each rep rebuilds the query's localCheckpoints —
                     # for the graph queries that is an ~edge-set-sized
@@ -603,7 +624,12 @@ def main() -> None:
     check = cli.check or os.environ.get("SPARK_GRAFT_SCALED_CHECK") == "1"
     percell = cli.percell
     out_path = cli.out_path
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Median-of-3 (r14): with worse-of-2, one slow-mode rep (the
+    # storage-pressure bimodality the rep evidence lines document)
+    # polluted the recorded cell with probability 1-(1-p)^2; the
+    # true median of 3 reps records the typical mode while the
+    # children.log keeps the outlier visible.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # Resumable: re-runs merge into an existing out.json, and
     # SPARK_GRAFT_SCALED_SETS=x100 (comma list) restricts the datasets
     # — so a failed leg can be retried without re-timing x1/x10.

@@ -17,7 +17,7 @@ the 100 TB extrapolation needs (SCALING.md records the table).
 Protocol is bench_scaled's, shared by import — recorded sweeps use
 ``--percell`` (one fresh-JVM child per cell, warmed untimed at the target dataset;
 see bench_scaled's module doc for the session-contamination evidence
-that motivated it), noop sink, worse-of-2 samples, resumable
+that motivated it), noop sink, median-of-3 samples (r14), resumable
 out.json merge. Growth
 budgets live in tools/scale_budgets.json under ``zipf:``-prefixed
 keys (``zipf:_default`` for new cells), gated by --check /
@@ -106,7 +106,11 @@ if SKEWED:
     QUERIES = [
         "minhash_lsh_pairs",
         "near_dup_clusters_lsh",
-        "cluster_representatives",
+        # The oracle-checkable EXACT-sourced cluster query is past its
+        # documented exact/LSH crossover here: at skx100 (500k docs,
+        # power-law clusters to 100 members) it did not finish; the
+        # LSH-sourced twin carries the full-pipeline skewed cell.
+        "cluster_representatives_lsh",
     ]
 
 
@@ -118,7 +122,12 @@ def main() -> None:
     check = cli.check or os.environ.get("SPARK_GRAFT_SCALED_CHECK") == "1"
     percell = cli.percell
     out_path = cli.out_path
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Median-of-3 (r14): with worse-of-2, one slow-mode rep (the
+    # storage-pressure bimodality the rep evidence lines document)
+    # polluted the recorded cell with probability 1-(1-p)^2; the
+    # true median of 3 reps records the typical mode while the
+    # children.log keeps the outlier visible.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     only = {
         s for s in os.environ.get("SPARK_GRAFT_SCALED_SETS", "").split(",") if s
     }
