@@ -352,6 +352,36 @@ def test_unigram_score_never_shuffles_documents(spark):
         assert "text" not in names, (ex.nodeName(), names)
 
 
+def test_contamination_report_never_shuffles_corpus_shingles(spark):
+    """contamination_report's r14 re-plan contract: the corpus-side
+    shingle stream reaches the pair join WITHOUT a corpus-sized
+    exchange (its old pre-join distinct shuffled 25M rows at zx100 for
+    nothing — countDistinct dedups anyway) and shingle STRINGS never
+    appear in any Exchange input (the join runs on xxhash64 keys).
+    Exchanges may carry only the benchmark side's distinct rows and
+    the partially-aggregated count rows — both bounded well below the
+    exploded corpus stream."""
+    df = SPECS["contamination_report"].spark(spark, SF_SMOKE)
+    exchanges = [
+        n
+        for n in _walk(_executed_plan(df))
+        if "Exchange" in n.nodeName()
+    ]
+    assert exchanges, "plan has no Exchange node — wrong query?"
+    for ex in exchanges:
+        child = ex.children().apply(0)
+        out = child.output()
+        names = [out.apply(i).name() for i in range(out.length())]
+        # No shingle strings and no raw text in any shuffle.
+        assert "text" not in names, (ex.nodeName(), names)
+        assert "s" not in names, (ex.nodeName(), names)
+        # The corpus side's exploded (doc_id, __h) stream must feed the
+        # join directly: any Exchange whose input is exactly that shape
+        # is the corpus-sized shuffle the re-plan removed. The bench
+        # side's (bench_id, __h) distinct is allowed.
+        assert set(names) != {"doc_id", "__h"}, (ex.nodeName(), names)
+
+
 def test_salted_join_spreads_planted_skew_and_aqe_marks_it(spark):
     """Skew-join evidence (VERDICT r4 #6), on a planted-skew dataset
     (one key owning ~97% of the fact side).
