@@ -104,6 +104,7 @@ QUERIES = [
 
 if SKEWED:
     QUERIES = [
+        "exact_dedup_docs",
         "minhash_lsh_pairs",
         "near_dup_clusters_lsh",
         # The oracle-checkable EXACT-sourced cluster query is past its
@@ -111,6 +112,10 @@ if SKEWED:
         # power-law clusters to 100 members) it did not finish; the
         # LSH-sourced twin carries the full-pipeline skewed cell.
         "cluster_representatives_lsh",
+        # Heavy-tailed dup clusters also stress the suffix-window
+        # dedup (100-doc clusters -> 100-member duplicate window
+        # groups) — measured so the exponent is pinned, not assumed.
+        "substring_dedup_docs",
     ]
 
 
