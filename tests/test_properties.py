@@ -664,3 +664,46 @@ def test_interval_weekly_factorization_matches_pair_enumeration(a, b):
                 acc[0] += 1
                 acc[1] += ap + bp
     assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+@given(
+    num_hashes=st.integers(min_value=1, max_value=512),
+    min_jaccard=st.floats(
+        min_value=0.001, max_value=1.0, allow_nan=False
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_derive_banding_properties(num_hashes, min_jaccard):
+    """The r14 banding rule, fuzzed over the whole knob space:
+    (a) bands * rows always equals the hash budget;
+    (b) the chosen midpoint (1/b)^(1/r) never exceeds the verify
+        threshold UNLESS no divisor pair sits at-or-below it (then the
+        documented rows=1 fallback — the most permissive banding);
+    (c) MAXIMALITY: no other divisor pair has a midpoint that is both
+        at-or-below the threshold and closer to it — the rule never
+        leaves candidate-pruning power on the table while respecting
+        the recall side."""
+    from financial_data_pipeline_optimization_spark.operators.dedup import derive_banding
+
+    b, r = derive_banding(num_hashes, min_jaccard)
+    assert b * r == num_hashes
+    assert b >= 1 and r >= 1
+    mid = (1.0 / b) ** (1.0 / r)
+    candidates = [
+        (bb, num_hashes // bb)
+        for bb in range(1, num_hashes + 1)
+        if num_hashes % bb == 0
+    ]
+    eligible = [
+        (bb, rr)
+        for bb, rr in candidates
+        if (1.0 / bb) ** (1.0 / rr) <= min_jaccard
+    ]
+    if not eligible:
+        assert (b, r) == (num_hashes, 1)
+    else:
+        assert mid <= min_jaccard
+        best = max(
+            (1.0 / bb) ** (1.0 / rr) for bb, rr in eligible
+        )
+        assert mid == best
