@@ -287,6 +287,10 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("incremental_second_batch_check", 14),
     ("contamination_report", 14),
     ("kcore_trade_graph_bucketed", 14),
+    # r14 (late): tpch_q21's collect_set window (full fact-table sort
+    # + two per-row arrays) replaced by two hash aggregations with
+    # map-side partial combine (values identical, plan changed).
+    ("tpch_q21_waiting_suppliers", 14),
 )
 
 
