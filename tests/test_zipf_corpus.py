@@ -165,6 +165,12 @@ def test_powerlaw_clusters_recovered_by_dedup(spark):
         for off in range(1, B, 2):
             if t[base + off] == t[base]:
                 assert labels[base + off] == labels[base] == base
+
+
+def test_schema_parity_with_driver_documents(spark):
+    """The generated corpus is column-compatible with the driver's
+    documents table (same dtypes), with sane per-row metadata — so
+    every documents-table query runs unchanged on the zipf corpus."""
     driver = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     zipf = zipf_documents(spark, 10)
     assert dict(zipf.dtypes) == dict(driver.dtypes)
