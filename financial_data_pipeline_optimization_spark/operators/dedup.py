@@ -908,13 +908,19 @@ def minhash_store(
     ``num_hashes`` (:func:`derive_banding` — the same rule as
     :func:`minhash_lsh_pairs`, so store-based incremental detection
     stays exactly equivalent to batch detection at the same
-    threshold). The band count is BAKED into the persisted format:
+    threshold). The full geometry is BAKED into the persisted format:
     band hashes are geometry-seeded (``_band_hashes``), so a store
     built under one banding never systematically collides with a
-    batch banded differently — mismatches MISS instead of corrupt.
+    batch banded differently — mismatches MISS instead of corrupt —
+    and ``bands_df`` carries constant ``num_hashes`` / ``shingle_n``
+    columns (bytes-free under parquet RLE) so the geometry is
+    recoverable from the persisted rows themselves; their PRESENCE is
+    the store format-version marker (pre-r15 stores lack them and are
+    rejected as legacy — their band hashes predate geometry seeding,
+    so even an equal band count would silently match nothing).
     Both stores of an incremental join must be built with the same
     ``(num_hashes, bands, shingle_n)``; :func:`assert_compatible_stores`
-    checks this eagerly, and the streaming consumer
+    checks all three eagerly, and the streaming consumer
     (``streaming.ops.foreach_batch_near_dup_filter``) runs that check
     against its persisted store before every cross-batch join. Both derive from one
     row-local signature pass; both are documents-free, so the store a
@@ -960,49 +966,105 @@ def minhash_store(
         F.posexplode(
             _band_hashes(F.col("minhash"), num_hashes, bands)
         ).alias("band", "band_hash"),
+        # Geometry metadata columns (constant per store — parquet RLE
+        # stores one value per row group): make the banding geometry
+        # recoverable from persisted rows so assert_compatible_stores
+        # can validate the FULL (num_hashes, bands, shingle_n) triple,
+        # and serve as the format-version marker (legacy stores lack
+        # them entirely).
+        F.lit(int(num_hashes)).alias("num_hashes"),
+        F.lit(int(shingle_n)).alias("shingle_n"),
     )
     sets_df = hashed
     return bands_df, sets_df
 
 
 class StoreBandingMismatch(ValueError):
-    """Two MinHash stores were built under different LSH band counts —
-    joining them would silently miss near-duplicates (geometry-seeded
-    band hashes never match across geometries). Rebuild the older
-    store, or pass the same explicit ``bands=`` to both
-    :func:`minhash_store` calls."""
+    """Two MinHash stores were built under different geometries
+    (``num_hashes``, band count, or ``shingle_n``) — joining them
+    would silently miss near-duplicates (geometry-seeded band hashes
+    never match across band geometries; different ``shingle_n`` sets
+    never verify at the same threshold). The only safe remediation is
+    rebuilding the older store under the current geometry: matching a
+    legacy store's knobs from the new-batch side cannot be validated
+    against rows hashed before geometry seeding existed."""
 
 
 def assert_compatible_stores(
     new_store: tuple[DataFrame, DataFrame],
     old_store: tuple[DataFrame, DataFrame],
 ) -> None:
-    """Eagerly verify both stores were banded under the same geometry
-    before an incremental join (raises :class:`StoreBandingMismatch`).
+    """Eagerly verify both stores were built under the same
+    ``(num_hashes, bands, shingle_n)`` geometry before an incremental
+    join (raises :class:`StoreBandingMismatch`).
 
-    A store's band count is recoverable from its own rows:
-    ``posexplode`` emits every band index 0..bands-1 for every doc, so
-    ``max(band) + 1`` IS the geometry. Cost: one ``max`` aggregate per
-    side — partial-aggregated (a handful of longs shuffle), and on a
-    parquet-persisted store the scan reads only the ``band`` column
-    with footer min/max stats available, so this is metadata-cheap
-    even at a 100 TB corpus's store size. Empty stores (no rows yet —
-    the first micro-batch of a streaming run) are compatible with
-    anything. This is the migration gate for the r14 default-banding
-    change: stores persisted under the old fixed 16-band default fail
-    fast instead of silently matching nothing against 8x8 batches."""
+    The full geometry is recoverable from a store's own rows:
+    ``posexplode`` emits every band index 0..bands-1 per doc so
+    ``max(band) + 1`` is the band count, and :func:`minhash_store`
+    writes constant ``num_hashes`` / ``shingle_n`` metadata columns.
+    Cost: one min/max aggregate per side — partial-aggregated (a
+    handful of ints shuffle), and on a parquet-persisted store the
+    scan reads only three RLE'd int columns with footer min/max stats
+    available, so this is metadata-cheap even at a 100 TB corpus's
+    store size. Empty stores (no rows yet — the first micro-batch of a
+    streaming run) are compatible with anything.
 
-    def _bands_of(bands_df: DataFrame) -> int | None:
-        row = bands_df.agg(F.max("band").alias("m")).collect()[0]
-        return None if row["m"] is None else int(row["m"]) + 1
+    Two failure classes beyond a plain mismatch:
 
-    nb, ob = _bands_of(new_store[0]), _bands_of(old_store[0])
-    if nb is not None and ob is not None and nb != ob:
+    - LEGACY stores (persisted before the metadata columns existed —
+      also before band hashes were geometry-seeded) are rejected
+      outright, even at an equal band count: their unseeded band
+      hashes can never match a seeded batch, so "compatible-looking"
+      legacy rows would silently contribute zero cross-batch pairs.
+      Column PRESENCE is the format-version marker.
+    - MIXED stores (min ≠ max of a metadata column — e.g. two
+      geometries appended into one path) are rejected as corrupt.
+    """
+
+    def _geometry_of(
+        bands_df: DataFrame, label: str
+    ) -> tuple[int, int, int] | None:
+        missing = [
+            c
+            for c in ("num_hashes", "shingle_n")
+            if c not in bands_df.columns
+        ]
+        if missing:
+            raise StoreBandingMismatch(
+                f"the {label} MinHash store predates the geometry "
+                f"metadata format (missing column(s) {missing}); its "
+                "band hashes are unseeded and can never match a "
+                "current batch. Rebuild it with minhash_store under "
+                "the current geometry."
+            )
+        row = bands_df.agg(
+            F.max("band").alias("b"),
+            F.min("num_hashes").alias("h_lo"),
+            F.max("num_hashes").alias("h_hi"),
+            F.min("shingle_n").alias("n_lo"),
+            F.max("shingle_n").alias("n_hi"),
+        ).collect()[0]
+        if row["b"] is None:
+            return None  # empty store: compatible with anything
+        if row["h_lo"] != row["h_hi"] or row["n_lo"] != row["n_hi"]:
+            raise StoreBandingMismatch(
+                f"the {label} MinHash store mixes geometries "
+                f"(num_hashes {row['h_lo']}..{row['h_hi']}, shingle_n "
+                f"{row['n_lo']}..{row['n_hi']}) — likely two "
+                "differently-built stores appended into one path. "
+                "Rebuild it from the source corpus."
+            )
+        return (int(row["h_lo"]), int(row["b"]) + 1, int(row["n_lo"]))
+
+    ng = _geometry_of(new_store[0], "new-batch")
+    og = _geometry_of(old_store[0], "persisted")
+    if ng is not None and og is not None and ng != og:
         raise StoreBandingMismatch(
-            f"incompatible MinHash stores: new batch banded into {nb} "
-            f"bands, persisted store into {ob}. Rebuild the store "
-            f"under the current banding (or pass bands={ob} "
-            f"explicitly to minhash_store for the new batch)."
+            "incompatible MinHash stores: new batch built with "
+            f"(num_hashes={ng[0]}, bands={ng[1]}, shingle_n={ng[2]}), "
+            f"persisted store with (num_hashes={og[0]}, "
+            f"bands={og[1]}, shingle_n={og[2]}). Rebuild the "
+            "persisted store under the current geometry."
         )
 
 

@@ -381,3 +381,52 @@ def test_store_banding_mismatch_detected(spark):
         s_old[1].where(F.lit(False)),
     )
     dedup.assert_compatible_stores(s_new, empty)
+
+
+def test_store_full_geometry_mismatches_detected(spark):
+    """The r15 ADVICE gate: band COUNT equality is not geometry
+    equality. num_hashes=32 and num_hashes=64 both derive 8 bands at
+    t=0.8 (8x4 vs 8x8), so a bands-only check would pass while the
+    geometry-seeded hashes match nothing — the silent-miss failure.
+    Same for shingle_n, legacy stores (no metadata columns), and
+    mixed stores."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    s_new = dedup.minhash_store(new, "doc_id", "text", shingle_n=2)
+
+    # Same band count (8), different num_hashes: caught.
+    assert dedup.derive_banding(32, 0.8)[0] == 8
+    assert dedup.derive_banding(64, 0.8)[0] == 8
+    s_old_32 = dedup.minhash_store(
+        old, "doc_id", "text", shingle_n=2, num_hashes=32
+    )
+    with _pytest.raises(dedup.StoreBandingMismatch, match="num_hashes=32"):
+        dedup.assert_compatible_stores(s_new, s_old_32)
+
+    # Same banding, different shingle_n: caught (the verify sets would
+    # be built over different-grain shingles).
+    s_old_n3 = dedup.minhash_store(old, "doc_id", "text", shingle_n=3)
+    with _pytest.raises(dedup.StoreBandingMismatch, match="shingle_n=3"):
+        dedup.assert_compatible_stores(s_new, s_old_n3)
+
+    # LEGACY store (pre-metadata format, i.e. also pre-seeding): the
+    # missing columns are the format-version marker — rejected even
+    # though its band count matches.
+    s_old = dedup.minhash_store(old, "doc_id", "text", shingle_n=2)
+    legacy = (s_old[0].drop("num_hashes", "shingle_n"), s_old[1])
+    with _pytest.raises(dedup.StoreBandingMismatch, match="legacy|predates"):
+        dedup.assert_compatible_stores(s_new, legacy)
+
+    # MIXED store (two geometries appended into one path): corrupt.
+    mixed = (s_old[0].unionByName(s_old_32[0]), s_old[1])
+    with _pytest.raises(dedup.StoreBandingMismatch, match="mixes"):
+        dedup.assert_compatible_stores(s_new, mixed)
+
+    # The metadata columns are constant + correct on a good store.
+    row = s_new[0].select("num_hashes", "shingle_n").distinct().collect()
+    assert [(r["num_hashes"], r["shingle_n"]) for r in row] == [(64, 2)]
