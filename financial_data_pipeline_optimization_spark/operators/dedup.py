@@ -291,6 +291,7 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.8,
     materialize_signatures: bool = True,
     stats: dict | None = None,
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
     (banding scheme per Gionis/Indyk/Motwani, "Similarity search in
@@ -339,16 +340,27 @@ def minhash_lsh_pairs(
     """
     if bands is None:
         bands, _ = derive_banding(num_hashes, min_jaccard)
-    hashed = with_shingles(
-        _spread(df.select(id_col, text_col), id_col), text_col, n=shingle_n
-    ).select(
-        F.col(id_col).alias("__sid"),
-        F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("__hsh"),
-    )
-    if materialize_signatures:
-        hashed = hashed.localCheckpoint(eager=False)
+    if _sets is not None:
+        # Prebuilt (already checkpointed) shared sets from the auto
+        # gate: the sorted order is irrelevant here (the signature
+        # min-fold and the verify intersect are order-insensitive),
+        # so the frames are interchangeable.
+        hashed = _sets.select(
+            F.col("__id").alias("__sid"), F.col("__sh").alias("__hsh")
+        )
+    else:
+        hashed = with_shingles(
+            _spread(df.select(id_col, text_col), id_col),
+            text_col,
+            n=shingle_n,
+        ).select(
+            F.col(id_col).alias("__sid"),
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("__hsh"),
+        )
+        if materialize_signatures:
+            hashed = hashed.localCheckpoint(eager=False)
     sig = with_minhash_signature(
         hashed, shingle_col="__hsh", num_hashes=num_hashes, prehashed=True
     ).select(F.col("__sid").alias("__id"), "minhash")
@@ -526,6 +538,83 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _hashed_sorted_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """The shared similarity-set asset: ``(__id, __sh, set_size)``
+    where ``__sh`` is the document's distinct ``n``-gram shingles
+    hashed to sorted 64-bit ints. Shingles are hashed so candidate
+    joins shuffle 8-byte keys instead of multi-word strings, and the
+    sorted-hash universe gives the consistent global order prefix
+    filtering needs. A 64-bit collision (odds ~1e-8 at millions of
+    distinct shingles) could merge two shingles; ``array_distinct``
+    keeps per-set semantics exact under that. One row-local pass —
+    callers checkpoint when several consumers (index, verify, the
+    auto-gate probe) read it."""
+    return (
+        with_shingles(
+            _spread(df.select(id_col, text_col), id_col), text_col, n=n
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                )
+            ).alias("__sh"),
+        )
+        .withColumn("set_size", F.size("__sh"))
+    )
+
+
+def _prefix_length(min_jaccard: float):
+    """Prefix-filter length column: a pair with Jaccard >= t must
+    share an element among each side's ``|s| - ceil(t*|s|) + 1``
+    smallest elements (Bayardo/Ma/Srikant, WWW 2007)."""
+    return (
+        F.col("set_size")
+        - F.ceil(F.lit(float(min_jaccard)) * F.col("set_size"))
+        + 1
+    ).cast("int")
+
+
+def exact_index_fanout(sets: DataFrame, min_jaccard: float) -> int:
+    """Upper bound on the exact prefix-index candidate volume:
+    ``sum_h C(df_h, 2)`` over the prefix posting lists — every
+    candidate pair the inverted-index self-join can emit before the
+    size-ratio/positional filters prune. This is the structural
+    metric that predicts whether :func:`ngram_jaccard_pairs` is
+    viable: its join cost is candidate-bound, and a single hot
+    posting list of ``c`` near-identical documents contributes
+    ``C(c, 2)`` pairs PER SHARED PREFIX SHINGLE (the per-hot-bucket
+    quadratic fan-out that drove the r14 skewed-corpus DNF).
+
+    Cost: one explode of the prefixes plus one hash-keyed count
+    aggregation (map-side partial combine) folded to a single row —
+    strictly linear in the prefix-index size, no joins; measured
+    0.9 s at 5k docs and 9.6 s at 500k heavy-tailed docs, corpora
+    where the exact join itself runs 2.4 s and >25 min respectively.
+    Measured values on the calibration corpora (r15): ~6.6e6 at 5k
+    docs (sf0.1), ~5.8e8 at 50k zipf docs, ~5.8e10 at 500k skewed
+    docs."""
+    pref = sets.select(
+        explode_nonempty(
+            F.slice("__sh", F.lit(1), _prefix_length(min_jaccard))
+        ).alias("sh")
+    )
+    row = (
+        pref.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("fanout")
+        )
+        .collect()[0]
+    )
+    return int(row["fanout"] or 0)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -533,6 +622,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
     stats: dict | None = None,
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs above ``min_jaccard``: prefix-filtered
     inverted index (explode only each set's smallest-hash prefix,
@@ -548,27 +638,18 @@ def ngram_jaccard_pairs(
     (includes the bounded multi-prefix-collision dup factor — see the
     no-distinct note below). Costs one extra action; production
     callers pass ``None`` and pay nothing. Feeds the exact-vs-LSH
-    crossover table in SCALING.md."""
+    crossover table in SCALING.md.
+
+    ``_sets``: a prebuilt (already checkpointed)
+    :func:`_hashed_sorted_sets` frame, so :func:`near_dup_clusters`'
+    auto gate shares ONE shingle-hash pass between its fan-out probe
+    and this join instead of re-scanning the corpus."""
     sets = (
-        with_shingles(
-            _spread(df.select(id_col, text_col), id_col), text_col, n=n
-        )
-        .select(
-            F.col(id_col).alias("__id"),
-            # Hash shingles to 64-bit ints, sorted: the candidate join
-            # shuffles 8-byte keys instead of multi-word strings, and a
-            # sorted-hash universe gives the consistent global order
-            # prefix filtering needs. A 64-bit collision (odds ~1e-8 at
-            # millions of distinct shingles) could merge two shingles;
-            # array_distinct keeps per-set semantics exact under that.
-            F.array_sort(
-                F.array_distinct(
-                    F.transform("shingles", lambda s: F.xxhash64(s))
-                )
-            ).alias("__sh"),
-        )
-        .withColumn("set_size", F.size("__sh"))
-        .localCheckpoint(eager=False)  # reused by candidates AND verify
+        _sets
+        if _sets is not None
+        else _hashed_sorted_sets(df, id_col, text_col, n)
+        # reused by candidates AND verify
+        .localCheckpoint(eager=False)
     )
     # Prefix filtering (Bayardo/Ma/Srikant, WWW 2007 "Scaling up all
     # pairs similarity search"): two sets with Jaccard >= t must share
@@ -585,17 +666,12 @@ def ngram_jaccard_pairs(
     # shingles still have df in the hundreds; on Zipfian real text the
     # ordering is the standard win and slots in where this comment
     # sits.)
-    prefix_len = (
-        F.col("set_size")
-        - F.ceil(F.lit(float(min_jaccard)) * F.col("set_size"))
-        + 1
-    ).cast("int")
     pref = sets.select(
         "__id",
         "set_size",
-        F.posexplode(F.slice("__sh", F.lit(1), prefix_len)).alias(
-            "pos", "sh"
-        ),
+        F.posexplode(
+            F.slice("__sh", F.lit(1), _prefix_length(min_jaccard))
+        ).alias("pos", "sh"),
     )
     # Size-ratio filter: Jaccard >= t forces t*|B| <= |A| <= |B|/t,
     # pruning candidates whose sizes alone rule them out. Positional
@@ -678,6 +754,18 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Default budget for `near_dup_clusters`' auto gate: the largest
+#: exact-index candidate fan-out (`exact_index_fanout`) the default
+#: path will accept before switching to LSH. Calibrated r15: the
+#: sf0.1 / 5k-doc corpora probe at ~6e6 (exact join ~2.4 s on
+#: local[32] — 8× headroom under this budget), the 50k-doc zipf
+#: corpora at ~5.8e8 (exact join runs minutes-to-DNF territory), the
+#: r14 DNF cell (500k skewed docs) at ~5.8e10. 5e7 candidates ≈ a
+#: few GB of candidate shuffle ≈ tens of seconds of verify work —
+#: the largest cost that is still sane to accept silently.
+EXACT_FANOUT_BUDGET = 50_000_000
+
+
 def near_dup_clusters(
     df: DataFrame,
     id_col: str,
@@ -685,9 +773,11 @@ def near_dup_clusters(
     n: int = 3,
     min_jaccard: float = 0.8,
     max_iter: int = 25,
-    pair_source: str = "exact",
+    pair_source: str = "auto",
+    exact_fanout_budget: int = EXACT_FANOUT_BUDGET,
     carry_cols: Sequence[str] = (),
     cc_stats: dict | None = None,
+    stats: dict | None = None,
     materialize: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
@@ -700,49 +790,86 @@ def near_dup_clusters(
 
     ``pair_source`` selects the edge generator:
 
+    - ``"auto"`` (default) — SIZE/STRUCTURE-GATED choice between the
+      two sources below, the same discipline as ``kcore_peel``'s
+      broadcast gate: one linear probe (:func:`exact_index_fanout` —
+      an explode + count aggregation over the shared shingle-set
+      table, no joins) measures the exact inverted index's candidate
+      fan-out, and the exact source runs only while that stays within
+      ``exact_fanout_budget``. The probe exists because the exact
+      path's failure mode is SILENT and catastrophic: per-hot-bucket
+      C(c,2) fan-out took the r14 skewed 500k-doc corpus past a
+      25-minute DNF while the LSH twin ran 32 s — and nothing about
+      corpus SIZE alone predicts it (fan-out is topology-driven).
+      The probe's shingle-hash pass is shared with whichever source
+      wins (one checkpointed sets table), so auto costs one extra
+      linear aggregation, not a second corpus scan.
     - ``"exact"`` — prefix-filtered exact n-gram Jaccard
-      (``ngram_jaccard_pairs``). Exact, but the inverted index grows
-      with corpus size; the right choice up to medium scale and for
-      oracle-verified runs.
+      (``ngram_jaccard_pairs``), unconditionally. Exact, but the
+      inverted index grows with corpus size; the right choice for
+      oracle-verified runs and corpora the caller KNOWS are small.
     - ``"lsh"`` — MinHash+LSH with exact-Jaccard verification
-      (``minhash_lsh_pairs``; extra knobs via ``**lsh_kwargs``).
-      Verified LSH pairs are a subset of the exact pairs (the verify
-      stage re-checks Jaccard), so LSH clusters REFINE exact clusters;
-      at 100 TB this is the only edge source that works — banded
-      bucket join instead of a full inverted index.
+      (``minhash_lsh_pairs``; extra knobs via ``**lsh_kwargs``),
+      unconditionally. Verified LSH pairs are a subset of the exact
+      pairs (the verify stage re-checks Jaccard), so LSH clusters
+      REFINE exact clusters; at 100 TB this is the only edge source
+      that works — banded bucket join instead of a full inverted
+      index — and explicit ``"lsh"`` also skips the probe's cost.
 
-    Decision rule (measured, SCALING.md "Exact vs LSH crossover"):
-    exact while the corpus stays ≲10⁴–10⁵ docs per similarity domain
-    or when the PAIR SET itself must be oracle-exact; LSH beyond that.
-    The exact index's candidate volume grew 86× over the one measured
-    10× corpus step (884k candidates for 256 true pairs at 5k docs —
-    the n²·density shape) while LSH candidates stayed within ~10× of
-    the true pair count, with identical verified output at every
-    measured SF.
+    Decision rule the budget encodes (measured, SCALING.md "Exact vs
+    LSH crossover" + the r15 gate calibration): exact while the
+    prefix-index fan-out stays ≲5e7 candidates (~tens of seconds of
+    verify work; driver-SF corpora probe at ~1e5–7e6) or when the
+    PAIR SET itself must be oracle-exact; LSH beyond that (the 50k-doc
+    realistic corpora already probe at ~6e8, the r14 DNF cell at
+    ~6e10).
+
+    ``stats``: optional dict; on return ``stats["pair_source"]``
+    records the edge source actually used, and — when the gate ran —
+    ``stats["exact_index_fanout"]`` its measured fan-out, so a
+    production run can see WHICH plan it took without re-deriving
+    the gate arithmetic (the ``kcore_peel`` ``stats`` convention).
 
     Not fully lazy: the component loop is iterative (one bounded action
-    per round, lineage truncated per round — see ``operators.graph``).
+    per round, lineage truncated per round — see ``operators.graph``),
+    and the default auto gate adds one bounded probe action.
     """
     from financial_data_pipeline_optimization_spark.operators.graph import (
         connected_components,
     )
 
-    if pair_source == "exact":
-        pairs = ngram_jaccard_pairs(
-            df, id_col, text_col, n=n, min_jaccard=min_jaccard
+    if pair_source not in ("auto", "exact", "lsh"):
+        raise ValueError(
+            "pair_source must be 'auto', 'exact' or 'lsh', got "
+            f"{pair_source!r}"
         )
-    elif pair_source == "lsh":
+    shared_sets = None
+    chosen = pair_source
+    if pair_source == "auto":
+        shared_sets = _hashed_sorted_sets(
+            df, id_col, text_col, n
+        ).localCheckpoint(eager=False)
+        fanout = exact_index_fanout(shared_sets, min_jaccard)
+        chosen = "exact" if fanout <= exact_fanout_budget else "lsh"
+        if stats is not None:
+            stats["exact_index_fanout"] = fanout
+    if stats is not None:
+        stats["pair_source"] = chosen
+
+    if chosen == "exact":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n=n, min_jaccard=min_jaccard,
+            _sets=shared_sets,
+        )
+    else:
         pairs = minhash_lsh_pairs(
             df,
             id_col,
             text_col,
             shingle_n=n,
             min_jaccard=min_jaccard,
+            _sets=shared_sets,
             **lsh_kwargs,
-        )
-    else:
-        raise ValueError(
-            f"pair_source must be 'exact' or 'lsh', got {pair_source!r}"
         )
     comp = connected_components(
         pairs.select("a", "b"), "a", "b", max_iter=max_iter,

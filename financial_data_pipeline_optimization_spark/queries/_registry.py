@@ -291,6 +291,19 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # + two per-row arrays) replaced by two hash aggregations with
     # map-side partial combine (values identical, plan changed).
     ("tpch_q21_waiting_suppliers", 14),
+    # r15: near_dup_clusters' default pair_source is now "auto" — a
+    # linear fan-out probe gates exact vs LSH (picks exact at every
+    # driver SF, so values are unchanged; plans gained the probe
+    # action + shared sets checkpoint). minhash_store bands_df now
+    # carries num_hashes/shingle_n metadata columns (store-consumer
+    # plans changed; outputs don't expose the columns).
+    ("near_dup_clusters", 15),
+    ("cluster_representatives", 15),
+    ("leakage_safe_split", 15),
+    ("corpus_curation_funnel", 15),
+    ("ngram_jaccard_pairs", 15),
+    ("incremental_second_batch_check", 15),
+    ("incremental_ingest_report", 15),
 )
 
 

@@ -451,16 +451,16 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_representatives_lsh(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Bench-only LSH-sourced twin of ``cluster_representatives`` —
-    the 100 TB shape of the full keep-best dedup pipeline (banded
-    bucket join edges -> connected components -> one election window).
-    Exists because the oracle-checkable exact pair source is past its
-    documented crossover on large skewed corpora: on the r14 power-law
+    """Bench-only FORCED-LSH twin of ``cluster_representatives`` (the
+    100 TB shape: banded bucket join edges -> connected components ->
+    one election window). Historical context: on the r14 power-law
     dup-cluster corpus (gen_zipf_sf.py --cluster-max 100) the exact
     inverted index did not finish a 500k-doc cell the LSH path handles
-    in tens of seconds, so the skewed sweep times THIS query. No SQL
-    oracle (xxhash64 banding); LSH-refines-exact is pinned in
-    tests/test_dedup.py."""
+    in tens of seconds — which is why the DEFAULT query now self-gates
+    (r15 auto pair source) and records its own skewed cells; this twin
+    keeps the pure-LSH trend line (no probe cost) comparable across
+    rounds. No SQL oracle (xxhash64 banding); LSH-refines-exact is
+    pinned in tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
     labels = dedup.near_dup_clusters(
         docs, "doc_id", "text", n=2, min_jaccard=0.8,

@@ -220,14 +220,19 @@ def q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM reach GROUP BY s) l
       ON doc.doc_id = l.node
     """,
-    doc="Transitive near-dup clusters: exact bigram-Jaccard pairs → "
-    "connected components (large-star/small-star, O(log n) rounds, "
-    "lineage truncated per round) → every doc labeled with its "
-    "cluster's min id. Oracle computes the same closure with a "
-    "recursive CTE. At 100 TB pass pair_source='lsh' to feed the "
-    "cluster stage from the banded LSH join instead of the exact "
-    "inverted index (tests/test_graph.py pins the refinement "
-    "property).",
+    doc="Transitive near-dup clusters: similarity pairs → connected "
+    "components (large-star/small-star, O(log n) rounds, lineage "
+    "truncated per round) → every doc labeled with its cluster's min "
+    "id. Oracle computes the same closure with a recursive CTE. The "
+    "default pair source is AUTO (r15): a linear fan-out probe keeps "
+    "the exact inverted index under a measured candidate budget and "
+    "switches to the banded LSH join beyond it — at driver SFs the "
+    "gate picks exact (fan-out ~7e4-7e6 vs the 5e7 budget), so the "
+    "oracle compares against the exact closure; at the r14 skewed "
+    "500k-doc corpus (fan-out ~6e10) it takes the LSH path that "
+    "finishes in ~35 s instead of the exact DNF "
+    "(tests/test_dedup.py pins the gate both ways; "
+    "tests/test_graph.py pins LSH-refines-exact).",
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

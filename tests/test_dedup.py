@@ -198,6 +198,69 @@ def test_elect_representatives_matches_reference(spark):
     assert got == {(10, 3, 2, 300), (50, 2, 5, 10)}
 # for tests/test_dedup.py
 
+def test_near_dup_auto_gate_both_ways(spark):
+    """The r15 scale gate: pair_source='auto' (the default) measures
+    the exact prefix-index fan-out and picks exact under the budget,
+    LSH over it — so the DEFAULT path can never take the r14
+    skewed-corpus DNF. Pinned both ways on the same corpus by moving
+    the budget, plus the stats hook and the explicit-override
+    contract (no probe action when the caller chose)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    # Under budget (driver-SF corpus, fan-out ~7e4): gate keeps exact.
+    st = {}
+    auto = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            docs, "doc_id", "text", n=2, min_jaccard=0.8, stats=st
+        ).collect()
+    }
+    assert st["pair_source"] == "exact"
+    assert 0 < st["exact_index_fanout"] <= dedup.EXACT_FANOUT_BUDGET
+    exact = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            docs, "doc_id", "text", n=2, min_jaccard=0.8,
+            pair_source="exact",
+        ).collect()
+    }
+    assert auto == exact
+
+    # Over budget (forced with budget=0): gate falls to LSH; LSH
+    # clusters REFINE exact clusters (verified pairs are a subset).
+    st_lsh = {}
+    lsh = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            docs, "doc_id", "text", n=2, min_jaccard=0.8,
+            exact_fanout_budget=0, stats=st_lsh,
+        ).collect()
+    }
+    assert st_lsh["pair_source"] == "lsh"
+    assert set(lsh) == set(exact)
+    for x, cx in lsh.items():
+        for y, cy in lsh.items():
+            if cx == cy:
+                assert exact[x] == exact[y], (x, y)
+
+    # Explicit override: the caller's choice is honored verbatim and
+    # the probe never runs (no fan-out recorded).
+    st_explicit = {}
+    dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8,
+        pair_source="lsh", stats=st_explicit, materialize=False,
+    )
+    assert st_explicit == {"pair_source": "lsh"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pair_source"):
+        dedup.near_dup_clusters(
+            docs, "doc_id", "text", pair_source="bogus"
+        )
+
+
 def test_lsh_megacluster_bounded_and_matches_exact(spark):
     """Planted pathological skew (the 100 TB hot-bucket shape): one
     template repeated 300x means ONE LSH bucket holds a complete

@@ -107,10 +107,14 @@ if SKEWED:
         "exact_dedup_docs",
         "minhash_lsh_pairs",
         "near_dup_clusters_lsh",
-        # The oracle-checkable EXACT-sourced cluster query is past its
-        # documented exact/LSH crossover here: at skx100 (500k docs,
-        # power-law clusters to 100 members) it did not finish; the
-        # LSH-sourced twin carries the full-pipeline skewed cell.
+        # r15: the DEFAULT (pair_source="auto") cluster queries record
+        # real skewed cells — the fan-out gate picks exact at skx1
+        # (~6e6 candidates) and LSH at skx10/skx100 (~6e8/~6e10,
+        # where the exact index DNF'd in r14), so these cells time
+        # probe + the chosen source. The *_lsh twins above/below keep
+        # the probe-free pure-LSH trend line.
+        "near_dup_clusters",
+        "cluster_representatives",
         "cluster_representatives_lsh",
         # Heavy-tailed dup clusters also stress the suffix-window
         # dedup (100-doc clusters -> 100-member duplicate window
