@@ -50,6 +50,51 @@ def broadcast_lookup(
     return fact.join(F.broadcast(dim), on=on_expr, how=how)
 
 
+#: Default `broadcast_if_small` budget for hashed count relations
+#: (16-byte rows): 8M rows ≈ 128 MB raw ≈ ~1 GB as an
+#: executor-resident broadcast hash relation — comfortably under
+#: Spark's 8 GB broadcast-table hard limit while covering any
+#: vocabulary that plausibly fits executor memory (measured r15:
+#: the Heaps-law 500k-doc corpus holds 267k types; the replicated
+#: corpus 3,100 — both orders of magnitude under budget).
+COUNT_BROADCAST_MAX_ROWS = 8_000_000
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    max_rows: int,
+    stats: dict | None = None,
+    label: str = "relation",
+) -> DataFrame:
+    """SIZE-GATED broadcast hint (the ``kcore_peel`` gate discipline
+    applied to join relations): count ``df`` once and return
+    ``F.broadcast(df)`` when it holds at most ``max_rows`` rows, else
+    ``df`` unchanged so Catalyst/AQE keep the shuffle join.
+
+    Exists for DERIVED relations whose size the optimizer cannot know
+    (a self-trained vocabulary count table, a survivor keep-list):
+    their checkpointed stats are conservative, so AQE never upgrades
+    the join, while force-broadcasting unconditionally is the
+    default-that-dies-at-scale — a multi-GB relation past Spark's
+    8 GB broadcast limit OOMs the driver that must hold it. The count
+    is one action over a relation the caller materializes anyway
+    (callers pass the already-lazily-checkpointed frame, so the count
+    just materializes it earlier).
+
+    ``stats``: on return ``stats[f"{label}_rows"]`` holds the measured
+    count and ``stats[f"{label}_join"]`` the chosen mode
+    (``"broadcast"`` / ``"shuffle-fallback"``) — the same observability
+    hook as ``kcore_peel``'s ``peel_mode``."""
+    n = df.count()
+    small = n <= max_rows
+    if stats is not None:
+        stats[f"{label}_rows"] = n
+        stats[f"{label}_join"] = (
+            "broadcast" if small else "shuffle-fallback"
+        )
+    return F.broadcast(df) if small else df
+
+
 def _as_instant(df: DataFrame, col: str) -> DataFrame:
     """Normalize an event-time column to instant-typed ``timestamp``.
 

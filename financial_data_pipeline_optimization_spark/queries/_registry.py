@@ -304,6 +304,12 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("ngram_jaccard_pairs", 15),
     ("incremental_second_batch_check", 15),
     ("incremental_ingest_report", 15),
+    # r15: LM scoring's vocabulary count relation now ships as a
+    # broadcast under a measured size gate (joins.broadcast_if_small;
+    # SMJ stays the over-budget fallback). Values identical, plans
+    # changed — re-prove both scorers.
+    ("unigram_logprob_score", 15),
+    ("bigram_interp_logprob", 15),
 )
 
 

@@ -859,23 +859,20 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scoring join sorts/shuffles fixed 16-byte rows instead of "
     "variable-length strings, and the doc-grain aggregate collapses "
     "in-partition (a document's exploded tokens are co-located). "
-    "MEASURED NEGATIVE RESULT (r12): force-broadcasting the "
-    "vocabulary-sized count table (the CCNet ship-the-LM shape) cut "
-    "×100 time only 58.7→49.9 s — the replicated corpus grows the "
-    "vocab linearly (per-replica disjoint vocabularies), so the "
-    "relation build dominates what the join saves — and the multi-GB "
-    "broadcast lingered past its query and OOM'd a 48 g heap three "
-    "queries later in the sweep. RE-RUN ON REALISTIC TEXT (r13, the "
-    "Heaps-law zipf corpus, SCALING.md): at zx100 the vocabulary is "
-    "266,940 types — a ~4 MB hashed count relation — and the forced "
-    "broadcast WINS modestly and safely (steady-state 2.7 s vs 3.8 s "
-    "SMJ, ~1.3×, no lingering-broadcast pressure), confirming the r12 "
-    "negative result was a corpus artifact, exactly as hedged. The "
-    "default stays the hashed sort-merge join: it is the shape that "
-    "is memory-safe under BOTH corpus regimes (AQE keeps SMJ here "
-    "because the checkpointed count table's stats are conservative), "
-    "and the 1.3× gain is a per-deployment hint a cluster operator "
-    "applies knowing their vocab is executor-sized.",
+    "SHIP-THE-LM HISTORY: an r12 force-broadcast experiment on the "
+    "replicated ×100 corpus measured only 58.7→49.9 s and left "
+    "lingering heap pressure (pre-hashing era); the r13 re-run on "
+    "realistic Heaps-law text (266,940 types ≈ a 4 MB hashed count "
+    "relation) measured the broadcast WINNING 2.7 s vs 3.8 s SMJ "
+    "with no pressure. Since r15 the query ships that win behind a "
+    "SIZE GATE (joins.broadcast_if_small, the kcore_peel gate "
+    "discipline): the vocabulary relation — already materialized for "
+    "the corpus total — is counted once and broadcast only under "
+    "COUNT_BROADCAST_MAX_ROWS (8M rows ≈ ~1 GB as a hash relation); "
+    "past the budget the hashed sort-merge join remains, so the "
+    "shape stays memory-safe under ANY corpus regime. AQE cannot "
+    "make this call itself: the checkpointed count table's stats "
+    "are conservative, so it always kept the SMJ.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import text as text_ops
@@ -889,16 +886,20 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .select("doc_id", F.xxhash64("token").alias("th"))
     )
-    # Vocabulary-sized; lazily checkpointed so the corpus total and
-    # the broadcast build reuse the materialized counts instead of
-    # re-scanning + re-exploding the document table again.
+    # Vocabulary-sized; lazily checkpointed so the corpus total, the
+    # size gate's count, and the scoring join all reuse ONE
+    # materialization instead of re-scanning + re-exploding the
+    # document table.
     counts = (
         toks.groupBy("th")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("c").cast("long").alias("n"))
-    scored = toks.join(counts, "th").crossJoin(F.broadcast(total))
+    scored = toks.join(
+        joins.broadcast_if_small(counts, joins.COUNT_BROADCAST_MAX_ROWS),
+        "th",
+    ).crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
         _r4(

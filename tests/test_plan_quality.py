@@ -805,3 +805,66 @@ def test_interval_weekly_stays_day_grain(spark):
     plan = _plan(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_unigram_vocab_broadcast_gate_both_modes(spark, monkeypatch):
+    """unigram_logprob_score (r15): the self-trained vocabulary count
+    table ships as a broadcast when its measured cardinality fits the
+    budget (AQE never upgrades it itself — checkpointed stats are
+    conservative), and the gate falls back to the shuffle join when
+    over budget. Both modes pinned by moving the budget, values
+    identical either way."""
+    from financial_data_pipeline_optimization_spark.operators import joins
+
+    # Disable the optimizer's own size-based broadcast for the whole
+    # test: at smoke SF the vocab relation is tiny enough that
+    # Catalyst broadcasts it WITHOUT the hint, which would mask what
+    # this test pins — that the HINT (the gate's output) is what
+    # carries the broadcast at scale, where stats are conservative.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["unigram_logprob_score"].spark(spark, SF_SMOKE)
+        plan = _plan(df, "simple")
+        # The scoring join (toks x counts) broadcasts via the gate's
+        # hint even with auto-broadcast off.
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "SortMergeJoin" not in plan
+        rows_broadcast = sorted(map(tuple, df.collect()))
+
+        monkeypatch.setattr(joins, "COUNT_BROADCAST_MAX_ROWS", 0)
+        df_smj = SPECS["unigram_logprob_score"].spark(spark, SF_SMOKE)
+        plan_smj = _plan(df_smj, "simple")
+        assert "BroadcastHashJoin" not in plan_smj, plan_smj[:2000]
+        assert (
+            "SortMergeJoin" in plan_smj or "ShuffledHashJoin" in plan_smj
+        ), plan_smj[:2000]
+        assert sorted(map(tuple, df_smj.collect())) == rows_broadcast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
+
+
+def test_broadcast_if_small_stats_hook(spark):
+    from financial_data_pipeline_optimization_spark.operators import joins
+
+    rel = spark.range(100).localCheckpoint(eager=False)
+    st = {}
+    out = joins.broadcast_if_small(rel, 1000, stats=st, label="vocab")
+    assert st == {"vocab_rows": 100, "vocab_join": "broadcast"}
+    st2 = {}
+    joins.broadcast_if_small(rel, 10, stats=st2, label="vocab")
+    assert st2 == {"vocab_rows": 100, "vocab_join": "shuffle-fallback"}
+    # Under budget the returned frame carries the hint (planned as a
+    # broadcast side when joined).
+    joined = spark.range(5000).join(out, "id")
+    assert "BroadcastHashJoin" in _plan(joined, "simple")
