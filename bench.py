@@ -24,18 +24,49 @@ numbers, run with nothing else scheduled (no concurrent pytest/sweep),
 SPARK_GRAFT_BENCH_REPS=5, and trust the reported per-query ``spread``
 (max−min): a round-over-round delta smaller than the spread is noise.
 
-Ramp protocol (sub-second iterative queries): a query that is still
->30% spread after the top-up gets sampled further (up to ~2x
-fast_reps) and its median/spread are taken over the LAST fast_reps
-samples. Measured motivation: ``kcore_trade_graph_bucketed`` — ~20
-tiny stages per run — decays monotonically 0.98 s -> 0.62 s across 10
-reps as the JVM's C2 compiler finishes warming the loop's stage code;
-that ramp is warm-up, not host noise, and folding it into max−min made
-the cell's round-over-round delta permanently unreadable. The tail
-window is the steady-state estimate a long-running service would see.
-Queries that settle within fast_reps are untouched, and per-query
-sample counts are published as ``n_samples`` in BENCH_DETAIL.json so a
-topped-up cell is visible.
+Ramp protocol (noisy cells at ANY magnitude, extended r15): a query
+whose spread (max−min) is still >30% of its running median after the
+minimum reps keeps sampling (up to ~2x fast_reps) and its
+median/spread are taken over the LAST fast_reps samples. Measured
+motivation: (a) ``kcore_trade_graph_bucketed`` — ~20 tiny stages per
+run — decays monotonically 0.98 s -> 0.62 s across 10 reps as the
+JVM's C2 compiler finishes warming the loop's stage code; that ramp is
+warm-up, not host noise, and folding it into max−min made the cell's
+round-over-round delta permanently unreadable; (b) the r14
+multi-second ANN cells (knn_ivf/knn_lsh/knn_pq) moved 1.3-1.5x
+round-over-round with zero code change at reps=3 spreads up to
+0.53 s — contention-sensitive cells need the same self-stabilization
+above 1 s, which is why the trigger is spread-based, not
+magnitude-based. A cell that exhausts noisy_reps still >30% is a
+documented noisy-host cap: its published n_samples == the cap, and
+its spread is the honest trust bound. The tail window is the
+steady-state estimate a long-running service would see. Queries that
+settle within fast_reps are untouched, and per-query sample counts
+are published as ``n_samples`` in BENCH_DETAIL.json so a topped-up
+cell is visible.
+
+JVM log containment (r15): Spark's log4j output is routed to a FILE
+(recorded as ``jvm_log_path`` in BENCH_DETAIL.json) instead of
+bleeding into stderr, where the driver's bounded tail capture
+truncated an r14 DAGScheduler stack trace into unclassifiable noise.
+After the run the log is parsed into per-exception-class counts
+(``jvm_exceptions`` in both artifacts). ALLOW-LISTED AS BENIGN:
+- ``org.apache.spark.SparkException: attempted to access non-existent
+  accumulator <id>`` (logged by ``DAGScheduler.updateAccumulators`` as
+  "Failed to update accumulator") — REPRODUCED AND CLASSIFIED r15:
+  this is the r14 mystery trace. ``spark.cleaner.periodicGC.interval=
+  5min`` (the session's checkpoint-block hygiene, see session.py) lets
+  ContextCleaner unregister a superseded stage's accumulators while a
+  straggling task completion of a REUSED (localCheckpoint-backed)
+  stage still reports; the task's data was already consumed, only its
+  metric update is dropped. 1,278 instances in one full bench run,
+  all with this exact message, zero effect on any timed action's
+  result — log noise, not an error. The equivalent
+  ``java.lang.IllegalStateException`` ("garbage collected
+  accumulator") form is allow-listed for the same reason.
+Any NON-allow-listed exception class in the JVM log surfaces in
+``harness_err`` on stdout — visible failure instead of silent tail
+bleed.
 """
 
 from __future__ import annotations
@@ -169,8 +200,77 @@ EXTRA_SPECS: dict = {}
 DETAIL_PATH = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
 
 
+#: JVM log destination + the benign-exception allow-list (module doc).
+JVM_LOG_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_JVMLOG", "/tmp/fdpo_bench_jvm.log"
+)
+#: (exception class, required message substring) pairs; a trace whose
+#: first line matches BOTH is counted but benign.
+BENIGN_JVM_EXCEPTIONS = (
+    (
+        "org.apache.spark.SparkException",
+        "attempted to access non-existent accumulator",
+    ),
+    ("java.lang.IllegalStateException", "garbage collected accumulator"),
+)
+
+
+def _jvm_log_conf() -> dict[str, str]:
+    """Route the JVM's log4j2 output to JVM_LOG_PATH via a generated
+    config file — must happen at JVM launch (driver extraJavaOptions),
+    so bench.py owns session creation."""
+    conf = Path("/tmp/fdpo_bench_log4j2.properties")
+    conf.write_text(
+        "rootLogger.level = warn\n"
+        "rootLogger.appenderRef.file.ref = FileApp\n"
+        "appender.file.type = File\n"
+        "appender.file.name = FileApp\n"
+        f"appender.file.fileName = {JVM_LOG_PATH}\n"
+        "appender.file.append = false\n"
+        "appender.file.layout.type = PatternLayout\n"
+        "appender.file.layout.pattern = "
+        "%d{yy/MM/dd HH:mm:ss} %p %c{1}: %m%n%ex\n"
+    )
+    return {
+        "spark.driver.extraJavaOptions": (
+            f"-Dlog4j2.configurationFile=file:{conf}"
+        )
+    }
+
+
+def _classify_jvm_log() -> tuple[dict[str, int], list[str]]:
+    """Parse JVM_LOG_PATH into exception-class counts and the list of
+    NON-allow-listed classes (each with one sample message). A trace's
+    head line looks like ``some.pkg.SomeException: message``; `` at ``
+    frames and log-prefixed lines are skipped."""
+    import re
+
+    counts: dict[str, int] = {}
+    bad: dict[str, str] = {}
+    try:
+        text = Path(JVM_LOG_PATH).read_text(errors="replace")
+    except OSError:
+        return counts, []
+    head = re.compile(
+        r"^(?:Caused by: )?((?:[\w$]+\.)+[\w$]*(?:Exception|Error))"
+        r"(?::\s*(.*))?$"
+    )
+    for line in text.splitlines():
+        m = head.match(line.strip())
+        if not m:
+            continue
+        cls, msg = m.group(1), m.group(2) or ""
+        counts[cls] = counts.get(cls, 0) + 1
+        if not any(
+            cls == b_cls and b_sub in msg
+            for b_cls, b_sub in BENIGN_JVM_EXCEPTIONS
+        ):
+            bad.setdefault(cls, msg[:200])
+    return counts, [f"{c}: {m}" for c, m in sorted(bad.items())]
+
+
 def main() -> None:
-    spark = get_spark(app_name="fdpo-bench")
+    spark = get_spark(app_name="fdpo-bench", extra_conf=_jvm_log_conf())
     specs = {s.name: s for s in q.registry()}
     specs.update(EXTRA_SPECS)
     # minhash_lsh_pairs is retired from the registry (its raw pairs
@@ -313,13 +413,14 @@ def main() -> None:
                 )
                 if (
                     done
-                    and med < 1.0
                     and len(samples) < noisy_reps
                     and max(samples) - min(samples) > 0.30 * med
                 ):
                     # Ramp protocol (module docstring): spread still
-                    # unreadable at fast_reps — keep sampling so the
-                    # tail window below is steady-state.
+                    # unreadable — keep sampling so the tail window
+                    # below is steady-state. Spread-triggered at ANY
+                    # magnitude (r15): multi-second
+                    # contention-sensitive cells self-stabilize too.
                     done = False
                 if done:
                     break
@@ -347,6 +448,12 @@ def main() -> None:
     }
     errors = {k: v for k, v in errors.items() if not k.startswith("_")}
 
+    # JVM log classification (module doc): exception-class counts are
+    # recorded; any class outside the benign allow-list fails visibly.
+    jvm_exceptions, jvm_bad = _classify_jvm_log()
+    if jvm_bad:
+        harness_errors["_jvm_log"] = "; ".join(jvm_bad)[:500]
+
     total = round(sum(timings.values()), 3)
     # Full per-query detail goes to an in-repo file — the driver keeps
     # only a bounded tail of stdout, and two rounds of BENCH artifacts
@@ -366,6 +473,8 @@ def main() -> None:
         "errors": errors,
         "harness_errors": harness_errors,
         "calibration_sec": calibration,
+        "jvm_exceptions": jvm_exceptions,
+        "jvm_log_path": JVM_LOG_PATH,
         "sf": _sf_label(SF_DIR),
     }
     Path(DETAIL_PATH).write_text(json.dumps(detail, indent=1) + "\n")
@@ -383,6 +492,8 @@ def main() -> None:
         out["err"] = sorted(errors)
     if harness_errors:
         out["harness_err"] = sorted(harness_errors)
+    if jvm_exceptions:
+        out["jvm_exc"] = jvm_exceptions
     print(json.dumps(out, separators=(",", ":")))
 
 
