@@ -453,15 +453,16 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q21 adapted (no l_receiptdate/l_commitdate: 'late' = "
     "shipped >45 days after the order date). Preserves the "
     "EXISTS/NOT-EXISTS pair — the sole late supplier in a "
-    "multi-supplier order — as TWO hash aggregations instead of "
-    "self-joins or a window: per-(order, supplier) late-line counts "
-    "(map-side combinable — the shuffle carries ~one row per "
-    "order-supplier pair, not every lineitem), then per-order "
-    "supplier/late-supplier counts plus the single late supplier's "
-    "identity and its late-line count. The r14 rewrite replaced a "
-    "collect_set window (a full sort of the fact table plus two "
-    "per-row arrays) with these aggregates — same rows, no sort, "
-    "partial aggregation before the exchange.",
+    "multi-supplier order — as collect_set windows over l_orderkey. "
+    "A/B-VALIDATED r15 (tools/ab_q21.py, SCALING.md 'tpch_q21 A/B'): "
+    "this window plan beat or tied the r14 two-hash-aggregation "
+    "rewrite at x1/x10/x100 — the window's sort requirement is "
+    "satisfied nearly for free by the lineitem-orders SMJ's existing "
+    "l_orderkey sort order, so the fact table crosses the wire ONCE, "
+    "while the aggregation plan re-exchanged it twice ((l_orderkey, "
+    "l_suppkey) grain, then l_orderkey grain) and a repartition "
+    "hybrid (one exchange, no sort) still didn't win. The r14 sf0.1 "
+    "regression that motivated the rewrite was host drift.",
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -478,31 +479,30 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
     )
-    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.col("is_late").cast("long")).alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    lines = lines.withColumn(
+        "all_supps", F.collect_set("l_suppkey").over(w)
+    ).withColumn(
+        "late_supps",
+        F.collect_set(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).over(w),
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supps"),
-        F.sum((F.col("n_late") > 0).cast("long")).alias("n_late_supps"),
-        F.max(
-            F.when(F.col("n_late") > 0, F.col("l_suppkey"))
-        ).alias("late_supp"),
-        F.sum(
-            F.when(F.col("n_late") > 0, F.col("n_late")).otherwise(
-                F.lit(0)
-            )
-        ).alias("late_lines"),
-    )
-    waiting = per_o.filter(
-        (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+    waiting = lines.filter(
+        F.col("is_late")
+        & (F.size("all_supps") > 1)
+        & (
+            F.size(F.array_remove("late_supps", F.col("l_suppkey")))
+            == 0
+        )
     )
     s = F.broadcast(
         _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     )
     return (
-        waiting.join(s, F.col("s_suppkey") == F.col("late_supp"))
+        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.sum("late_lines").cast("long").alias("numwait"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
