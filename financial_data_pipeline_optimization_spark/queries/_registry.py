@@ -304,10 +304,14 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("ngram_jaccard_pairs", 15),
     ("incremental_second_batch_check", 15),
     ("incremental_ingest_report", 15),
-    # r15: LM scoring's vocabulary count relation now ships as a
-    # broadcast under a measured size gate (joins.broadcast_if_small;
-    # SMJ stays the over-budget fallback). Values identical, plans
-    # changed — re-prove both scorers.
+    # r15: unigram LM scoring's vocabulary count relation now ships
+    # as a broadcast under a measured size gate
+    # (joins.broadcast_if_small; SMJ stays the over-budget fallback).
+    # The same gate was wired into bigram's unigram leg, measured
+    # NEGATIVE on a 3-way A/B (corpus-sized checkpoint forced into a
+    # standalone job; AQE already broadcasts there), and reverted —
+    # bigram's plan is back to its r13-proven shape but re-prove both
+    # since both were touched this round.
     ("unigram_logprob_score", 15),
     ("bigram_interp_logprob", 15),
     # r15: q21 reverted to the window plan after the tools/ab_q21.py

@@ -489,19 +489,23 @@ def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = bi.groupBy("h1", "h2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
     )
-    # The unigram leg ships the LM when it fits (r15, the
-    # unigram_logprob_score gate): uc is vocabulary-sized and already
-    # materialized for the total, so the size gate's count is nearly
-    # free, and both w1/w2 scoring joins become broadcast joins under
-    # budget. The bigram count table bc stays on the shuffle path —
-    # bigram-type counts grow much faster than unigram vocab and the
-    # scoring stream is already co-partitioned on (h1, h2) from the
-    # aggregation.
-    uc_j = joins.broadcast_if_small(uc, joins.COUNT_BROADCAST_MAX_ROWS)
+    # MEASURED NEGATIVE (r15): the unigram_logprob_score vocab
+    # broadcast gate (joins.broadcast_if_small on uc) was wired here
+    # and REVERTED on a 3-way fresh-JVM A/B at zx100 — gated ~19-23 s
+    # per evaluation vs ~13-14 s plain. Two mechanisms, both specific
+    # to THIS query's shape: (a) the gate's count action forces the
+    # corpus-sized pc checkpoint to materialize as a STANDALONE job
+    # (no overlap with downstream partial aggregation — in unigram the
+    # analogous checkpoint is only vocab-sized, so its count is nearly
+    # free); (b) the hint buys nothing — AQE already upgrades both uc
+    # scoring joins to broadcast at every measured SF (the executed
+    # plan carries 2 BroadcastHashJoin with the hint OFF), because
+    # uc's materialized LogicalRDD stats are exact where unigram's
+    # un-checkpointed count table's are conservative.
     scored = (
         bi.join(bc, ["h1", "h2"])
-        .join(uc_j.select(F.col("h").alias("h1"), F.col("c").alias("c1")), "h1")
-        .join(uc_j.select(F.col("h").alias("h2"), F.col("c").alias("c2")), "h2")
+        .join(uc.select(F.col("h").alias("h1"), F.col("c").alias("c1")), "h1")
+        .join(uc.select(F.col("h").alias("h2"), F.col("c").alias("c2")), "h2")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
