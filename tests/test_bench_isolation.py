@@ -92,3 +92,38 @@ def test_timed_loop_failure_is_isolated(
     assert "topk_orders" in out["queries"]
     assert "flaky_spec" in out["err"]
     assert calls["n"] >= 1
+
+
+def test_jvm_log_classifier(monkeypatch, tmp_path):
+    """The r15 JVM-log containment: exception-class counting, the
+    benign allow-list (the cleaned-accumulator race signature), and
+    visible failure for anything else."""
+    import bench
+
+    log = tmp_path / "jvm.log"
+    log.write_text(
+        "26/08/16 16:39:58 ERROR DAGScheduler: Failed to update "
+        "accumulator 29118 (Unknown class) for task 31\n"
+        "org.apache.spark.SparkException: attempted to access "
+        "non-existent accumulator 29118\n"
+        "\tat org.apache.spark.scheduler.DAGScheduler"
+        ".updateAccumulators(DAGScheduler.scala:1787)\n"
+        "org.apache.spark.SparkException: attempted to access "
+        "non-existent accumulator 29119\n"
+        "26/08/16 16:40:01 WARN BlockManager: Block rdd_1_0 exists\n"
+        "java.lang.OutOfMemoryError: Java heap space\n"
+        "\tat example.Frame.alloc(Frame.java:1)\n"
+    )
+    monkeypatch.setattr(bench, "JVM_LOG_PATH", str(log))
+    counts, bad = bench._classify_jvm_log()
+    assert counts == {
+        "org.apache.spark.SparkException": 2,
+        "java.lang.OutOfMemoryError": 1,
+    }
+    # The accumulator race is benign; the OOM must surface.
+    assert len(bad) == 1 and bad[0].startswith(
+        "java.lang.OutOfMemoryError"
+    )
+    # Missing log file: no counts, no failures (never crash the bench).
+    monkeypatch.setattr(bench, "JVM_LOG_PATH", str(tmp_path / "nope"))
+    assert bench._classify_jvm_log() == ({}, [])
