@@ -1326,15 +1326,35 @@ def containment_pairs(
     fully contained in a long one has low Jaccard but containment 1.0.
 
     Candidate generation is prefix-filtered on the CONTAINED side
-    only: if ``|A∩B| >= ceil(t·|A|)`` then A's smallest
-    ``|A| - ceil(t·|A|) + 1`` hashes (global hash order) must hit B —
-    so A explodes just its prefix while B explodes its full shingle
-    set into the inverted index (containment gives no pruning bound
-    on B; the index is the corpus shingle table, the same asset the
-    decontamination join uses). Exact set-intersect verify on
-    candidates; both consumers read ONE materialized hashed-set
-    table. Returns ``(a, b, containment)`` — ordered, both directions
+    only: if ``|A∩B| >= ceil(t·|A|)`` then ANY subset of A with
+    ``|A| - ceil(t·|A|) + 1`` elements must hit B (pigeonhole — the
+    subset choice is free, which is what makes the ordering below
+    legal), so A explodes just a prefix while B explodes its full
+    shingle set into the inverted index (containment gives no pruning
+    bound on B; the index is the corpus shingle table, the same asset
+    the decontamination join uses). Exact set-intersect verify on
+    candidates; consumers read ONE materialized hashed-set table.
+    Returns ``(a, b, containment)`` — ordered, both directions
     possible.
+
+    The prefix is DF-ORDERED (rarest-first — each A's prefix holds
+    its globally least-frequent shingles by corpus document
+    frequency), not hash-ordered. This is load-bearing at scale, r15
+    measured: with a hash-ordered (i.e. random) prefix, a prefix
+    member is a background-vocabulary shingle with probability ~1, so
+    candidate volume is ~(1-t)·Σ df² — effectively quadratic on
+    Zipf-distributed text (144 s at 50k realistic docs, DNF-class at
+    500k). Rarest-first prefixes join against the SHORTEST posting
+    lists instead: the same 50k-doc cell drops to seconds, and growth
+    re-enters the linear class (BENCH_ZIPF.json `zipfsk:` cells). The
+    cost is one df aggregation over the index (vocabulary-sized,
+    map-side combined) plus an id-keyed window to rank each set's
+    shingles — both linear, both shuffling only (id, hash, df)
+    triples. (The symmetric-Jaccard path measured df-ordering NOT
+    worth it on the near-uniform synthetic corpus — r5 note in
+    :func:`ngram_jaccard_pairs` — but that path is auto-gated to
+    small corpora; this one has no LSH fallback, so its index must be
+    scale-safe by construction.)
     """
     sets = (
         with_shingles(
@@ -1355,15 +1375,23 @@ def containment_pairs(
     prefix_len = (
         F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size")) + 1
     ).cast("int")
-    pref = sets.select(
-        F.col("__id").alias("__a"),
-        explode_nonempty(F.slice("__sh", F.lit(1), prefix_len)).alias(
-            "sh"
-        ),
-    )
     index = sets.select(
         F.col("__id").alias("__b"),
         explode_nonempty("__sh").alias("sh"),
+    ).localCheckpoint(eager=False)  # feeds df counts AND the cand join
+    dfreq = index.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    rank_w = Window.partitionBy("__id").orderBy("__df", "sh")
+    pref = (
+        index.select(F.col("__b").alias("__id"), "sh")
+        .join(dfreq, "sh")
+        .withColumn("__rk", F.row_number().over(rank_w))
+        .join(
+            sets.select("__id", prefix_len.alias("__plen")), "__id"
+        )
+        .where(F.col("__rk") <= F.col("__plen"))
+        .select(F.col("__id").alias("__a"), "sh")
     )
     cand = (
         pref.join(index, "sh")

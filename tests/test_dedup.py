@@ -198,6 +198,47 @@ def test_elect_representatives_matches_reference(spark):
     assert got == {(10, 3, 2, 300), (50, 2, 5, 10)}
 # for tests/test_dedup.py
 
+def test_containment_df_ordered_prefix_exact(spark):
+    """The r15 rarest-first prefix: every doc shares a heavy
+    background shingle (the Zipf-vocabulary shape that made the
+    hash-ordered prefix quadratic), and the planted containment pairs
+    must still ALL surface — the pigeonhole bound holds for ANY
+    prefix subset, so df-ordering changes cost, never results.
+    Verified against a brute-force all-pairs containment oracle."""
+    import itertools
+
+    # Every doc starts with the same boilerplate (heavy shingles);
+    # the distinguishing tail is rare. Doc 3 contains doc 1's tail.
+    rows = [
+        (1, "the same header text alpha beta gamma"),
+        (2, "the same header text delta epsilon zeta"),
+        (3, "the same header text alpha beta gamma eta theta iota"),
+        (4, "the same header text kappa"),
+        (5, "totally unrelated words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.containment
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=2, min_containment=0.8
+        ).collect()
+    }
+
+    def bigrams(s):
+        w = s.split()
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.permutations(rows, 2):
+        a, b = bigrams(ta), bigrams(tb)
+        c = len(a & b) / len(a)
+        if c >= 0.8:
+            want[(ia, ib)] = c
+    assert set(got) == set(want), (got, want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
 def test_near_dup_auto_gate_both_ways(spark):
     """The r15 scale gate: pair_source='auto' (the default) measures
     the exact prefix-index fan-out and picks exact under the budget,

@@ -100,6 +100,10 @@ QUERIES = [
     "doc_fingerprint",
     "decontaminate_vs_benchmark",
     "contamination_report",
+    # r15: asymmetric containment — the df-ordered-prefix fix's trend
+    # line (hash-ordered prefixes were ~quadratic on this corpus's
+    # background vocabulary: 144 s at 50k docs pre-fix vs 11.5 s).
+    "containment_pairs_report",
 ]
 
 if SKEWED:
@@ -120,6 +124,11 @@ if SKEWED:
         # dedup (100-doc clusters -> 100-member duplicate window
         # groups) — measured so the exponent is pinned, not assumed.
         "substring_dedup_docs",
+        # r15: the df-ordered containment prefix under dup-cluster
+        # skew (each 100-doc cluster contributes ~C(100,2) ordered
+        # containment pairs — output grows faster than the corpus,
+        # the budget accounts for it).
+        "containment_pairs_report",
     ]
 
 
