@@ -319,6 +319,11 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # (the window sort rides the SMJ join order; the agg plan paid a
     # second fact-grain exchange). Values identical, plan changed.
     ("tpch_q21_waiting_suppliers", 15),
+    # r15: containment_pairs' prefix is now df-ordered (rarest-first)
+    # — values identical by the pigeonhole bound (test-pinned against
+    # a brute-force oracle), plan gained the df aggregation + rank
+    # window; re-prove.
+    ("containment_pairs_report", 15),
 )
 
 
