@@ -198,6 +198,27 @@ def test_elect_representatives_matches_reference(spark):
     assert got == {(10, 3, 2, 300), (50, 2, 5, 10)}
 # for tests/test_dedup.py
 
+def test_exact_index_fanout_upper_bounds_candidates(spark):
+    """The gate metric's contract: Σ C(df,2) over prefix posting
+    lists is an UPPER bound on the candidates the exact join can emit
+    (the join adds size-ratio + positional pruning on top, and a pair
+    can collide on several prefix elements — both only reduce or
+    re-verify). If this inverts, the gate would under-predict the
+    exact path's cost and wave through a DNF."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    sets = dedup._hashed_sorted_sets(docs, "doc_id", "text", 2)
+    fanout = dedup.exact_index_fanout(sets, 0.8)
+    st = {}
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8, stats=st
+    )
+    n_verified = pairs.count()
+    assert fanout >= st["candidate_pairs"] >= n_verified
+    assert fanout > 0
+
+
 def test_containment_df_ordered_prefix_exact(spark):
     """The r15 rarest-first prefix: every doc shares a heavy
     background shingle (the Zipf-vocabulary shape that made the
