@@ -218,8 +218,20 @@ BENIGN_JVM_EXCEPTIONS = (
 def _jvm_log_conf() -> dict[str, str]:
     """Route the JVM's log4j2 output to JVM_LOG_PATH via a generated
     config file — must happen at JVM launch (driver extraJavaOptions),
-    so bench.py owns session creation."""
-    conf = Path("/tmp/fdpo_bench_log4j2.properties")
+    so bench.py owns session creation.
+
+    The previous run's log is unlinked here: if the config never
+    takes effect (an already-running session is reused, or the caller
+    overrides extraJavaOptions), _classify_jvm_log must see an absent
+    file — not a stale log misattributed to this run. The properties
+    file is named after the log path so two bench processes with
+    different SPARK_GRAFT_BENCH_JVMLOG values never clobber each
+    other's config."""
+    try:
+        Path(JVM_LOG_PATH).unlink()
+    except OSError:
+        pass
+    conf = Path(f"{JVM_LOG_PATH}.log4j2.properties")
     conf.write_text(
         "rootLogger.level = warn\n"
         "rootLogger.appenderRef.file.ref = FileApp\n"

@@ -851,6 +851,23 @@ def near_dup_clusters(
         ).localCheckpoint(eager=False)
         fanout = exact_index_fanout(shared_sets, min_jaccard)
         chosen = "exact" if fanout <= exact_fanout_budget else "lsh"
+        if chosen == "lsh":
+            # The flip is a (deliberate, threshold-verified) semantic
+            # downgrade from oracle-exact to LSH-recall pairs — it
+            # must be observable even for callers that didn't pass
+            # ``stats`` (a driver-side log line, once per call, not
+            # per task).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "near_dup_clusters auto gate: exact index fan-out "
+                "%d exceeds budget %d — using the LSH edge source "
+                "(verified pairs; near-threshold recall per the "
+                "banding S-curve). Pass pair_source='exact' to "
+                "force the exact index.",
+                fanout,
+                exact_fanout_budget,
+            )
         if stats is not None:
             stats["exact_index_fanout"] = fanout
     if stats is not None:
@@ -1043,8 +1060,9 @@ def minhash_store(
     columns (bytes-free under parquet RLE) so the geometry is
     recoverable from the persisted rows themselves; their PRESENCE is
     the store format-version marker (pre-r15 stores lack them and are
-    rejected as legacy — their band hashes predate geometry seeding,
-    so even an equal band count would silently match nothing).
+    rejected as legacy — their full geometry is unverifiable, and
+    pre-r14 stores additionally predate geometry seeding, so even an
+    equal band count could silently match nothing).
     Both stores of an incremental join must be built with the same
     ``(num_hashes, bands, shingle_n)``; :func:`assert_compatible_stores`
     checks all three eagerly, and the streaming consumer
@@ -1138,12 +1156,17 @@ def assert_compatible_stores(
 
     Two failure classes beyond a plain mismatch:
 
-    - LEGACY stores (persisted before the metadata columns existed —
-      also before band hashes were geometry-seeded) are rejected
-      outright, even at an equal band count: their unseeded band
-      hashes can never match a seeded batch, so "compatible-looking"
-      legacy rows would silently contribute zero cross-batch pairs.
-      Column PRESENCE is the format-version marker.
+    - LEGACY stores (persisted before the metadata columns existed)
+      are rejected outright, even at an equal band count: without
+      the columns, ``num_hashes`` and ``shingle_n`` CANNOT be
+      verified, and an unverifiable match is exactly the silent-miss
+      failure this gate exists to prevent — a pre-r14 store is
+      additionally unseeded (its band hashes never match a seeded
+      batch), while an r14-era store may in fact be compatible but
+      cannot prove it. Column PRESENCE is the format-version marker;
+      the only safe remediation is a rebuild. (The empty-store
+      escape applies to current-format stores only — a legacy-schema
+      store is rejected before its row count is ever consulted.)
     - MIXED stores (min ≠ max of a metadata column — e.g. two
       geometries appended into one path) are rejected as corrupt.
     """
@@ -1159,10 +1182,12 @@ def assert_compatible_stores(
         if missing:
             raise StoreBandingMismatch(
                 f"the {label} MinHash store predates the geometry "
-                f"metadata format (missing column(s) {missing}); its "
-                "band hashes are unseeded and can never match a "
-                "current batch. Rebuild it with minhash_store under "
-                "the current geometry."
+                f"metadata format (missing column(s) {missing}): its "
+                "(num_hashes, shingle_n) cannot be verified, so "
+                "compatibility cannot be proven — and if it also "
+                "predates geometry seeding, its band hashes can "
+                "never match a current batch. Rebuild it with "
+                "minhash_store under the current geometry."
             )
         row = bands_df.agg(
             F.max("band").alias("b"),

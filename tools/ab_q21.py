@@ -104,58 +104,16 @@ def q21_agg(spark, sf_dir):
 
 
 def q21_window(spark, sf_dir):
-    """The retired r13 plan: collect_set window over the joined fact
-    table (one full sort of lineitem-grain rows on l_orderkey, two
-    per-row set arrays), kept here verbatim as the A/B comparison
-    arm. Values identical to q21_agg (same semantics)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    """The SHIPPED plan (the window plan this A/B re-shipped in r15),
+    resolved from the registry so the arm always measures the code a
+    user actually runs — a frozen copy here would silently drift.
+    The agg/hybrid arms below are deliberately frozen copies of
+    RETIRED plans."""
+    from financial_data_pipeline_optimization_spark import queries as q
 
-    from financial_data_pipeline_optimization_spark.sources import load_table
-
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    lines = li.join(
-        o.select("o_orderkey", "o_orderdate"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    ).withColumn(
-        "is_late",
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
-    )
-    w = Window.partitionBy("l_orderkey")
-    lines = lines.withColumn(
-        "all_supps", F.collect_set("l_suppkey").over(w)
-    ).withColumn(
-        "late_supps",
-        F.collect_set(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).over(w),
-    )
-    waiting = lines.filter(
-        F.col("is_late")
-        & (F.size("all_supps") > 1)
-        & (
-            F.size(F.array_remove("late_supps", F.col("l_suppkey")))
-            == 0
-        )
-    )
-    s = F.broadcast(
-        load_table(spark, sf_dir, "supplier").select(
-            "s_suppkey", "s_name"
-        )
-    )
-    return (
-        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_name")
-        .limit(100)
-    )
+    return {s.name: s for s in q.registry()}[
+        "tpch_q21_waiting_suppliers"
+    ].spark(spark, sf_dir)
 
 
 def q21_hybrid(spark, sf_dir):
@@ -263,22 +221,30 @@ def main() -> None:
             continue
         for variant in VARIANTS:
             env = dict(os.environ)
-            proc = subprocess.run(
-                [sys.executable, __file__, "--cell", variant, set_name],
-                capture_output=True,
-                text=True,
-                env=env,
-                timeout=1800,
-            )
-            cell = None
-            for line in proc.stdout.splitlines():
-                if line.startswith("CELL "):
-                    cell = json.loads(line[5:])
-            if cell is None:
-                cell = {"err": proc.stderr[-500:], "rc": proc.returncode}
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--cell", variant, set_name],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                    timeout=1800,
+                )
+                cell = None
+                for line in proc.stdout.splitlines():
+                    if line.startswith("CELL "):
+                        cell = json.loads(line[5:])
+                if cell is None:
+                    cell = {
+                        "err": proc.stderr[-500:], "rc": proc.returncode
+                    }
+            except subprocess.TimeoutExpired:
+                # A DNF-class cell must be RECORDED, not abort the
+                # A/B and discard every completed measurement.
+                cell = {"err": "timeout >1800s (DNF)", "rc": None}
             results[variant][set_name] = cell
             print(f"{variant}/{set_name}: {cell}", flush=True)
-    Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+            # Persist incrementally so a later crash keeps evidence.
+            Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
     print(f"wrote {out_path}")
 
 
