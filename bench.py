@@ -201,8 +201,14 @@ DETAIL_PATH = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
 
 
 #: JVM log destination + the benign-exception allow-list (module doc).
+#: The DEFAULT path is unique per process (r16, ADVICE): two
+#: concurrent bench runs on the default path used to clobber each
+#: other's logs (append=false + session-start unlink) and
+#: misattribute jvm_exceptions; the PID suffix gives each run its own
+#: file while SPARK_GRAFT_BENCH_JVMLOG stays the explicit override
+#: (per-path properties naming already isolates non-default paths).
 JVM_LOG_PATH = os.environ.get(
-    "SPARK_GRAFT_BENCH_JVMLOG", "/tmp/fdpo_bench_jvm.log"
+    "SPARK_GRAFT_BENCH_JVMLOG", f"/tmp/fdpo_bench_jvm.{os.getpid()}.log"
 )
 #: (exception class, required message substring) pairs; a trace whose
 #: first line matches BOTH is counted but benign.
@@ -252,9 +258,27 @@ def _jvm_log_conf() -> dict[str, str]:
 
 def _classify_jvm_log() -> tuple[dict[str, int], list[str]]:
     """Parse JVM_LOG_PATH into exception-class counts and the list of
-    NON-allow-listed classes (each with one sample message). A trace's
-    head line looks like ``some.pkg.SomeException: message``; `` at ``
-    frames and log-prefixed lines are skipped."""
+    NON-allow-listed classes (each with one sample message).
+
+    Three line shapes are recognized (r16, ADVICE — the original
+    ^-anchored bare-head match alone let a real executor exception
+    hide inside a prefixed log message, and over-counted chained
+    traces):
+
+    - a trace HEAD (``some.pkg.SomeException: message``) — one
+      instance; benign-ness decided here;
+    - a ``Caused by:`` frame — part of the PARENT trace, never a
+      separate instance; its class is surfaced in the non-benign list
+      only when the parent itself was non-benign (diagnostic detail,
+      not a count);
+    - a log-PREFIXED line (``yy/MM/dd HH:mm:ss LEVEL Logger: msg``)
+      whose message EMBEDS an exception class (e.g. TaskSetManager's
+      ``Lost task ...: java.lang.OutOfMemoryError: ...`` where the
+      trace is part of %m) — counted and benign-checked like a head,
+      since the real throwable may never print as a bare trace.
+
+    `` at `` frames and prefixed lines without an embedded exception
+    are skipped."""
     import re
 
     counts: dict[str, int] = {}
@@ -263,20 +287,45 @@ def _classify_jvm_log() -> tuple[dict[str, int], list[str]]:
         text = Path(JVM_LOG_PATH).read_text(errors="replace")
     except OSError:
         return counts, []
-    head = re.compile(
-        r"^(?:Caused by: )?((?:[\w$]+\.)+[\w$]*(?:Exception|Error))"
-        r"(?::\s*(.*))?$"
+    cls_re = r"((?:[\w$]+\.)+[\w$]*(?:Exception|Error))"
+    head = re.compile(rf"^(Caused by: )?{cls_re}(?::\s*(.*))?$")
+    prefixed = re.compile(
+        r"^\d{2}/\d{2}/\d{2} \d{2}:\d{2}:\d{2} \w+ [\w.$]+: (.*)$"
     )
-    for line in text.splitlines():
-        m = head.match(line.strip())
-        if not m:
-            continue
-        cls, msg = m.group(1), m.group(2) or ""
-        counts[cls] = counts.get(cls, 0) + 1
-        if not any(
+    embedded = re.compile(rf"{cls_re}(?::\s*(.*))?$")
+
+    def _is_benign(cls: str, msg: str) -> bool:
+        return any(
             cls == b_cls and b_sub in msg
             for b_cls, b_sub in BENIGN_JVM_EXCEPTIONS
-        ):
+        )
+
+    parent_benign = True  # benign-ness of the current trace's head
+    for line in text.splitlines():
+        stripped = line.strip()
+        pm = prefixed.match(stripped)
+        if pm:
+            em = embedded.search(pm.group(1))
+            if em:
+                cls, msg = em.group(1), em.group(2) or ""
+                counts[cls] = counts.get(cls, 0) + 1
+                if not _is_benign(cls, msg):
+                    bad.setdefault(cls, msg[:200])
+            continue
+        m = head.match(stripped)
+        if not m:
+            continue
+        caused_by, cls, msg = m.group(1), m.group(2), m.group(3) or ""
+        if caused_by:
+            # Chained frame: belongs to the parent instance. Surface
+            # the cause class for diagnosis only when the parent was
+            # already a visible failure.
+            if not parent_benign and not _is_benign(cls, msg):
+                bad.setdefault(cls, msg[:200])
+            continue
+        counts[cls] = counts.get(cls, 0) + 1
+        parent_benign = _is_benign(cls, msg)
+        if not parent_benign:
             bad.setdefault(cls, msg[:200])
     return counts, [f"{c}: {m}" for c, m in sorted(bad.items())]
 

@@ -766,6 +766,21 @@ def ngram_jaccard_pairs(
 EXACT_FANOUT_BUDGET = 50_000_000
 
 
+class ExactFanoutBudgetExceeded(RuntimeError):
+    """`near_dup_clusters(pair_source="auto", on_budget_exceeded=
+    "error")` measured an exact-index candidate fan-out past the
+    budget and the caller FORBADE the silent downgrade to LSH-recall
+    pairs. Raised by consumers whose semantics depend on the exact
+    transitive closure (leakage-safe splitting, curation funnels):
+    LSH clusters are FINER (verified-subset edges), so under a quiet
+    flip two true near-duplicates can land in different train/test
+    splits — a weakening of the leakage guarantee that must be an
+    explicit decision, not a log line. Remediation: pass
+    ``pair_source="lsh"`` to accept near-threshold recall knowingly,
+    raise ``exact_fanout_budget`` if the verify cost is acceptable,
+    or pre-shard the corpus so each shard probes under budget."""
+
+
 def near_dup_clusters(
     df: DataFrame,
     id_col: str,
@@ -775,6 +790,7 @@ def near_dup_clusters(
     max_iter: int = 25,
     pair_source: str = "auto",
     exact_fanout_budget: int = EXACT_FANOUT_BUDGET,
+    on_budget_exceeded: str = "lsh",
     carry_cols: Sequence[str] = (),
     cc_stats: dict | None = None,
     stats: dict | None = None,
@@ -824,6 +840,17 @@ def near_dup_clusters(
     realistic corpora already probe at ~6e8, the r14 DNF cell at
     ~6e10).
 
+    ``on_budget_exceeded`` controls what the AUTO gate does when the
+    probe exceeds the budget: ``"lsh"`` (default) flips to the LSH
+    edge source with a driver-side warning; ``"error"`` raises
+    :class:`ExactFanoutBudgetExceeded` instead. The error mode exists
+    for EXACT-CLOSURE-SENSITIVE consumers (leakage-safe splitting,
+    curation funnels): verified-LSH clusters are FINER than exact
+    clusters, so a silent flip can place two true near-duplicates in
+    different train/test splits — those callers must choose the
+    downgrade explicitly (``pair_source="lsh"``), never inherit it
+    from a log line. Irrelevant for explicit ``pair_source`` values.
+
     ``stats``: optional dict; on return ``stats["pair_source"]``
     records the edge source actually used, and — when the gate ran —
     ``stats["exact_index_fanout"]`` its measured fan-out, so a
@@ -843,6 +870,11 @@ def near_dup_clusters(
             "pair_source must be 'auto', 'exact' or 'lsh', got "
             f"{pair_source!r}"
         )
+    if on_budget_exceeded not in ("lsh", "error"):
+        raise ValueError(
+            "on_budget_exceeded must be 'lsh' or 'error', got "
+            f"{on_budget_exceeded!r}"
+        )
     shared_sets = None
     chosen = pair_source
     if pair_source == "auto":
@@ -851,6 +883,17 @@ def near_dup_clusters(
         ).localCheckpoint(eager=False)
         fanout = exact_index_fanout(shared_sets, min_jaccard)
         chosen = "exact" if fanout <= exact_fanout_budget else "lsh"
+        if chosen == "lsh" and on_budget_exceeded == "error":
+            if stats is not None:
+                stats["exact_index_fanout"] = fanout
+            raise ExactFanoutBudgetExceeded(
+                "near_dup_clusters auto gate: exact index fan-out "
+                f"{fanout} exceeds budget {exact_fanout_budget} and "
+                "this caller forbids the silent LSH downgrade "
+                "(on_budget_exceeded='error'). Pass "
+                "pair_source='lsh' to accept near-threshold LSH "
+                "recall explicitly, or raise exact_fanout_budget."
+            )
         if chosen == "lsh":
             # The flip is a (deliberate, threshold-verified) semantic
             # downgrade from oracle-exact to LSH-recall pairs — it

@@ -81,6 +81,18 @@ def broadcast_if_small(
     (callers pass the already-lazily-checkpointed frame, so the count
     just materializes it earlier).
 
+    EAGER AT CONSTRUCTION TIME: the count() runs when the enclosing
+    DataFrame is BUILT, not when it is acted on — the query-builder
+    laziness contract changes for every caller. Queries wiring this
+    gate must say so in their registry doc ("NOT action-free at
+    construction", the connected-components convention) so plan-only
+    consumers (explain audits, speculative construction) know to skip
+    them. A fully lazy alternative does not exist in Spark today: a
+    broadcast hint must be present in the plan BEFORE the action, and
+    AQE — the runtime mechanism that could decide lazily — never
+    upgrades these joins because checkpointed stats are conservative
+    (measured r12/r13/r15, see the callers' docs).
+
     ``stats``: on return ``stats[f"{label}_rows"]`` holds the measured
     count and ``stats[f"{label}_join"]`` the chosen mode
     (``"broadcast"`` / ``"shuffle-fallback"``) — the same observability

@@ -49,10 +49,21 @@ def curate_corpus(
     near_dedup: bool = True,
     near_dup_jaccard: float = 0.8,
     splits: dict[str, float] | None = None,
+    pair_source: str = "auto",
 ) -> DataFrame:
     """Run the full curation funnel; returns the surviving documents
     with ``lang_pred``, ``n_bpe_ish_tokens`` and ``split``
-    annotations."""
+    annotations.
+
+    EXACT-CLOSURE-SENSITIVE: the near-dedup stage decides which
+    documents survive into the split assignment, so this plan calls
+    ``near_dup_clusters`` with ``on_budget_exceeded="error"`` — past
+    the exact fan-out budget it raises
+    :class:`~financial_data_pipeline_optimization_spark.operators.dedup.ExactFanoutBudgetExceeded`
+    instead of silently downgrading to finer LSH clusters (which
+    would let two true near-duplicates both survive and land in
+    different splits). At 100 TB pass ``pair_source="lsh"`` to accept
+    near-threshold LSH recall EXPLICITLY."""
     out = text.redact_pii(
         text.clean_text(docs.select(id_col, text_col), text_col), text_col
     )
@@ -65,7 +76,8 @@ def curate_corpus(
     out = dedup.exact_dedup(out, [text_col], id_col)
     if near_dedup:
         clusters = dedup.near_dup_clusters(
-            out, id_col, text_col, n=2, min_jaccard=near_dup_jaccard
+            out, id_col, text_col, n=2, min_jaccard=near_dup_jaccard,
+            pair_source=pair_source, on_budget_exceeded="error",
         )
         keep = clusters.filter(
             F.col(id_col) == F.col("cluster_id")
@@ -99,7 +111,15 @@ def funnel_counts_df(
     — building this DataFrame already computes the dedup stages.
     Plan-inspection tooling that assumes construction is action-free
     should skip this plan (bench warms it like any other query; the
-    cost is real work, not waste)."""
+    cost is real work, not waste).
+
+    EXACT-CLOSURE-SENSITIVE (same contract as :func:`curate_corpus`):
+    the funnel's near-dedup survivor count is defined against the
+    exact transitive closure, so the auto pair-source gate runs with
+    ``on_budget_exceeded="error"`` — a corpus past the exact fan-out
+    budget raises instead of quietly reporting the FINER LSH
+    clustering's (higher) survivor count as if it were the exact one.
+    Pass ``pair_source="lsh"`` via kwargs to opt in explicitly."""
     cleaned = text.redact_pii(
         text.clean_text(docs.select(id_col, text_col), text_col), text_col
     )
@@ -118,6 +138,8 @@ def funnel_counts_df(
     clusters = dedup.near_dup_clusters(
         exact, id_col, text_col, n=2,
         min_jaccard=kwargs.get("near_dup_jaccard", 0.8),
+        pair_source=kwargs.get("pair_source", "auto"),
+        on_budget_exceeded="error",
     )
     survivors = clusters.filter(F.col(id_col) == F.col("cluster_id"))
 

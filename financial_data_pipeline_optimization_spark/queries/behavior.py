@@ -349,7 +349,11 @@ _ORACLE_CLEANED = (
     "stage's composition (not just each operator in isolation) is "
     "verified. Stage order is the 100 TB-load-bearing one: narrow "
     "row-local filters shrink the corpus before anything shuffles or "
-    "iterates.",
+    "iterates. Exact-closure-sensitive (r16): the near-dedup stage "
+    "runs with on_budget_exceeded='error', so past the exact fan-out "
+    "budget the funnel raises instead of silently reporting the "
+    "finer LSH clustering's survivor count as exact; at that scale "
+    "pass pair_source='lsh' explicitly.",
 )
 def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.plans import corpus

@@ -296,14 +296,27 @@ def _leakage_safe_split_sql() -> str:
     "cluster total equals the per-split sum (a cluster never spans "
     "splits — true by construction since split is a function of "
     "cluster_id, verified anyway). The oracle recomputes clusters "
-    "with a recursive CTE and the same md5 thresholds.",
+    "with a recursive CTE and the same md5 thresholds. "
+    "Exact-closure-sensitive (r16): the clustering runs with "
+    "on_budget_exceeded='error', so past the exact fan-out budget "
+    "this query raises instead of silently splitting on the FINER "
+    "LSH clustering (which could place a doc and its paraphrase in "
+    "different splits); at that scale callers opt into LSH "
+    "explicitly. Not fully lazy: the auto gate's fan-out probe and "
+    "the component loop run bounded actions at construction.",
 )
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents")
+    # Exact-closure-sensitive: the split key IS the cluster id, so a
+    # silent flip to finer LSH clusters would quietly weaken the
+    # leakage guarantee (near-dup pairs split apart). Past the exact
+    # fan-out budget this raises ExactFanoutBudgetExceeded; callers
+    # at that scale must choose pair_source='lsh' knowingly.
     cl = dedup.near_dup_clusters(
-        docs, "doc_id", "text", n=2, min_jaccard=0.8
+        docs, "doc_id", "text", n=2, min_jaccard=0.8,
+        on_budget_exceeded="error",
     )  # label table arrives materialized; feeds per-split agg + total
     assigned = sampling.with_split(
         cl, ["cluster_id"], {"train": 0.8, "val": 0.1, "test": 0.1}

@@ -872,7 +872,13 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "past the budget the hashed sort-merge join remains, so the "
     "shape stays memory-safe under ANY corpus regime. AQE cannot "
     "make this call itself: the checkpointed count table's stats "
-    "are conservative, so it always kept the SMJ.",
+    "are conservative, so it always kept the SMJ. NOT action-free "
+    "at construction (r16 doc, ADVICE): the size gate's count() runs "
+    "when the DataFrame is BUILT — it materializes the vocabulary "
+    "checkpoint the query needs anyway, but plan-only tooling "
+    "(explain audits, speculative construction) pays it; such "
+    "tooling should skip this query, the same contract as the "
+    "connected-components family.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_pipeline_optimization_spark.operators import text as text_ops

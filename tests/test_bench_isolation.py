@@ -127,3 +127,51 @@ def test_jvm_log_classifier(monkeypatch, tmp_path):
     # Missing log file: no counts, no failures (never crash the bench).
     monkeypatch.setattr(bench, "JVM_LOG_PATH", str(tmp_path / "nope"))
     assert bench._classify_jvm_log() == ({}, [])
+
+
+def test_jvm_log_classifier_prefixed_and_caused_by(monkeypatch, tmp_path):
+    """r16 (ADVICE): an exception EMBEDDED in a prefixed log message
+    (TaskSetManager's 'Lost task ...: cls: msg' shape, where the
+    trace is %m, not %ex) must be counted and benign-checked; a
+    'Caused by:' frame is part of its parent trace — never a separate
+    instance — surfacing in the non-benign list only when the parent
+    itself was non-benign."""
+    import bench
+
+    log = tmp_path / "jvm.log"
+    log.write_text(
+        # Embedded in a prefixed WARN — previously invisible.
+        "26/08/16 16:39:58 WARN TaskSetManager: Lost task 3.0 in "
+        "stage 9.0 (TID 31): java.lang.OutOfMemoryError: "
+        "Java heap space\n"
+        # Embedded benign race inside a prefixed line: counted, benign.
+        "26/08/16 16:40:00 WARN TaskSetManager: Lost task 4.0: "
+        "org.apache.spark.SparkException: attempted to access "
+        "non-existent accumulator 7\n"
+        # Non-benign head with a chained cause: ONE instance; the
+        # cause class surfaces for diagnosis but adds no count.
+        "java.lang.RuntimeException: executor died\n"
+        "\tat example.A.run(A.java:1)\n"
+        "Caused by: java.io.IOException: broken pipe\n"
+        "\tat example.B.io(B.java:2)\n"
+        # Benign head with a cause: cause stays invisible.
+        "java.lang.IllegalStateException: garbage collected "
+        "accumulator 9\n"
+        "Caused by: java.lang.IllegalArgumentException: gone\n"
+        # Prefixed line with no embedded exception: skipped.
+        "26/08/16 16:40:02 WARN BlockManager: Block rdd_1_0 exists\n"
+    )
+    monkeypatch.setattr(bench, "JVM_LOG_PATH", str(log))
+    counts, bad = bench._classify_jvm_log()
+    assert counts == {
+        "java.lang.OutOfMemoryError": 1,
+        "org.apache.spark.SparkException": 1,
+        "java.lang.RuntimeException": 1,
+        "java.lang.IllegalStateException": 1,
+    }
+    bad_classes = {b.split(":")[0] for b in bad}
+    assert bad_classes == {
+        "java.lang.OutOfMemoryError",
+        "java.lang.RuntimeException",
+        "java.io.IOException",  # cause of the non-benign parent
+    }

@@ -323,6 +323,91 @@ def test_near_dup_auto_gate_both_ways(spark):
         )
 
 
+def test_near_dup_auto_gate_error_mode(spark):
+    """r16 (ADVICE): exact-closure-sensitive callers forbid the
+    silent LSH downgrade with on_budget_exceeded='error' — past the
+    budget the gate raises ExactFanoutBudgetExceeded (with the
+    measured fan-out recorded in stats) instead of flipping; under
+    budget and for explicit pair_source values the mode is inert."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    # Over budget (forced): raise, never flip; fan-out still observable.
+    st = {}
+    with _pytest.raises(
+        dedup.ExactFanoutBudgetExceeded, match="pair_source='lsh'"
+    ):
+        dedup.near_dup_clusters(
+            docs, "doc_id", "text", n=2, min_jaccard=0.8,
+            exact_fanout_budget=0, on_budget_exceeded="error",
+            stats=st,
+        )
+    assert st["exact_index_fanout"] > 0
+    assert "pair_source" not in st  # no source was chosen
+
+    # Under budget: error mode is inert, exact path chosen as usual.
+    st_ok = {}
+    dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8,
+        on_budget_exceeded="error", stats=st_ok, materialize=False,
+    )
+    assert st_ok["pair_source"] == "exact"
+
+    # Explicit pair_source skips the probe entirely — error mode
+    # cannot fire even with a zero budget.
+    st_lsh = {}
+    dedup.near_dup_clusters(
+        docs, "doc_id", "text", n=2, min_jaccard=0.8,
+        pair_source="lsh", exact_fanout_budget=0,
+        on_budget_exceeded="error", stats=st_lsh, materialize=False,
+    )
+    assert st_lsh == {"pair_source": "lsh"}
+
+    with _pytest.raises(ValueError, match="on_budget_exceeded"):
+        dedup.near_dup_clusters(
+            docs, "doc_id", "text", on_budget_exceeded="bogus"
+        )
+
+
+def test_leakage_sensitive_callers_refuse_silent_flip(spark, monkeypatch):
+    """r16 (ADVICE medium): leakage_safe_split and the curation
+    funnel's near-dedup stage run the auto gate with
+    on_budget_exceeded='error' — with the budget forced to zero they
+    RAISE rather than silently split/count on the finer LSH
+    clustering."""
+    import pytest as _pytest
+    from financial_data_pipeline_optimization_spark.plans import corpus
+    from financial_data_pipeline_optimization_spark.queries import (
+        statsfit,
+    )
+
+    # The budget is bound at def time; force the flip by making the
+    # probe report a fan-out past any budget.
+    monkeypatch.setattr(
+        dedup, "exact_index_fanout", lambda *_a, **_k: 10**18
+    )
+
+    with _pytest.raises(dedup.ExactFanoutBudgetExceeded):
+        statsfit.q_leakage_safe_split(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    with _pytest.raises(dedup.ExactFanoutBudgetExceeded):
+        corpus.funnel_counts_df(docs).collect()
+    with _pytest.raises(dedup.ExactFanoutBudgetExceeded):
+        corpus.curate_corpus(docs).collect()
+
+    # The explicit LSH opt-in is the sanctioned path at scale: no
+    # probe, no raise, even under a zero budget.
+    corpus.funnel_counts_df(docs, pair_source="lsh").first()
+
+
 def test_lsh_megacluster_bounded_and_matches_exact(spark):
     """Planted pathological skew (the 100 TB hot-bucket shape): one
     template repeated 300x means ONE LSH bucket holds a complete
