@@ -1263,6 +1263,74 @@ def assert_compatible_stores(
         )
 
 
+def stamp_store_geometry(
+    bands_df: DataFrame,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """ONE-SHOT MIGRATION for r14-era bands stores: append the
+    ``num_hashes`` / ``shingle_n`` metadata columns
+    :func:`assert_compatible_stores` requires, under a caller
+    ATTESTATION of the geometry the store was built with — the
+    alternative the strict gate otherwise forces is a full corpus
+    rebuild, needless for a store whose band hashes are already
+    geometry-seeded and whose knobs the operator knows.
+
+    The attestation is load-bearing and PARTIALLY verifiable:
+
+    - the band count is recovered from the rows (``max(band) + 1``)
+      and must not exceed the attested ``num_hashes`` — a store
+      banded wider than its signature is impossible, so that
+      attestation error is caught here;
+    - ``num_hashes`` itself and ``shingle_n`` are NOT recoverable
+      from an unstamped store — if the attested values are wrong,
+      cross-batch joins quietly MISS (geometry-seeded band hashes
+      from the true geometry never match the attested one's), which
+      is exactly the failure the metadata gate exists to surface.
+      Only stamp values taken from the pipeline config that built
+      the store, never guesses.
+    - pre-r14 stores (built before geometry seeding) must NOT be
+      stamped: their band hashes can never match a current batch
+      regardless of metadata, so stamping converts a loud rejection
+      into a silent total miss. If provenance is unknown, rebuild.
+
+    Stores already carrying metadata columns are refused (re-stamping
+    with different values would manufacture a MIXED store). Rewrite
+    the returned frame over the persisted path once; the stamped
+    columns are constant per store, so parquet RLE stores them for
+    free. Cost: one ``max(band)`` aggregate + a rewrite of the
+    (documents-free, bytes-per-doc) bands table — no corpus scan,
+    no re-hashing.
+    """
+    present = [
+        c for c in ("num_hashes", "shingle_n") if c in bands_df.columns
+    ]
+    if present:
+        raise StoreBandingMismatch(
+            f"store already carries geometry metadata {present} — "
+            "stamping again could manufacture a mixed-geometry store. "
+            "Use assert_compatible_stores to validate it instead."
+        )
+    if num_hashes < 1 or shingle_n < 1:
+        raise ValueError(
+            f"attested geometry must be positive, got num_hashes="
+            f"{num_hashes}, shingle_n={shingle_n}"
+        )
+    row = bands_df.agg(F.max("band").alias("b")).collect()[0]
+    if row["b"] is not None and int(row["b"]) + 1 > num_hashes:
+        raise StoreBandingMismatch(
+            f"store has {int(row['b']) + 1} bands but the attested "
+            f"num_hashes is {num_hashes} — a store cannot be banded "
+            "wider than its signature, so the attestation is wrong. "
+            "Rebuild from the source corpus."
+        )
+    return bands_df.select(
+        "*",
+        F.lit(int(num_hashes)).alias("num_hashes"),
+        F.lit(int(shingle_n)).alias("shingle_n"),
+    )
+
+
 def incremental_near_dups(
     new_store: tuple[DataFrame, DataFrame],
     old_store: tuple[DataFrame, DataFrame],

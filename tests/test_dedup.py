@@ -640,3 +640,60 @@ def test_store_full_geometry_mismatches_detected(spark):
     # The metadata columns are constant + correct on a good store.
     row = s_new[0].select("num_hashes", "shingle_n").distinct().collect()
     assert [(r["num_hashes"], r["shingle_n"]) for r in row] == [(64, 2)]
+
+
+def test_stamp_store_geometry_migration(spark):
+    """r16 (ADVICE): stamp_store_geometry upgrades an r14-era store
+    (geometry-seeded hashes, no metadata columns) in place of a full
+    corpus rebuild. The stamped store must pass the compatibility
+    gate and give BYTE-IDENTICAL incremental results to the
+    never-migrated store; wrong attestations the rows can falsify are
+    rejected, as is re-stamping."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    s_new = dedup.minhash_store(new, "doc_id", "text", shingle_n=2)
+    s_old = dedup.minhash_store(old, "doc_id", "text", shingle_n=2)
+
+    # Simulate the r14-era persisted format: metadata columns absent.
+    legacy_bands = s_old[0].drop("num_hashes", "shingle_n")
+    with _pytest.raises(dedup.StoreBandingMismatch, match="predates"):
+        dedup.assert_compatible_stores(s_new, (legacy_bands, s_old[1]))
+
+    # Attested migration: gate passes, results byte-identical.
+    stamped = dedup.stamp_store_geometry(
+        legacy_bands, num_hashes=64, shingle_n=2
+    )
+    dedup.assert_compatible_stores(s_new, (stamped, s_old[1]))
+    want = sorted(
+        tuple(r)
+        for r in dedup.incremental_near_dups(s_new, s_old).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.incremental_near_dups(
+            s_new, (stamped, s_old[1])
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # Falsifiable-wrong attestation: more bands than signature hashes.
+    with _pytest.raises(dedup.StoreBandingMismatch, match="wider"):
+        dedup.stamp_store_geometry(legacy_bands, num_hashes=4, shingle_n=2)
+
+    # Re-stamping a stamped store: refused (mixed-store hazard).
+    with _pytest.raises(dedup.StoreBandingMismatch, match="already"):
+        dedup.stamp_store_geometry(stamped, num_hashes=64, shingle_n=2)
+
+    with _pytest.raises(ValueError, match="positive"):
+        dedup.stamp_store_geometry(legacy_bands, num_hashes=0, shingle_n=2)
+
+    # Empty legacy store: stampable (no rows to falsify against).
+    empty = dedup.stamp_store_geometry(
+        legacy_bands.limit(0), num_hashes=64, shingle_n=2
+    )
+    assert empty.columns == stamped.columns and empty.count() == 0
