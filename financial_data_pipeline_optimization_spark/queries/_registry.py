@@ -324,6 +324,17 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # a brute-force oracle), plan gained the df aggregation + rank
     # window; re-prove.
     ("containment_pairs_report", 15),
+    # r16 (ADVICE medium): leakage_safe_split and the curation funnel
+    # now run the auto pair-source gate with on_budget_exceeded=
+    # 'error' (raise instead of silently downgrading to finer LSH
+    # clusters past the exact fan-out budget). Values unchanged at
+    # every driver SF (the gate picks exact there); the call graph
+    # changed, so re-prove. near_dup_clusters / cluster_
+    # representatives gained the same (inert-at-driver-SF) parameter.
+    ("leakage_safe_split", 16),
+    ("corpus_curation_funnel", 16),
+    ("near_dup_clusters", 16),
+    ("cluster_representatives", 16),
 )
 
 
