@@ -335,6 +335,11 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     ("corpus_curation_funnel", 16),
     ("near_dup_clusters", 16),
     ("cluster_representatives", 16),
+    # r16: transitivity now NULL (both engines) on a wedge-free graph
+    # instead of an ANSI divide-by-zero — values identical wherever
+    # any node has degree >= 2 (every driver SF), but the expression
+    # changed on both sides; re-prove.
+    ("triangle_count_order_bursts", 16),
 )
 
 

@@ -547,9 +547,11 @@ def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
              AS n_wedges,
            (SELECT n_triangles FROM tri) AS n_triangles,
-           floor(3.0 * (SELECT n_triangles FROM tri)
-                 / (SELECT sum(d * (d - 1) / 2) FROM deg)
-                 * 10000 + 0.5000005) / 10000 AS transitivity
+           CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0 THEN
+             floor(3.0 * (SELECT n_triangles FROM tri)
+                   / (SELECT sum(d * (d - 1) / 2) FROM deg)
+                   * 10000 + 0.5000005) / 10000
+           END AS transitivity
     """,
     doc="Triangle counting + global transitivity over the order-burst "
     "graph: orders by the SAME customer within 7 days are adjacent, so "
@@ -628,8 +630,15 @@ def q_triangle_count_order_bursts(
             "n_edges",
             "n_wedges",
             "n_triangles",
-            _r4(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+            # Wedge-free graph (tiny/degenerate corpus): transitivity
+            # is undefined — NULL, not an ANSI divide-by-zero crash
+            # (r16: the sf0.001 smoke graph has no degree-2 node).
+            F.when(
+                F.col("n_wedges") > 0,
+                _r4(
+                    F.lit(3.0) * F.col("n_triangles")
+                    / F.col("n_wedges")
+                ),
             ).alias("transitivity"),
         )
     )

@@ -38,6 +38,10 @@ def test_raising_spec_does_not_zero_the_artifact(
         {"boom_spec": q.QuerySpec("boom_spec", _boom, None)},
     )
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "1")
+    # Keep the isolation probe fast and hermetic: no quiet-host wait
+    # (the shared host may be loud) and no fresh-JVM drift children.
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_QUIET_WAIT", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DRIFT", "0")
     monkeypatch.setattr(bench, "DETAIL_PATH", tmp_path / "detail.json")
 
     bench.main()
@@ -85,6 +89,8 @@ def test_timed_loop_failure_is_isolated(
         {"flaky_spec": q.QuerySpec("flaky_spec", _flaky, None)},
     )
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_QUIET_WAIT", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DRIFT", "0")
 
     bench.main()
 
@@ -92,6 +98,112 @@ def test_timed_loop_failure_is_isolated(
     assert "topk_orders" in out["queries"]
     assert "flaky_spec" in out["err"]
     assert calls["n"] >= 1
+
+
+def test_drift_recheck_flags_and_publication(monkeypatch):
+    """r16 drift protocol: only cells >1.4x their prior-round median
+    are flagged (worst first, bounded); the fresh-JVM cell's median is
+    published ONLY when the fresh run was quiet and back under the
+    threshold — every other case keeps the in-session number."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DRIFT", "1")
+    monkeypatch.setattr(
+        bench,
+        "_prior_round_queries",
+        lambda: (15, {"qa": 0.5, "qb": 1.0, "qc": 0.4}),
+    )
+
+    calls = []
+
+    class _Proc:
+        returncode = 0
+        stderr = ""
+        stdout = (
+            'CELL {"median": 0.52, "quiet": true, "load_pre": 0.3, '
+            '"load_max": 0.4, "samples": [0.52]}'
+        )
+
+    def _fake_run(argv, **kw):
+        calls.append(argv)
+        return _Proc()
+
+    monkeypatch.setattr(bench.subprocess, "run", _fake_run)
+
+    # qa regressed 4x (flag), qb 1.2x (no flag), qd has no prior.
+    timings = {"qa": 2.0, "qb": 1.2, "qd": 9.9}
+    checks = bench._drift_recheck(timings, "/root/testdata/sf0.001")
+    assert set(checks) == {"qa"} and len(calls) == 1
+    assert "--cell-query" in calls[0] and "qa" in calls[0]
+    assert checks["qa"]["in_session"] == 2.0
+    assert checks["qa"]["prior"] == 0.5 and checks["qa"]["ratio"] == 4.0
+
+    # Publication: fresh is quiet and 0.52 <= 1.4*0.5 -> published.
+    bench._apply_drift_publication(timings, checks)
+    assert timings["qa"] == 0.52
+    assert checks["qa"]["published"] == "fresh"
+
+    # A loud fresh run must NOT be published even if fast.
+    timings2 = {"qa": 2.0}
+    checks2 = {
+        "qa": {"median": 0.52, "quiet": False, "prior": 0.5,
+               "in_session": 2.0}
+    }
+    bench._apply_drift_publication(timings2, checks2)
+    assert timings2["qa"] == 2.0
+    assert checks2["qa"]["published"] == "in_session"
+
+    # A fresh run that CONFIRMS the slowdown keeps the in-session
+    # number (the regression is real).
+    timings3 = {"qa": 2.0}
+    checks3 = {
+        "qa": {"median": 1.9, "quiet": True, "prior": 0.5,
+               "in_session": 2.0}
+    }
+    bench._apply_drift_publication(timings3, checks3)
+    assert timings3["qa"] == 2.0
+    assert checks3["qa"]["published"] == "in_session"
+
+    # Kill switch: no children spawned.
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DRIFT", "0")
+    assert bench._drift_recheck({"qa": 9.0}, "x") == {}
+
+
+def test_ab_harness_spec_and_cell(monkeypatch):
+    """tools/ab.py (r16): the q21 spec loads through the shared
+    harness, the quiet gate resolves its knobs from env at call time,
+    and measure_fn produces a complete cell in-process."""
+    import os as _os
+
+    from tools import ab
+
+    variants, datasets = ab._load_spec("tools/ab_q21.py")
+    assert set(variants) == {"agg", "window", "hybrid"}
+    assert dict(datasets)["x1"] == "/root/testdata/sf0.1"
+
+    # Env-dynamic gate: a huge bound accepts any host instantly.
+    monkeypatch.setenv("SPARK_GRAFT_AB_MAXLOAD", "1e9")
+    load, quiet = ab.wait_for_quiet()
+    assert quiet and load < 1e9
+
+    # Zero timeout + tiny bound: returns immediately, loud.
+    monkeypatch.setenv("SPARK_GRAFT_AB_MAXLOAD", "0.0")
+    monkeypatch.setenv("SPARK_GRAFT_AB_QUIET_WAIT", "0")
+    _, quiet = ab.wait_for_quiet()
+    assert not quiet
+
+    # In-process cell on the smoke table (no child JVM in unit tests;
+    # the child path is exercised via the same measure_fn).
+    monkeypatch.setenv("SPARK_GRAFT_AB_MAXLOAD", "1e9")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "1")
+
+    def _tiny(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    cell = ab.measure_fn(_tiny, SF_SMOKE, app_name="ab-test")
+    assert cell["median"] > 0 and len(cell["samples"]) == 1
+    assert cell["quiet"] is True
+    assert _os.environ["SPARK_GRAFT_AB_MAXLOAD"] == "1e9"
 
 
 def test_jvm_log_classifier(monkeypatch, tmp_path):

@@ -260,6 +260,58 @@ def test_containment_df_ordered_prefix_exact(spark):
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
 
 
+def test_containment_candidate_bound_and_budget(spark):
+    """r16 (VERDICT task #3): the stats hook bounds the enumerator's
+    output BEFORE the pair join runs — candidate_bound >= actual
+    emitted pairs (it counts every posting-list hit of every prefix
+    shingle, pre-dedup and pre-verify, self-matches included); the
+    probe changes no results; max_candidates raises with the measured
+    bound instead of enumerating."""
+    import pytest as _pytest
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    st: dict = {}
+    probed = sorted(
+        (r.a, r.b, round(r.containment, 9))
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=2, min_containment=0.9, stats=st
+        ).collect()
+    )
+    plain = sorted(
+        (r.a, r.b, round(r.containment, 9))
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=2, min_containment=0.9
+        ).collect()
+    )
+    assert probed == plain  # probe never changes results
+    assert st["candidate_bound"] >= st["prefix_rows"] > 0
+    # The bound dominates the TRUE pair count (pairs are candidates
+    # that additionally survived dedup + exact verify).
+    assert st["candidate_bound"] >= len(probed)
+
+    # Budget gate: raises with the measured bound, before enumerating.
+    with _pytest.raises(
+        dedup.ContainmentCandidateBudgetExceeded, match="candidate bound"
+    ):
+        dedup.containment_pairs(
+            docs, "doc_id", "text", n=2, min_containment=0.9,
+            max_candidates=1,
+        )
+
+    # A budget the bound fits under is inert.
+    ok = dedup.containment_pairs(
+        docs, "doc_id", "text", n=2, min_containment=0.9,
+        max_candidates=st["candidate_bound"],
+    )
+    assert sorted(
+        (r.a, r.b, round(r.containment, 9)) for r in ok.collect()
+    ) == plain
+
+
 def test_near_dup_auto_gate_both_ways(spark):
     """The r15 scale gate: pair_source='auto' (the default) measures
     the exact prefix-index fan-out and picks exact under the budget,

@@ -1,0 +1,337 @@
+"""Reusable fresh-JVM A/B harness (r16, VERDICT task #6 — the
+generalization of ``tools/ab_q21.py``'s child machinery).
+
+Measures plan variants × datasets under the scaled-sweep protocol the
+r15 q21 A/B validated:
+
+- ONE FRESH JVM PER CELL (a (variant, dataset) pair) — r13 measured
+  up to 10× in-session inflation after ~230 timed runs in one JVM, so
+  cross-variant comparisons inside a shared session are ordering-
+  biased and invalid (see the A/B-protocol note in SCALING.md);
+- one untimed warm run AT THE TARGET DATASET (C2 ramp — warming with
+  a cheap ×1 pass leaves ×100 cells 3–4× inflated);
+- median of ``SPARK_GRAFT_BENCH_REPS`` (default 3) timed noop-sink
+  runs, every sample recorded;
+- QUIET-HOST acceptance (the r15 scale-sweep protocol, now code):
+  each cell waits for pre-run 1-min load below
+  ``SPARK_GRAFT_AB_MAXLOAD`` (default 1.5; this host's external
+  tenants have been observed at 1-min load 17+, inflating cells up to
+  5×), and a during-run sampler records EXTERNAL busy cores — host
+  CPU minus our own process tree, because raw loadavg is
+  self-contaminated by the local[32] run itself — so a contaminated
+  cell is VISIBLE in the artifact (``load_pre`` / ``load_max`` /
+  ``ext_cores_max`` per cell, ``quiet`` = started quiet AND external
+  cores stayed under the bound) instead of silently wrong;
+- DNF containment: a timed-out or crashed cell records an ``err``
+  entry, never aborts the sweep; results persist incrementally.
+
+Variant specs are plain Python modules exposing::
+
+    AB_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]]
+    AB_DATASETS: list[tuple[str, str]]   # (set_name, sf_dir)
+
+(``tools/ab_q21.py`` exposes both, so the r15 q21 A/B reruns through
+this tool verbatim: ``python tools/ab.py --spec tools/ab_q21.py``.)
+
+Usage:
+  python tools/ab.py --spec SPEC.py [out.json]       # orchestrate
+  python tools/ab.py --cell SPEC.py VARIANT SET      # child mode
+  python tools/ab.py --cell-query NAME SF_DIR        # one registry
+        query, fresh JVM, quiet-gated — bench.py's cross-round drift
+        re-measure calls this (prints one ``CELL {json}`` line).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+def _cell_timeout_s() -> int:
+    return int(os.environ.get("SPARK_GRAFT_AB_TIMEOUT", "1800"))
+
+
+def max_quiet_load() -> float:
+    """The 1-min-load acceptance bound (env-dynamic so tests and
+    orchestrators control children without re-importing)."""
+    return float(os.environ.get("SPARK_GRAFT_AB_MAXLOAD", "1.5"))
+
+
+def load_1min() -> float:
+    """Current 1-minute load average (the external-tenant contention
+    signal on this shared host)."""
+    return os.getloadavg()[0]
+
+
+def wait_for_quiet(
+    max_load: float | None = None,
+    timeout_s: float | None = None,
+    poll_s: float = 10.0,
+) -> tuple[float, bool]:
+    """Block until the 1-min load drops below ``max_load`` (default
+    $SPARK_GRAFT_AB_MAXLOAD, 1.5) or ``timeout_s`` (default
+    $SPARK_GRAFT_AB_QUIET_WAIT, 600) elapses. Returns
+    ``(load_at_accept, quiet)`` — ``quiet=False`` means the gate TIMED
+    OUT and the caller is proceeding on a loud host (record it; don't
+    trust the cell)."""
+    if max_load is None:
+        max_load = max_quiet_load()
+    if timeout_s is None:
+        timeout_s = float(
+            os.environ.get("SPARK_GRAFT_AB_QUIET_WAIT", "600")
+        )
+    deadline = time.monotonic() + timeout_s
+    load = load_1min()
+    while load >= max_load and time.monotonic() < deadline:
+        time.sleep(poll_s)
+        load = load_1min()
+    return load, load < max_load
+
+
+def _host_cpu_busy_s() -> float:
+    """Cumulative host CPU busy time (all cores, seconds): /proc/stat
+    cpu line, everything except idle+iowait."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts[:8]]
+    busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    return busy / os.sysconf("SC_CLK_TCK")
+
+
+def _proc_tree_cpu(root_pid: int) -> dict[int, float]:
+    """Per-pid cumulative CPU seconds (utime+stime) of ``root_pid``
+    and every live descendant, via one /proc scan."""
+    stats: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu_s)
+    tck = os.sysconf("SC_CLK_TCK")
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue  # raced with process exit
+        # comm may contain spaces/parens: split after the LAST ')'.
+        rest = raw.rsplit(")", 1)[-1].split()
+        # rest[0]=state rest[1]=ppid ... rest[11]=utime rest[12]=stime
+        try:
+            stats[int(entry)] = (
+                int(rest[1]),
+                (int(rest[11]) + int(rest[12])) / tck,
+            )
+        except (IndexError, ValueError):
+            continue
+    frontier = {root_pid}
+    members: set[int] = set()
+    while frontier:
+        members |= frontier
+        frontier = {
+            pid
+            for pid, (ppid, _) in stats.items()
+            if ppid in members and pid not in members
+        }
+    return {pid: stats[pid][1] for pid in members if pid in stats}
+
+
+def _own_cpu_delta(
+    prev: dict[int, float], cur: dict[int, float]
+) -> float:
+    """Own-tree CPU seconds burned between two per-pid snapshots.
+
+    Must be PER-PID, not sum-of-tree: a tree member exiting between
+    samples (a drift child's JVM, routine pyspark.daemon worker
+    churn) removes its whole CUMULATIVE history from a naive sum,
+    making the own delta hugely negative and the inferred external
+    load spike by hundreds of cores (observed: a false
+    ext_cores_max=25 from one child-JVM exit). Per-pid: surviving
+    pids contribute their delta, NEW pids their full cumulative
+    (born this interval), vanished pids 0 — their final partial
+    interval is unattributable and shows up as a bounded external
+    overcount (≤ one poll of their true usage) instead of an
+    unbounded artifact."""
+    total = 0.0
+    for pid, cpu in cur.items():
+        total += max(0.0, cpu - prev.get(pid, 0.0))
+    return total
+
+
+class LoadSampler:
+    """Background EXTERNAL-load sampler for the duration of a cell.
+
+    The naive 1-min loadavg is self-contaminating here: a local[32]
+    Spark run legitimately drives the load far past any quiet bound,
+    so sampling raw loadavg during our own run flags every long cell
+    as loud. What actually invalidates a cell is OTHER tenants'
+    CPU, so each poll computes external busy cores over the interval:
+    (host CPU busy delta − our own process tree's CPU delta) /
+    interval. ``stop()`` returns ``(load_max, ext_cores_max)`` — the
+    raw loadavg max (context) and the max external-cores estimate
+    (the acceptance signal)."""
+
+    def __init__(self, poll_s: float = 5.0) -> None:
+        self._poll = poll_s
+        self._max_load = load_1min()
+        self._max_ext = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _sample_ext(self, prev: tuple[float, float, dict]):
+        now = time.monotonic()
+        host = _host_cpu_busy_s()
+        own = _proc_tree_cpu(os.getpid())
+        dt = now - prev[0]
+        if dt > 0.5:
+            ext = (
+                max(0.0, (host - prev[1]) - _own_cpu_delta(prev[2], own))
+                / dt
+            )
+            self._max_ext = max(self._max_ext, ext)
+        return (now, host, own)
+
+    def _run(self) -> None:
+        prev = (
+            time.monotonic(),
+            _host_cpu_busy_s(),
+            _proc_tree_cpu(os.getpid()),
+        )
+        while not self._stop.wait(self._poll):
+            self._max_load = max(self._max_load, load_1min())
+            prev = self._sample_ext(prev)
+
+    def stop(self) -> tuple[float, float]:
+        self._stop.set()
+        self._t.join(timeout=2)
+        return max(self._max_load, load_1min()), round(self._max_ext, 2)
+
+
+def _load_spec(spec_path: str):
+    spec_file = Path(spec_path).resolve()
+    mod_spec = importlib.util.spec_from_file_location(
+        spec_file.stem, spec_file
+    )
+    mod = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(mod)
+    variants = getattr(mod, "AB_VARIANTS")
+    datasets = list(getattr(mod, "AB_DATASETS"))
+    return variants, datasets
+
+
+def measure_fn(fn, sf_dir: str, app_name: str) -> dict:
+    """Warm + median-of-reps measurement of one (spark, sf_dir) ->
+    DataFrame callable in THIS process (callers give it a fresh one).
+    Returns the cell dict (median, samples, load_pre, load_max)."""
+    from financial_data_pipeline_optimization_spark import get_spark
+
+    load_pre, quiet = wait_for_quiet()
+    spark = get_spark(app_name=app_name)
+    sampler = LoadSampler()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples = []
+    for _ in range(reps):
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - start)
+    load_max, ext_max = sampler.stop()
+    samples.sort()
+    return {
+        "median": round(samples[len(samples) // 2], 3),
+        "samples": [round(s, 3) for s in samples],
+        "load_pre": round(load_pre, 2),
+        "load_max": round(load_max, 2),
+        "ext_cores_max": ext_max,
+        # Acceptance: the host was quiet at start AND no external
+        # tenant burned more than the bound in cores while we ran
+        # (raw loadavg is self-contaminated by our own local[32] run,
+        # so it is context, not the signal).
+        "quiet": quiet and ext_max < max_quiet_load(),
+    }
+
+
+def run_cell(spec_path: str, variant: str, set_name: str) -> None:
+    variants, datasets = _load_spec(spec_path)
+    sf_dir = dict(datasets)[set_name]
+    cell = measure_fn(
+        variants[variant], sf_dir, app_name=f"ab-{variant}-{set_name}"
+    )
+    cell.update({"variant": variant, "set": set_name})
+    print("CELL " + json.dumps(cell), flush=True)
+
+
+def run_cell_query(name: str, sf_dir: str) -> None:
+    """Child mode for bench.py's drift re-measure: one bench headliner
+    (the shipped plan, resolved exactly as the bench runs it —
+    registry names AND bench-only shims like the knn twins), fresh
+    JVM, quiet-gated."""
+    import bench
+
+    spec = bench.bench_specs()[name]
+    cell = measure_fn(
+        lambda spark, d: spec.spark(spark, d),
+        sf_dir,
+        app_name=f"ab-query-{name}",
+    )
+    cell.update({"query": name, "sf_dir": sf_dir})
+    print("CELL " + json.dumps(cell), flush=True)
+
+
+def spawn_cell(argv: list[str], timeout_s: int | None = None) -> dict:
+    """Run one child cell; parse its CELL line; contain failures as
+    ``err`` cells (a DNF must be recorded, never abort the sweep)."""
+    if timeout_s is None:
+        timeout_s = _cell_timeout_s()
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), *argv],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"err": f"timeout >{timeout_s}s (DNF)", "rc": None}
+    for line in proc.stdout.splitlines():
+        if line.startswith("CELL "):
+            return json.loads(line[5:])
+    return {"err": proc.stderr[-500:], "rc": proc.returncode}
+
+
+def orchestrate(spec_path: str, out_path: str) -> None:
+    variants, datasets = _load_spec(spec_path)
+    results: dict[str, dict[str, dict]] = {v: {} for v in variants}
+    for set_name, sf_dir in datasets:
+        if not Path(sf_dir).exists():
+            print(f"skip {set_name}: {sf_dir} missing", flush=True)
+            continue
+        for variant in variants:
+            cell = spawn_cell(["--cell", spec_path, variant, set_name])
+            results[variant][set_name] = cell
+            print(f"{variant}/{set_name}: {cell}", flush=True)
+            Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
+    print(f"wrote {out_path}")
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args[:1] == ["--cell"] and len(args) >= 4:
+        run_cell(args[1], args[2], args[3])
+    elif args[:1] == ["--cell-query"] and len(args) >= 3:
+        run_cell_query(args[1], args[2])
+    elif args[:1] == ["--spec"] and len(args) >= 2:
+        out = args[2] if len(args) > 2 else "/tmp/ab.json"
+        orchestrate(args[1], out)
+    else:
+        print(__doc__)
+        raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    main()

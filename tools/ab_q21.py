@@ -177,6 +177,14 @@ def q21_hybrid(spark, sf_dir):
     )
 
 
+#: Spec surface for the shared harness (tools/ab.py, r16): the same
+#: three arms × three datasets run as
+#: ``python tools/ab.py --spec tools/ab_q21.py`` — one fresh
+#: quiet-gated JVM per cell, median-of-reps, incremental persist.
+AB_VARIANTS = {"agg": q21_agg, "window": q21_window, "hybrid": q21_hybrid}
+AB_DATASETS = DATASETS
+
+
 def run_cell(variant: str, set_name: str) -> None:
     from financial_data_pipeline_optimization_spark import get_spark
 
