@@ -56,10 +56,13 @@ $SPARK_GRAFT_BENCH_QUIET_WAIT seconds (default 600) for the 1-min
 load to drop below 1.5 before starting, and a background sampler
 tracks EXTERNAL busy cores for the whole session (host CPU minus our
 own process tree — raw loadavg is self-contaminated by the local[32]
-run itself). Published as ``load`` [pre, max, ext_cores_max] on
-stdout and ``load_pre``/``load_max``/``ext_cores_max``/``host_quiet``
-in BENCH_DETAIL.json, so a contaminated run is visible evidence, not
-a silent bias. (b) CROSS-ROUND comparator: any cell >1.4x its
+run itself). Published as ``load`` [pre, max, ext_cores_max,
+ext_cores_mean] on stdout and ``load_pre``/``load_max``/
+``ext_cores_max``/``ext_cores_mean``/``host_quiet`` in
+BENCH_DETAIL.json, so a contaminated run is visible evidence, not a
+silent bias. Acceptance gates on the MEAN external cores over clean
+sample intervals (sustained contention); the max is context — own
+worker-churn intervals are excluded entirely (tools/ab.py). (b) CROSS-ROUND comparator: any cell >1.4x its
 prior-round median (from the newest committed BENCH_r*.json) gets one
 fresh-JVM, quiet-gated, warm+median re-measure through
 ``tools/ab.py --cell-query`` before publication; if the fresh cell is
@@ -698,10 +701,13 @@ def main() -> None:
     # avoids the vanished-subtree artifact: a child JVM exiting would
     # drop its cumulative CPU from the own-tree sum mid-interval.)
     load_max, ext_cores_max = load_sampler.stop()
-    # Session acceptance: started quiet AND no external tenant burned
-    # more than the bound in cores while we ran (raw loadavg is
-    # self-contaminated by our own local[32] run — tools/ab.py doc).
-    host_quiet = host_quiet and ext_cores_max < float(
+    ext_cores_mean = load_sampler.ext_cores_mean
+    # Session acceptance: started quiet AND external tenants'
+    # SUSTAINED burn (mean over clean intervals — a one-poll spike
+    # can't bias a median-of-reps protocol) stayed under the bound
+    # (raw loadavg is self-contaminated by our own local[32] run —
+    # tools/ab.py doc).
+    host_quiet = host_quiet and ext_cores_mean < float(
         os.environ.get("SPARK_GRAFT_AB_MAXLOAD", "1.5")
     )
 
@@ -732,6 +738,7 @@ def main() -> None:
         "load_pre": round(load_pre, 2),
         "load_max": round(load_max, 2),
         "ext_cores_max": ext_cores_max,
+        "ext_cores_mean": ext_cores_mean,
         "host_quiet": host_quiet,
         "drift_checks": drift_checks,
         "sf": _sf_label(SF_DIR),
@@ -753,7 +760,10 @@ def main() -> None:
         out["harness_err"] = sorted(harness_errors)
     if jvm_exceptions:
         out["jvm_exc"] = jvm_exceptions
-    out["load"] = [round(load_pre, 2), round(load_max, 2), ext_cores_max]
+    out["load"] = [
+        round(load_pre, 2), round(load_max, 2),
+        ext_cores_max, ext_cores_mean,
+    ]
     if drift_checks:
         # Compact on stdout: name -> what was published and both
         # numbers; the full fresh cell lives in BENCH_DETAIL.json.

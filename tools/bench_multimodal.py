@@ -38,7 +38,10 @@ REPS = 3
 
 
 def main() -> None:
+    from tools.ab import QuietSession
+
     spark = get_spark(app_name="fdpo-bench-multimodal")
+    qs = QuietSession().__enter__()
     spark.range(1024).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).count()
@@ -81,10 +84,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate per scenario
             results[name] = {"err": str(exc)[:300]}  # type: ignore[dict-item]
         print(f"{name}: {results[name]}", file=sys.stderr)
+    qs.__exit__()
     out = {
         "metric": "multimodal_codec_rows_per_sec",
         "rows": n_rows,
         "scenarios": results,
+        **qs.stamp(),
     }
     (
         Path(__file__).resolve().parents[1] / "MULTIMODAL_BENCH.json"

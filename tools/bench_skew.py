@@ -82,10 +82,13 @@ def _agg(joined):
 
 
 def main() -> None:
+    from tools.ab import QuietSession
+
     spark = get_spark(app_name="fdpo-bench-skew")
     out: dict[str, dict[str, float]] = {}
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    qs = QuietSession().__enter__()
     try:
         for label, sf_dir in DATASETS:
             if not Path(sf_dir).exists():
@@ -122,10 +125,12 @@ def main() -> None:
             print(f"{label}: {row}", file=sys.stderr)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        qs.__exit__()
     result = {
         "metric": "skewed_join_mitigation_sec",
         "hot_key_fraction": 0.3,
         "datasets": out,
+        **qs.stamp(),
     }
     (Path(__file__).resolve().parents[1] / "SKEW_BENCH.json").write_text(
         json.dumps(result, indent=1) + "\n"

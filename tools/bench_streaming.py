@@ -121,32 +121,36 @@ def _measure(spark, name, build, mode, rows_per_batch) -> tuple[float, int]:
 
 
 def main() -> None:
+    from tools.ab import QuietSession
+
     spark = get_spark(app_name="fdpo-bench-streaming")
-    # Worker-pool warm-up (one-time fork cost, not operator cost).
-    spark.range(1024).repartition(64).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
-    results: dict[str, dict[str, float]] = {}
-    for name, (build, mode, rpb) in SCENARIOS.items():
-        try:
-            rate, n_batches = _measure(spark, name, build, mode, rpb)
-        except Exception as exc:  # noqa: BLE001 — isolate per scenario
-            results[name] = {"err": str(exc)[:300]}  # type: ignore[dict-item]
-            continue
-        results[name] = {
-            "rows_per_sec": rate,
-            "rows_per_batch": rpb,
-            "measured_batches": n_batches,
-        }
-        print(
-            f"{name}: {rate:,.0f} rows/s over {n_batches} batches",
-            file=sys.stderr,
-        )
+    with QuietSession() as qs:
+        # Worker-pool warm-up (one-time fork cost, not operator cost).
+        spark.range(1024).repartition(64).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+        results: dict[str, dict[str, float]] = {}
+        for name, (build, mode, rpb) in SCENARIOS.items():
+            try:
+                rate, n_batches = _measure(spark, name, build, mode, rpb)
+            except Exception as exc:  # noqa: BLE001 — isolate per scenario
+                results[name] = {"err": str(exc)[:300]}  # type: ignore[dict-item]
+                continue
+            results[name] = {
+                "rows_per_sec": rate,
+                "rows_per_batch": rpb,
+                "measured_batches": n_batches,
+            }
+            print(
+                f"{name}: {rate:,.0f} rows/s over {n_batches} batches",
+                file=sys.stderr,
+            )
     out = {
         "metric": "streaming_sustained_rows_per_sec",
         "scenarios": results,
         "batches": BATCHES,
         "warmup_batches": WARMUP,
+        **qs.stamp(),
     }
     (
         Path(__file__).resolve().parents[1] / "STREAMING_BENCH.json"
