@@ -54,9 +54,12 @@ motivated a real wrong rewrite. Two guards now close that hole:
 shared machinery in tools/ab.py): the run waits up to
 $SPARK_GRAFT_BENCH_QUIET_WAIT seconds (default 600) for the 1-min
 load to drop below 1.5 before starting, and a background sampler
-tracks EXTERNAL busy cores for the whole session (host CPU minus our
-own process tree — raw loadavg is self-contaminated by the local[32]
-run itself). Published as ``load`` [pre, max, ext_cores_max,
+tracks EXTERNAL busy cores for the whole session — the CPU that live
+userland processes OUTSIDE our own process tree report burning (raw
+loadavg is self-contaminated by the local[32] run itself, and
+busy-minus-own subtraction leaves kernel-tick phantoms; tools/ab.py
+documents the three measured artifacts that forced the direct
+metric). Published as ``load`` [pre, max, ext_cores_max,
 ext_cores_mean] on stdout and ``load_pre``/``load_max``/
 ``ext_cores_max``/``ext_cores_mean``/``host_quiet`` in
 BENCH_DETAIL.json, so a contaminated run is visible evidence, not a

@@ -856,6 +856,10 @@ def near_dup_clusters(
     ``stats["exact_index_fanout"]`` its measured fan-out, so a
     production run can see WHICH plan it took without re-deriving
     the gate arithmetic (the ``kcore_peel`` ``stats`` convention).
+    r16: ``stats["components_rows"]`` / ``stats["components_join"]``
+    record the label-join broadcast gate's measured size and chosen
+    mode (``broadcast_if_small`` on the component table — see the
+    label-join comment below for the A/B evidence).
 
     Not fully lazy: the component loop is iterative (one bounded action
     per round, lineage truncated per round — see ``operators.graph``),
@@ -938,6 +942,30 @@ def near_dup_clusters(
     # ``carry_cols`` ride along on the one label join (consumers like
     # representative election would otherwise join the corpus a second
     # time just to recover a metadata column).
+    #
+    # The component table ships as a SIZE-GATED broadcast (r16: the
+    # derived-join audit found this the one remaining SMJ whose build
+    # side — a checkpointed LogicalRDD — AQE cannot size; the
+    # tools/ab_ndc_label.py A/B measured the broadcast 4-20% faster
+    # on all three corpora, and at 100 TB the avoided exchange is the
+    # CORPUS-SIZED ids side, so local cells understate the win).
+    # comp holds one row per doc in ANY pair — usually small, but a
+    # fully-duplicated corpus puts every doc in it, hence the gate,
+    # not an unconditional hint. The count is one cheap job over the
+    # loop's already-checkpointed output, within this operator's
+    # existing not-action-free contract.
+    from financial_data_pipeline_optimization_spark.operators.joins import (
+        COUNT_BROADCAST_MAX_ROWS,
+        broadcast_if_small,
+    )
+
+    # Lazy checkpoint first so the gate's count() materializes the
+    # label table ONCE and the join below reads the same rows
+    # (broadcast_if_small's callers-pass-checkpointed contract).
+    comp = comp.localCheckpoint(eager=False)
+    comp = broadcast_if_small(
+        comp, COUNT_BROADCAST_MAX_ROWS, stats=stats, label="components"
+    )
     ids = df.select(F.col(id_col), *[F.col(c) for c in carry_cols])
     labels = ids.join(comp, ids[id_col] == comp["node"], "left").select(
         F.col(id_col),

@@ -331,6 +331,10 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # every driver SF (the gate picks exact there); the call graph
     # changed, so re-prove. near_dup_clusters / cluster_
     # representatives gained the same (inert-at-driver-SF) parameter.
+    # ALSO r16: the CC label join ships as a size-gated broadcast
+    # (tools/ab_ndc_label.py A/B: 0.86-0.96x on three corpora; the
+    # avoided exchange is the corpus-sized ids side at scale) — plan
+    # changed for the whole cluster family, values identical.
     ("leakage_safe_split", 16),
     ("corpus_curation_funnel", 16),
     ("near_dup_clusters", 16),

@@ -366,7 +366,13 @@ def test_near_dup_auto_gate_both_ways(spark):
         docs, "doc_id", "text", n=2, min_jaccard=0.8,
         pair_source="lsh", stats=st_explicit, materialize=False,
     )
-    assert st_explicit == {"pair_source": "lsh"}
+    assert st_explicit["pair_source"] == "lsh"
+    assert "exact_index_fanout" not in st_explicit  # probe skipped
+    # r16: the label-join broadcast gate reports through the same
+    # stats dict (components_rows / components_join).
+    assert st_explicit["components_join"] in (
+        "broadcast", "shuffle-fallback"
+    )
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="pair_source"):
@@ -416,7 +422,8 @@ def test_near_dup_auto_gate_error_mode(spark):
         pair_source="lsh", exact_fanout_budget=0,
         on_budget_exceeded="error", stats=st_lsh, materialize=False,
     )
-    assert st_lsh == {"pair_source": "lsh"}
+    assert st_lsh["pair_source"] == "lsh"
+    assert "exact_index_fanout" not in st_lsh  # probe skipped
 
     with _pytest.raises(ValueError, match="on_budget_exceeded"):
         dedup.near_dup_clusters(

@@ -96,19 +96,26 @@ def wait_for_quiet(
     return load, load < max_load
 
 
-def _host_cpu_busy_s() -> float:
-    """Cumulative host CPU busy time (all cores, seconds): /proc/stat
-    cpu line, everything except idle+iowait."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()[1:]
-    vals = [int(x) for x in parts[:8]]
-    busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
-    return busy / os.sysconf("SC_CLK_TCK")
+def _external_proc_cpu(root_pid: int) -> dict[int, float]:
+    """One /proc scan → per-pid cumulative CPU seconds (utime+stime)
+    of every LIVE USERLAND process OUTSIDE ``root_pid``'s tree.
 
-
-def _proc_tree_cpu(root_pid: int) -> dict[int, float]:
-    """Per-pid cumulative CPU seconds (utime+stime) of ``root_pid``
-    and every live descendant, via one /proc scan."""
+    This is the DIRECT external-load metric, and it is direct for a
+    measured reason. Three inference-by-subtraction designs (host
+    busy minus own tree) each produced phantom external load: a naive
+    tree sum lost an exiting child JVM's cumulative history (false 25
+    cores); per-pid own accounting still couldn't attribute a
+    vanished worker's final interval (false ~5.8 cores); and even
+    with kernel threads excluded, context-switch-heavy streaming
+    leaves ~3.9 cores/s of kernel tick time attributed to NO process
+    (diagnosed live: /proc/stat busy 14.3 vs own-tree 10.3 + kthread
+    0.2 with ZERO external processes running). Summing the CPU that
+    external processes THEMSELVES report cannot see phantoms: the
+    tenant waves on this host are in-VM processes (they appear in
+    this VM's loadavg and /proc), so what they burn is exactly what
+    this returns. Kernel threads (pid 2's children) are excluded —
+    their work is induced by the busiest tenant, usually us during a
+    bench."""
     stats: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu_s)
     tck = os.sysconf("SC_CLK_TCK")
     for entry in os.listdir("/proc"):
@@ -138,33 +145,14 @@ def _proc_tree_cpu(root_pid: int) -> dict[int, float]:
             for pid, (ppid, _) in stats.items()
             if ppid in members and pid not in members
         }
-    return {pid: stats[pid][1] for pid in members if pid in stats}
-
-
-def _own_cpu_delta(
-    prev: dict[int, float], cur: dict[int, float]
-) -> tuple[float, bool]:
-    """Own-tree CPU seconds burned between two per-pid snapshots,
-    plus a TAINT flag when a tree member vanished in the interval.
-
-    Must be PER-PID, not sum-of-tree: a tree member exiting between
-    samples (a drift child's JVM, routine pyspark.daemon worker
-    churn) removes its whole CUMULATIVE history from a naive sum,
-    making the own delta hugely negative and the inferred external
-    load spike by hundreds of cores (observed: a false
-    ext_cores_max=25 from one child-JVM exit). Per-pid: surviving
-    pids contribute their delta, NEW pids their full cumulative
-    (born this interval). A VANISHED pid's final partial interval is
-    unattributable — up to poll_s × its cores of our own work would
-    read as external (observed: false 5.8-core spikes from streaming
-    worker teardown) — so the interval is flagged tainted and the
-    sampler skips its external sample entirely; a real tenant wave
-    outlasts one poll and is still caught by every clean interval."""
-    total = 0.0
-    for pid, cpu in cur.items():
-        total += max(0.0, cpu - prev.get(pid, 0.0))
-    tainted = any(pid not in cur for pid in prev)
-    return total, tainted
+    kthreads = {2} | {
+        pid for pid, (ppid, _) in stats.items() if ppid == 2
+    }
+    return {
+        pid: cpu
+        for pid, (ppid, cpu) in stats.items()
+        if pid not in members and pid not in kthreads
+    }
 
 
 class LoadSampler:
@@ -173,12 +161,14 @@ class LoadSampler:
     The naive 1-min loadavg is self-contaminating here: a local[32]
     Spark run legitimately drives the load far past any quiet bound,
     so sampling raw loadavg during our own run flags every long cell
-    as loud. What actually invalidates a cell is OTHER tenants'
-    CPU, so each poll computes external busy cores over the interval:
-    (host CPU busy delta − our own process tree's CPU delta) /
-    interval. ``stop()`` returns ``(load_max, ext_cores_max)`` — the
-    raw loadavg max (context) and the max external-cores estimate
-    (the acceptance signal)."""
+    as loud. What actually invalidates a cell is OTHER tenants' CPU,
+    measured DIRECTLY: each poll sums the CPU that live userland
+    processes OUTSIDE our own process tree burned over the interval
+    (see :func:`_external_proc_cpu` for why inference by subtraction
+    was abandoned — three designs, three measured phantom-load
+    artifacts). ``stop()`` returns ``(load_max, ext_cores_max)`` —
+    the raw loadavg max (context) and the max external-cores reading;
+    ``self.ext_cores_mean`` (set by stop) is the acceptance signal."""
 
     def __init__(self, poll_s: float = 5.0) -> None:
         self._poll = poll_s
@@ -190,26 +180,28 @@ class LoadSampler:
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
 
-    def _sample_ext(self, prev: tuple[float, float, dict]):
+    def _sample_ext(self, prev: tuple[float, dict]):
         now = time.monotonic()
-        host = _host_cpu_busy_s()
-        own = _proc_tree_cpu(os.getpid())
+        ext_cpu = _external_proc_cpu(os.getpid())
         dt = now - prev[0]
         if dt > 0.5:
-            own_delta, tainted = _own_cpu_delta(prev[2], own)
-            if not tainted:
-                ext = max(0.0, (host - prev[1]) - own_delta) / dt
-                self._max_ext = max(self._max_ext, ext)
-                self._ext_sum += ext
-                self._ext_n += 1
-        return (now, host, own)
+            # Per-pid deltas; a NEW external pid's full cumulative
+            # counts (born this interval); a vanished one's final
+            # partial interval is lost — a bounded UNDERcount of
+            # external load, the safe direction (a sustained wave is
+            # caught by every interval it survives).
+            burned = sum(
+                max(0.0, cpu - prev[1].get(pid, 0.0))
+                for pid, cpu in ext_cpu.items()
+            )
+            ext = burned / dt
+            self._max_ext = max(self._max_ext, ext)
+            self._ext_sum += ext
+            self._ext_n += 1
+        return (now, ext_cpu)
 
     def _run(self) -> None:
-        prev = (
-            time.monotonic(),
-            _host_cpu_busy_s(),
-            _proc_tree_cpu(os.getpid()),
-        )
+        prev = (time.monotonic(), _external_proc_cpu(os.getpid()))
         while not self._stop.wait(self._poll):
             self._max_load = max(self._max_load, load_1min())
             prev = self._sample_ext(prev)
