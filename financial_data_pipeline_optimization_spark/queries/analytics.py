@@ -147,6 +147,80 @@ def q_pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "oov_rate_top_vocab",
+    f"""
+    WITH t AS (
+      SELECT doc_id, u.w FROM (
+        SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents
+      ), UNNEST(tk) AS u(w) WHERE u.w <> ''
+    ),
+    vocab AS (
+      SELECT w FROM (SELECT w, count(*) AS c FROM t GROUP BY 1)
+      ORDER BY c DESC, w LIMIT 20
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           floor(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 10000 + 0.5000005) / 10000 AS oov_rate
+    FROM t LEFT JOIN vocab v USING (w)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    doc="Per-document out-of-vocabulary rate against the corpus's own "
+    "top-K token vocabulary (K=20 here: the driver's synthetic "
+    "corpus holds only ~31 distinct tokens, so a production-sized K "
+    "would make the oracle check vacuous; the code path is "
+    "K-independent) — the tokenizer-coverage metric every "
+    "LLM data pipeline computes before committing to a vocab size "
+    "(high-OOV docs are either valuable domain text or junk; either "
+    "way they need eyes). Plan shape is the scale story: ONE "
+    "tokenize+explode pass; the vocabulary selection is an "
+    "aggregation + TakeOrderedAndProject top-K (count desc, token "
+    "asc — deterministic at the K boundary), NEVER a global "
+    "row_number window (single-partition sort of the whole "
+    "vocabulary); the K-row vocab broadcasts to a map-side left "
+    "join; the doc-grain aggregate partial-combines in-partition "
+    "(a doc's exploded tokens are co-located). At 100 TB the corpus "
+    "shuffles once as (token, partial-count) pairs for the vocab "
+    "agg and once as doc-grain partials — never as raw text. "
+    "All-punctuation documents (zero nonempty tokens) are excluded "
+    "on both engines rather than dividing by zero.",
+)
+def q_oov_rate_top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_data_pipeline_optimization_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", explode_nonempty(text_ops.tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(20)
+        .select("w", F.lit(1).alias("__iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            _r4(F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "order_streak_islands",
     """
     WITH m AS (

@@ -103,6 +103,18 @@ def test_topk_plans_as_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_oov_vocab_selection_is_take_ordered_and_broadcast(spark):
+    """r16: the OOV query's vocabulary top-K must plan as
+    TakeOrderedAndProject (per-partition heaps), never a global
+    row_number window, and the K-row vocab must join as a broadcast
+    (the corpus side never shuffles for the membership probe)."""
+    df = SPECS["oov_rate_top_vocab"].spark(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
 #: Queries whose semantics genuinely require a cross product (bounded
 #: sides, documented in their registrations).
 _CROSS_OK = {"cross_join_dims"}

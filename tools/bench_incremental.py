@@ -123,16 +123,24 @@ def _one_corpus(spark, label: str, sf_dir: str, scratch: str) -> dict:
 
 
 def main() -> None:
+    from tools.ab import QuietSession
+
     spark = get_spark(app_name="fdpo-bench-incremental")
+    qs = QuietSession().__enter__()
     spark.range(1024).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).count()
     results: dict[str, dict] = {}
+    stamp: dict = {}
 
     def _flush() -> None:
         OUT_PATH.write_text(
             json.dumps(
-                {"metric": "incremental_ingest_cost", "corpora": results},
+                {
+                    "metric": "incremental_ingest_cost",
+                    "corpora": results,
+                    **stamp,
+                },
                 indent=1,
             )
             + "\n"
@@ -153,9 +161,16 @@ def main() -> None:
             _flush()  # artifact survives a later corpus' crash
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+        qs.__exit__()
+        stamp.update(qs.stamp())
+        _flush()
     print(
         json.dumps(
-            {"metric": "incremental_ingest_cost", "corpora": results},
+            {
+                "metric": "incremental_ingest_cost",
+                "corpora": results,
+                **stamp,
+            },
             separators=(",", ":"),
         )
     )
