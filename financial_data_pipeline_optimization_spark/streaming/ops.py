@@ -204,6 +204,15 @@ def running_counts_stateful(
     arbitrary-state semantics minus composite state/timers — a
     deployment with protobuf available can port this processor to the
     newer API mechanically (ValueState + per-key handleInputRows).
+
+    r16: the input is projected to ``(key_col, value_col)`` BEFORE the
+    group-by. Spark cannot see which columns the Python function
+    touches, so without the projection every event column crosses the
+    state shuffle and the Arrow boundary (guide §2.3/§4.1 — an
+    opaque function defeats column pruning); on the 4-column bench
+    events shape that is ~2× the bytes the state update needs.
+    Measured (tools/bench_streaming.py, quiet host): see
+    STREAMING_BENCH.json / OPTIMIZATION_r16.md.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -234,7 +243,8 @@ def running_counts_stateful(
         )
 
     return (
-        events.groupBy(key_col)
+        events.select(key_col, value_col)
+        .groupBy(key_col)
         .applyInPandasWithState(
             _update,
             outputStructType=out_schema,

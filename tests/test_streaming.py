@@ -176,6 +176,32 @@ def test_run_pipeline_streaming_incremental_replay_idempotent(
     assert spark.read.parquet(warehouse).count() == n_first
 
 
+def test_running_counts_stateful_projects_before_state_boundary(
+    spark, events_stream_dir
+):
+    """r16: only (key_col, value_col) may cross the state shuffle and
+    the Arrow boundary — Spark cannot prune columns through the opaque
+    Python state function, so the operator must project explicitly
+    (events carry ts/k the update function never reads)."""
+    import re
+
+    stream = streaming.read_stream_parquet(
+        spark, events_stream_dir, schemas.TESTDATA["events"]
+    )
+    df = streaming.running_counts_stateful(stream)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = plan.splitlines()
+    (state_idx,) = [
+        i
+        for i, ln in enumerate(lines)
+        if "FlatMapGroupsInPandasWithState" in ln
+    ]
+    child = lines[state_idx + 1]
+    assert "Project" in child, plan
+    cols = set(re.findall(r"(\w+)#\d+", child))
+    assert cols == {"event_type", "value"}, child
+
+
 def test_running_counts_stateful_matches_batch(spark, events_stream_dir):
     stream = streaming.read_stream_parquet(
         spark, events_stream_dir, schemas.TESTDATA["events"]
