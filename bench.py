@@ -65,7 +65,14 @@ ext_cores_mean] on stdout and ``load_pre``/``load_max``/
 BENCH_DETAIL.json, so a contaminated run is visible evidence, not a
 silent bias. Acceptance gates on the MEAN external cores over clean
 sample intervals (sustained contention); the max is context — own
-worker-churn intervals are excluded entirely (tools/ab.py). (b) CROSS-ROUND comparator: any cell >1.4x its
+worker-churn intervals are excluded entirely (tools/ab.py). The
+sampler additionally reads hypervisor STEAL ticks from /proc/stat
+(``steal_cores_max``/``steal_cores_mean``; same mean-over-bound
+acceptance): a co-tenant VM's contention slows every cell uniformly
+while remaining invisible to any in-VM process scan — measured when a
+full streaming re-base came back 2-4x slow on every scenario at
+ext_cores_mean 0.03 and ~9,300 cumulative steal seconds in /proc/stat
+(tools/ab.py LoadSampler doc). (b) CROSS-ROUND comparator: any cell >1.4x its
 prior-round median (from the newest committed BENCH_r*.json) gets one
 fresh-JVM, quiet-gated, warm+median re-measure through
 ``tools/ab.py --cell-query`` before publication; if the fresh cell is
@@ -705,13 +712,21 @@ def main() -> None:
     # drop its cumulative CPU from the own-tree sum mid-interval.)
     load_max, ext_cores_max = load_sampler.stop()
     ext_cores_mean = load_sampler.ext_cores_mean
+    steal_cores_mean = load_sampler.steal_cores_mean
+    steal_cores_max = load_sampler.steal_cores_max
     # Session acceptance: started quiet AND external tenants'
     # SUSTAINED burn (mean over clean intervals — a one-poll spike
     # can't bias a median-of-reps protocol) stayed under the bound
     # (raw loadavg is self-contaminated by our own local[32] run —
-    # tools/ab.py doc).
-    host_quiet = host_quiet and ext_cores_mean < float(
-        os.environ.get("SPARK_GRAFT_AB_MAXLOAD", "1.5")
+    # tools/ab.py doc) AND co-tenant VMs' sustained hypervisor steal
+    # did too (r16: steal slowed a full streaming re-measure 2-4x on
+    # every scenario while the in-VM process scan read ~0.03 cores —
+    # tools/ab.py LoadSampler doc).
+    _maxload = float(os.environ.get("SPARK_GRAFT_AB_MAXLOAD", "1.5"))
+    host_quiet = (
+        host_quiet
+        and ext_cores_mean < _maxload
+        and steal_cores_mean < _maxload
     )
 
     drift_checks = _drift_recheck(timings, SF_DIR)
@@ -742,6 +757,8 @@ def main() -> None:
         "load_max": round(load_max, 2),
         "ext_cores_max": ext_cores_max,
         "ext_cores_mean": ext_cores_mean,
+        "steal_cores_max": steal_cores_max,
+        "steal_cores_mean": steal_cores_mean,
         "host_quiet": host_quiet,
         "drift_checks": drift_checks,
         "sf": _sf_label(SF_DIR),

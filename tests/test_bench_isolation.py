@@ -206,6 +206,55 @@ def test_ab_harness_spec_and_cell(monkeypatch):
     assert _os.environ["SPARK_GRAFT_AB_MAXLOAD"] == "1e9"
 
 
+def test_load_sampler_steal_channel(monkeypatch):
+    """r16: hypervisor steal is a second acceptance channel — a
+    co-tenant VM slows every cell uniformly while the in-VM process
+    scan reads ~0 external cores (measured: a streaming re-base came
+    back 2-4x slow on every scenario at ext_cores_mean 0.03). The
+    sampler must read /proc/stat steal, publish mean/max, and flip
+    host_quiet when the sustained steal exceeds the bound."""
+    import time as _time
+
+    from tools import ab
+
+    assert ab._steal_ticks() >= 0.0
+
+    # Real short sampling window on (presumably) unstolen hardware:
+    # the channel exists and reports sane values. (Polls under the
+    # sampler's 0.5 s clean-interval floor are discarded, so poll
+    # slower than that.)
+    s = ab.LoadSampler(poll_s=0.6)
+    _time.sleep(1.5)
+    s.stop()
+    assert s.steal_cores_mean >= 0.0
+    assert s.steal_cores_max >= s.steal_cores_mean
+
+    # Simulated co-tenant wave: monkeypatch the tick source to burn
+    # 2 stolen cores per second; with the bound below that, the
+    # stamp must reject the session.
+    t0 = _time.monotonic()
+    monkeypatch.setattr(
+        ab, "_steal_ticks", lambda: 2.0 * (_time.monotonic() - t0)
+    )
+    monkeypatch.setenv("SPARK_GRAFT_AB_MAXLOAD", "1.5")
+    monkeypatch.setenv("SPARK_GRAFT_AB_QUIET_WAIT", "0")
+    s = ab.LoadSampler(poll_s=0.6)
+    _time.sleep(1.5)
+    s.stop()
+    assert s.steal_cores_mean > 1.5
+    qs = ab.QuietSession.__new__(ab.QuietSession)
+    qs.quiet = True
+    qs.load_pre = 0.0
+    qs.load_max = 0.0
+    qs.ext_cores_max = 0.0
+    qs.ext_cores_mean = 0.0
+    qs.steal_cores_mean = s.steal_cores_mean
+    qs.steal_cores_max = s.steal_cores_max
+    stamp = qs.stamp()
+    assert stamp["host_quiet"] is False
+    assert stamp["steal_cores_mean"] > 1.5
+
+
 def test_jvm_log_classifier(monkeypatch, tmp_path):
     """The r15 JVM-log containment: exception-class counting, the
     benign allow-list (the cleaned-accumulator race signature), and

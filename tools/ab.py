@@ -155,6 +155,20 @@ def _external_proc_cpu(root_pid: int) -> dict[int, float]:
     }
 
 
+def _steal_ticks() -> float:
+    """Cumulative hypervisor steal seconds from ``/proc/stat`` (field 8
+    of the aggregate cpu line). Steal is CPU this VM's runnable tasks
+    WANTED but the hypervisor gave to a co-tenant VM — contention the
+    in-VM process scan can never see (no process in this VM burns it).
+    Returns 0.0 where the field is absent (bare metal)."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+        return int(fields[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
 class LoadSampler:
     """Background EXTERNAL-load sampler for the duration of a cell.
 
@@ -162,13 +176,26 @@ class LoadSampler:
     Spark run legitimately drives the load far past any quiet bound,
     so sampling raw loadavg during our own run flags every long cell
     as loud. What actually invalidates a cell is OTHER tenants' CPU,
-    measured DIRECTLY: each poll sums the CPU that live userland
-    processes OUTSIDE our own process tree burned over the interval
-    (see :func:`_external_proc_cpu` for why inference by subtraction
-    was abandoned — three designs, three measured phantom-load
-    artifacts). ``stop()`` returns ``(load_max, ext_cores_max)`` —
-    the raw loadavg max (context) and the max external-cores reading;
-    ``self.ext_cores_mean`` (set by stop) is the acceptance signal."""
+    measured DIRECTLY on two channels:
+
+    - IN-VM tenants: each poll sums the CPU that live userland
+      processes OUTSIDE our own process tree burned over the interval
+      (see :func:`_external_proc_cpu` for why inference by subtraction
+      was abandoned — three designs, three measured phantom-load
+      artifacts).
+    - CO-TENANT VMs (r16, found by measurement): hypervisor STEAL
+      ticks (:func:`_steal_ticks`). A full streaming re-measure on
+      this host came back 2–4× slow on EVERY scenario — including
+      JVM-only ones no code change touched — with ``ext_cores`` ~0.03
+      and ``host_quiet: true``; /proc/stat showed ~9,300 cumulative
+      steal seconds over a 94-minute uptime. Steal slows a cell
+      uniformly while remaining invisible to any in-VM process scan,
+      so it gets its own sampled channel and its own acceptance gate.
+
+    ``stop()`` returns ``(load_max, ext_cores_max)`` — the raw loadavg
+    max (context) and the max external-cores reading;
+    ``self.ext_cores_mean`` and ``self.steal_cores_mean`` (set by
+    stop) are the acceptance signals."""
 
     def __init__(self, poll_s: float = 5.0) -> None:
         self._poll = poll_s
@@ -176,13 +203,17 @@ class LoadSampler:
         self._max_ext = 0.0
         self._ext_sum = 0.0
         self._ext_n = 0
+        self._max_steal = 0.0
+        self._steal_sum = 0.0
+        self._steal_n = 0
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
 
-    def _sample_ext(self, prev: tuple[float, dict]):
+    def _sample_ext(self, prev: tuple[float, dict, float]):
         now = time.monotonic()
         ext_cpu = _external_proc_cpu(os.getpid())
+        steal = _steal_ticks()
         dt = now - prev[0]
         if dt > 0.5:
             # Per-pid deltas; a NEW external pid's full cumulative
@@ -198,25 +229,40 @@ class LoadSampler:
             self._max_ext = max(self._max_ext, ext)
             self._ext_sum += ext
             self._ext_n += 1
-        return (now, ext_cpu)
+            stolen = max(0.0, steal - prev[2]) / dt
+            self._max_steal = max(self._max_steal, stolen)
+            self._steal_sum += stolen
+            self._steal_n += 1
+        return (now, ext_cpu, steal)
 
     def _run(self) -> None:
-        prev = (time.monotonic(), _external_proc_cpu(os.getpid()))
+        prev = (
+            time.monotonic(),
+            _external_proc_cpu(os.getpid()),
+            _steal_ticks(),
+        )
         while not self._stop.wait(self._poll):
             self._max_load = max(self._max_load, load_1min())
             prev = self._sample_ext(prev)
 
     def stop(self) -> tuple[float, float]:
         """Returns ``(load_max, ext_cores_max)``; also sets
-        ``self.ext_cores_mean`` — the SUSTAINED external load over
-        clean intervals, which is the acceptance signal (a one-poll
-        spike cannot bias a median-of-reps cell; a tenant wave that
-        actually inflates numbers shows up in the mean)."""
+        ``self.ext_cores_mean`` / ``self.steal_cores_mean`` (and
+        ``.steal_cores_max``) — the SUSTAINED external and stolen
+        load over clean intervals, which are the acceptance signals
+        (a one-poll spike cannot bias a median-of-reps cell; a
+        tenant wave that actually inflates numbers shows up in the
+        mean)."""
         self._stop.set()
         self._t.join(timeout=2)
         self.ext_cores_mean = round(
             self._ext_sum / self._ext_n if self._ext_n else 0.0, 2
         )
+        self.steal_cores_mean = round(
+            self._steal_sum / self._steal_n if self._steal_n else 0.0,
+            2,
+        )
+        self.steal_cores_max = round(self._max_steal, 2)
         return max(self._max_load, load_1min()), round(self._max_ext, 2)
 
 
@@ -240,15 +286,23 @@ class QuietSession:
     def __exit__(self, *exc) -> None:
         self.load_max, self.ext_cores_max = self._sampler.stop()
         self.ext_cores_mean = self._sampler.ext_cores_mean
+        self.steal_cores_mean = self._sampler.steal_cores_mean
+        self.steal_cores_max = self._sampler.steal_cores_max
 
     def stamp(self) -> dict:
-        quiet = self.quiet and self.ext_cores_mean < max_quiet_load()
+        quiet = (
+            self.quiet
+            and self.ext_cores_mean < max_quiet_load()
+            and self.steal_cores_mean < max_quiet_load()
+        )
         return {
             "protocol": "r16-quiet-host",
             "load_pre": round(self.load_pre, 2),
             "load_max": round(self.load_max, 2),
             "ext_cores_max": self.ext_cores_max,
             "ext_cores_mean": self.ext_cores_mean,
+            "steal_cores_max": self.steal_cores_max,
+            "steal_cores_mean": self.steal_cores_mean,
             "host_quiet": quiet,
         }
 
@@ -290,12 +344,17 @@ def measure_fn(fn, sf_dir: str, app_name: str) -> dict:
         "load_max": round(load_max, 2),
         "ext_cores_max": ext_max,
         "ext_cores_mean": sampler.ext_cores_mean,
+        "steal_cores_max": sampler.steal_cores_max,
+        "steal_cores_mean": sampler.steal_cores_mean,
         # Acceptance: the host was quiet at start AND external
         # tenants' SUSTAINED burn stayed under the bound while we ran
         # (raw loadavg is self-contaminated by our own local[32] run;
         # the max is published as context but a one-poll spike can't
-        # bias a median-of-reps cell).
-        "quiet": quiet and sampler.ext_cores_mean < max_quiet_load(),
+        # bias a median-of-reps cell) AND co-tenant VMs' sustained
+        # hypervisor steal did too (invisible to the process scan).
+        "quiet": quiet
+        and sampler.ext_cores_mean < max_quiet_load()
+        and sampler.steal_cores_mean < max_quiet_load(),
     }
 
 
