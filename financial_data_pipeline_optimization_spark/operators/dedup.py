@@ -856,10 +856,12 @@ def near_dup_clusters(
     ``stats["exact_index_fanout"]`` its measured fan-out, so a
     production run can see WHICH plan it took without re-deriving
     the gate arithmetic (the ``kcore_peel`` ``stats`` convention).
-    r16: ``stats["components_rows"]`` / ``stats["components_join"]``
-    record the label-join broadcast gate's measured size and chosen
-    mode (``broadcast_if_small`` on the component table — see the
-    label-join comment below for the A/B evidence).
+    r16/r17: ``stats["components_bound"]`` / ``stats["components_join"]``
+    record the label-join broadcast gate's size bound and chosen mode.
+    Since r17 the gate reads ``2 * fixpoint_edges`` from the CC loop's
+    already-materialized convergence output instead of running its own
+    count job over the label plan (see the label-join comment below
+    for the bound argument and the r16 A/B evidence).
 
     Not fully lazy: the component loop is iterative (one bounded action
     per round, lineage truncated per round — see ``operators.graph``),
@@ -935,9 +937,13 @@ def near_dup_clusters(
             _sets=shared_sets,
             **lsh_kwargs,
         )
+    # ``count_rounds: False`` suppresses the per-round edge counts the
+    # caller didn't ask for while still receiving the convergence
+    # outputs (rounds, fixpoint_edges) the gate below reads.
+    cc = cc_stats if cc_stats is not None else {"count_rounds": False}
     comp = connected_components(
         pairs.select("a", "b"), "a", "b", max_iter=max_iter,
-        stats=cc_stats,
+        stats=cc,
     )
     # ``carry_cols`` ride along on the one label join (consumers like
     # representative election would otherwise join the corpus a second
@@ -950,22 +956,33 @@ def near_dup_clusters(
     # on all three corpora, and at 100 TB the avoided exchange is the
     # CORPUS-SIZED ids side, so local cells understate the win).
     # comp holds one row per doc in ANY pair — usually small, but a
-    # fully-duplicated corpus puts every doc in it, hence the gate,
-    # not an unconditional hint. The count is one cheap job over the
-    # loop's already-checkpointed output, within this operator's
-    # existing not-action-free contract.
+    # fully-duplicated corpus puts every doc in it, hence a gate, not
+    # an unconditional hint.
+    #
+    # r17 (VERDICT #4 — construction-action creep): the gate no longer
+    # runs its own count() job over the (node-distinct + star-join)
+    # label plan. The CC loop's convergence probe already materialized
+    # the fixpoint star edges, and for the self-loop-free pair sources
+    # this operator feeds it (both emit a < b), |comp| = |nodes| <=
+    # 2 * fixpoint_edges — so the gate reads that bound (a block-count
+    # job the loop already paid for) and comp itself stays LAZY: its
+    # distinct+join now runs inside the one label-join action instead
+    # of as a separate construction-time materialization. The bound is
+    # <=2x conservative; a borderline corpus (4-8M paired docs) falls
+    # back to the shuffle join it would have needed at scale anyway.
     from financial_data_pipeline_optimization_spark.operators.joins import (
         COUNT_BROADCAST_MAX_ROWS,
-        broadcast_if_small,
     )
 
-    # Lazy checkpoint first so the gate's count() materializes the
-    # label table ONCE and the join below reads the same rows
-    # (broadcast_if_small's callers-pass-checkpointed contract).
-    comp = comp.localCheckpoint(eager=False)
-    comp = broadcast_if_small(
-        comp, COUNT_BROADCAST_MAX_ROWS, stats=stats, label="components"
-    )
+    comp_bound = 2 * int(cc.get("fixpoint_edges", 0))
+    small = comp_bound <= COUNT_BROADCAST_MAX_ROWS
+    if stats is not None:
+        stats["components_bound"] = comp_bound
+        stats["components_join"] = (
+            "broadcast" if small else "shuffle-fallback"
+        )
+    if small:
+        comp = F.broadcast(comp)
     ids = df.select(F.col(id_col), *[F.col(c) for c in carry_cols])
     labels = ids.join(comp, ids[id_col] == comp["node"], "left").select(
         F.col(id_col),

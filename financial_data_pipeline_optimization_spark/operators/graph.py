@@ -113,8 +113,21 @@ def connected_components(
     a planted mega-cluster (one hot LSH bucket = one huge clique)
     safe: the first large-star absorbs it into one star instead of
     exploding it. The edge counts cost one extra action per round, so
-    they are only computed when a ``stats`` dict is passed;
-    production callers pass ``None`` and pay nothing.
+    they are only computed when a ``stats`` dict is passed
+    (suppressible with ``stats["count_rounds"] = False`` for callers
+    that want only the convergence outputs below); production callers
+    pass ``None`` and pay nothing.
+
+    r17 (VERDICT #4): on convergence ``stats["fixpoint_edges"]`` (when
+    a stats dict is passed) records the star-forest edge count — one
+    ``count()`` over the final round's ALREADY-MATERIALIZED lazy
+    checkpoint (the convergence probe's action computed those blocks),
+    i.e. a block-sized job, not a recomputation. Consumers use it to
+    SIZE-BOUND the returned label relation without running their own
+    count job over the (distinct + join) label plan: at the fixpoint
+    every non-root node carries exactly one out-edge and every root is
+    some edge's destination, so for self-loop-free input
+    ``|labels| = |nodes| <= 2 * fixpoint_edges``.
     """
     # One checkpoint of the canonical edge set; node set and working
     # edges both derive from it LAZILY — checkpointing them separately
@@ -139,7 +152,7 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)  # truncate per-round lineage
         )
-        if stats is not None:
+        if stats is not None and stats.get("count_rounds", True):
             stats.setdefault("edges_per_round", []).append(e.count())
         # Convergence probe, one action: every round's output is a set
         # of (member > center) edges, and it is THE fixpoint star
@@ -161,6 +174,13 @@ def connected_components(
         if violations.isEmpty():
             if stats is not None:
                 stats["rounds"] = rounds
+                # Cheap by construction: the isEmpty probe just
+                # materialized e's checkpoint, so this counts cached
+                # blocks (reused from edges_per_round when present).
+                per_round = stats.get("edges_per_round")
+                stats["fixpoint_edges"] = (
+                    per_round[-1] if per_round else e.count()
+                )
             # Fixpoint edges are (node, component-min) stars; nodes
             # absent from the star map (component minima, nodes whose
             # only edges were self-loops) label themselves.

@@ -466,6 +466,22 @@ def train_ivf_centroids(
     assignments (Σ⟨x, c⟩ ≤ ‖Σx‖ with equality at c = unit(mean)). The
     per-cell sim sums ride the SAME single action as the cell means —
     tracking adds zero extra passes over the corpus.
+
+    r17 (guide §2.3/§4.1 — the ``train_pq_codebooks`` discipline,
+    ported): each Lloyd round is ONE ``mapInPandas`` scan that assigns
+    the batch with a single BLAS matmul and pre-aggregates
+    ``(vec sum, count, sim sum)`` PER CELL PER TASK, so the shuffle
+    carries at most ``partitions × num_centroids`` tiny partial rows
+    and the driver collects ``num_centroids`` finals. The previous
+    shape (assignment pass emitting every row, then
+    ``groupBy(cell).applyInPandas`` of the means) crossed the Arrow
+    boundary twice and shuffled the FULL corpus vectors once per
+    round — pure overhead, since the update only needs the per-cell
+    sufficient statistics. Assignment ties break toward the lower cell
+    index (``np.argmax`` takes the first maximum), matching
+    ``_nearest_cells``' stable ordering, so cell assignments are
+    unchanged; cell means differ from the old path only by float
+    summation order.
     """
     import numpy as np
     import pandas as pd
@@ -482,41 +498,61 @@ def train_ivf_centroids(
         corpus.orderBy(id_col).limit(num_centroids).select(vec_col).collect()
     )
     cen = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+    k, dim = cen.shape
 
-    mean_fields = [
-        StructField("cell", IntegerType(), True),
-        StructField("__mean", ArrayType(DoubleType()), True),
-        StructField("n", LongType(), True),
-    ]
-    if track_inertia:
-        mean_fields.append(StructField("sum_sim", DoubleType(), True))
-    mean_schema = StructType(mean_fields)
-
-    def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.asarray(list(pdf["__v"]), dtype=np.float64).mean(axis=0)
-        out = {
-            "cell": [int(pdf["cell"].iloc[0])],
-            "__mean": [m.tolist()],
-            "n": [len(pdf)],
-        }
-        if track_inertia:
-            out["sum_sim"] = [float(pdf["sim"].sum())]
-        return pd.DataFrame(out)
+    part_schema = StructType(
+        [
+            StructField("cell", IntegerType(), True),
+            StructField("vsum", ArrayType(DoubleType()), True),
+            StructField("n", LongType(), True),
+            StructField("sum_sim", DoubleType(), True),
+        ]
+    )
 
     inertias: list[float] = []
     for _ in range(max(0, iters)):
-        assigned = _nearest_cells(
-            corpus,
-            _unit_rows(cen),
-            1,
-            id_col,
-            vec_col,
-            "__id",
-            with_sim=track_inertia,
-        )
+        cu = _unit_rows(cen)
+
+        def partial_sums(batches, cu=cu):
+            # Per-TASK accumulators: K×dim raw-vector sums, counts,
+            # cosine sums — constant memory, amortized over every
+            # batch in the partition (guide §4.5).
+            sums = np.zeros((k, dim))
+            ns = np.zeros(k, dtype=np.int64)
+            sims = np.zeros(k)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                sc = _unit_rows(mat) @ cu.T
+                cell = np.argmax(sc, axis=1)
+                for c in np.unique(cell):
+                    sel = cell == c
+                    sums[c] += mat[sel].sum(axis=0)
+                    ns[c] += int(sel.sum())
+                    sims[c] += float(sc[sel, c].sum())
+            live = np.flatnonzero(ns)
+            if live.size:
+                yield pd.DataFrame(
+                    {
+                        "cell": live.astype("int32"),
+                        "vsum": [sums[c].tolist() for c in live],
+                        "n": ns[live],
+                        "sum_sim": sims[live],
+                    }
+                )
+
         new_rows = (
-            assigned.groupBy("cell")
-            .applyInPandas(cell_mean, mean_schema)
+            corpus.select(vec_col)
+            .mapInPandas(partial_sums, part_schema)
+            .groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.sum(F.col("vsum")[i]) for i in range(dim)]
+                ).alias("vsum"),
+                F.sum("n").alias("n"),
+                F.sum("sum_sim").alias("sum_sim"),
+            )
             .collect()  # bounded: ≤ num_centroids rows of dim doubles
         )
         if track_inertia:
@@ -524,7 +560,10 @@ def train_ivf_centroids(
             sim_total = sum(r["sum_sim"] for r in new_rows)
             inertias.append(float(n_total) - sim_total)
         for r in new_rows:
-            cen[r["cell"]] = np.asarray(r["__mean"], dtype=np.float64)
+            if r["n"]:
+                cen[r["cell"]] = (
+                    np.asarray(r["vsum"], dtype=np.float64) / r["n"]
+                )
     if track_inertia:
         return cen, inertias
     return cen

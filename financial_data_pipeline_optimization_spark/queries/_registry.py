@@ -344,6 +344,25 @@ _CHANGED_SINCE_CHECK: tuple[tuple[str, int], ...] = (
     # any node has degree >= 2 (every driver SF), but the expression
     # changed on both sides; re-prove.
     ("triangle_count_order_bursts", 16),
+    # r17 (optimization round): the CC label-join broadcast gate now
+    # reads 2x the loop's materialized fixpoint-edge count instead of
+    # running its own count job over the label plan, and the label
+    # table is no longer pre-checkpointed (its distinct+join runs
+    # inside the one label-join action). Labels identical; plans
+    # changed for the whole cluster family — re-prove.
+    ("near_dup_clusters", 17),
+    ("cluster_representatives", 17),
+    ("leakage_safe_split", 17),
+    ("corpus_curation_funnel", 17),
+    # r17: train_ivf_centroids' Lloyd round is now ONE mapInPandas
+    # partial-sums scan (the train_pq_codebooks discipline) instead of
+    # an assignment pass + full-corpus groupBy(cell).applyInPandas —
+    # cell assignments are unchanged (same argmax tie-break) but cell
+    # means differ by float summation order, so every consumer of the
+    # trained centroids must re-prove its contract flags.
+    ("knn_ivf_recall_check", 17),
+    ("kmeans_cluster_check", 17),
+    ("semdedup_check", 17),
 )
 
 

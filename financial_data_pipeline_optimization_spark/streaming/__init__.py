@@ -13,6 +13,7 @@ from financial_data_pipeline_optimization_spark.streaming.ops import (
     foreach_batch_near_dup_filter,
     foreach_batch_upsert,
     read_stream_parquet,
+    running_counts_agg,
     running_counts_stateful,
     sessionized_counts,
     sliding_counts,
@@ -27,6 +28,7 @@ __all__ = [
     "foreach_batch_near_dup_filter",
     "foreach_batch_upsert",
     "read_stream_parquet",
+    "running_counts_agg",
     "running_counts_stateful",
     "sessionized_counts",
     "sliding_counts",

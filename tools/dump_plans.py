@@ -24,13 +24,19 @@ constructed — expected, bounded, and identical to what the audit does.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-SF_DIR = "/root/testdata/sf0.01"
+#: Dataset dir: same env var bench.py resolves (r17, ADVICE — the
+#: hardcoded path silently broke on hosts with a different testdata
+#: layout). The sf0.01 default matches the committed PLANS_r{N}.md
+#: audit SF (deliberately NOT bench.py's sf0.1 default: plan SHAPE is
+#: what this tool dumps, and sf0.01 builds it in seconds).
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:
