@@ -940,10 +940,20 @@ def near_dup_clusters(
     # ``count_rounds: False`` suppresses the per-round edge counts the
     # caller didn't ask for while still receiving the convergence
     # outputs (rounds, fixpoint_edges) the gate below reads.
+    from financial_data_pipeline_optimization_spark.operators.joins import (
+        COUNT_BROADCAST_MAX_ROWS,
+    )
+
     cc = cc_stats if cc_stats is not None else {"count_rounds": False}
+    # The star side of the label expression broadcasts under the same
+    # budget as the label table itself (|stars| <= |labels| <=
+    # 2*|stars|, so the half-budget gate keeps both decisions
+    # consistent): when the fixpoint forest is gate-small, the
+    # node-set-vs-stars join needs no shuffle or sort either.
     comp = connected_components(
         pairs.select("a", "b"), "a", "b", max_iter=max_iter,
         stats=cc,
+        broadcast_stars_max_edges=COUNT_BROADCAST_MAX_ROWS // 2,
     )
     # ``carry_cols`` ride along on the one label join (consumers like
     # representative election would otherwise join the corpus a second
@@ -970,10 +980,6 @@ def near_dup_clusters(
     # of as a separate construction-time materialization. The bound is
     # <=2x conservative; a borderline corpus (4-8M paired docs) falls
     # back to the shuffle join it would have needed at scale anyway.
-    from financial_data_pipeline_optimization_spark.operators.joins import (
-        COUNT_BROADCAST_MAX_ROWS,
-    )
-
     comp_bound = 2 * int(cc.get("fixpoint_edges", 0))
     small = comp_bound <= COUNT_BROADCAST_MAX_ROWS
     if stats is not None:

@@ -94,6 +94,7 @@ def connected_components(
     out_node: str = "node",
     out_label: str = "component",
     stats: dict | None = None,
+    broadcast_stars_max_edges: int = 0,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id of its connected component.
@@ -128,6 +129,16 @@ def connected_components(
     every non-root node carries exactly one out-edge and every root is
     some edge's destination, so for self-loop-free input
     ``|labels| = |nodes| <= 2 * fixpoint_edges``.
+
+    ``broadcast_stars_max_edges`` (r17): when > 0 and the fixpoint
+    star forest holds at most that many edges, the returned label
+    expression joins ``nodes`` against a BROADCAST of the (node-sized,
+    already-checkpointed) star edges instead of a shuffle join — the
+    same size-gate discipline as ``kcore_peel``'s keep lists, decided
+    from the count the convergence probe already materialized (no
+    extra scan of anything; the count itself runs regardless of
+    ``stats`` when this gate is armed). 0 (the default) keeps the
+    planner's choice — the safe default for unbounded graphs.
     """
     # One checkpoint of the canonical edge set; node set and working
     # edges both derive from it LAZILY — checkpointing them separately
@@ -172,20 +183,27 @@ def connected_components(
             chained.select(F.lit(1).alias("v"))
         )
         if violations.isEmpty():
-            if stats is not None:
-                stats["rounds"] = rounds
+            n_stars = None
+            if stats is not None or broadcast_stars_max_edges:
                 # Cheap by construction: the isEmpty probe just
                 # materialized e's checkpoint, so this counts cached
                 # blocks (reused from edges_per_round when present).
-                per_round = stats.get("edges_per_round")
-                stats["fixpoint_edges"] = (
-                    per_round[-1] if per_round else e.count()
-                )
+                per_round = (stats or {}).get("edges_per_round")
+                n_stars = per_round[-1] if per_round else e.count()
+            if stats is not None:
+                stats["rounds"] = rounds
+                stats["fixpoint_edges"] = n_stars
             # Fixpoint edges are (node, component-min) stars; nodes
             # absent from the star map (component minima, nodes whose
             # only edges were self-loops) label themselves.
+            star = e
+            if (
+                broadcast_stars_max_edges
+                and n_stars <= broadcast_stars_max_edges
+            ):
+                star = F.broadcast(e)
             return (
-                nodes.join(e, nodes["n"] == e["s"], "left")
+                nodes.join(star, nodes["n"] == star["s"], "left")
                 .select(
                     F.col("n").alias(out_node),
                     F.coalesce(F.col("d"), F.col("n")).alias(out_label),
